@@ -1,0 +1,54 @@
+"""femcy-tpu: a TPU-native finite-element framework (JAX / XLA / Pallas).
+
+A ground-up re-design of the capabilities of mo-hanxuan/FEMcy for TPU:
+
+- static-shape, fixed-topology meshes whose assembly compiles to a single
+  XLA program (vmapped per-element B^T C B + one sorted segment-sum scatter),
+- a Jacobi-preconditioned CG that runs entirely inside ``jax.lax.while_loop``
+  (zero host round-trips per iteration),
+- geometric nonlinearity (updated-Lagrangian Newton-Raphson with adaptive
+  load stepping) orchestrated on host around jitted device steps,
+- multi-chip scaling via ``jax.sharding.Mesh`` + ``shard_map`` with XLA
+  collectives over ICI (elements sharded for assembly, rows for SpMV).
+
+Reference capability surface: /root/reference (FEMcy, Taichi/CUDA) -- see
+SURVEY.md.  This package is an independent TPU-first implementation; files
+cite the reference as ``file:line`` only to document behavioural parity.
+"""
+
+import os
+
+# FEM needs f64 accumulation for the published accuracy targets (<=0.1%
+# stress error, nu=0.4999 near-incompressible cases).  Enable x64 before any
+# JAX arrays are created.  Set FEMCY_TPU_X64=0 to run in f32 (faster on TPU;
+# accuracy-gated workloads should keep f64).
+if os.environ.get("FEMCY_TPU_X64", "1") != "0":
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from femcy_tpu.config import SolverConfig  # noqa: E402
+from femcy_tpu.mesh import FEMesh  # noqa: E402
+from femcy_tpu.system import FEMSystem  # noqa: E402
+from femcy_tpu.io.inp import InpModel, read_inp  # noqa: E402
+from femcy_tpu.materials import (  # noqa: E402
+    LinearIsotropic,
+    LinearIsotropicPlaneStress,
+    LinearIsotropicPlaneStrain,
+    NeoHookean,
+)
+
+__all__ = [
+    "SolverConfig",
+    "FEMesh",
+    "FEMSystem",
+    "InpModel",
+    "read_inp",
+    "LinearIsotropic",
+    "LinearIsotropicPlaneStress",
+    "LinearIsotropicPlaneStrain",
+    "NeoHookean",
+    "__version__",
+]

@@ -1,0 +1,138 @@
+"""Device-side assembly: vmapped element kinematics + one segment-sum scatter.
+
+The reference's hot kernels (stiffnessMtrx.py:132-216, 532-556, 609-644) are
+Taichi loops with atomic scatter-adds and a per-entry linear search.  Here the
+same math is expressed as batched einsums over static quadrature tables -- the
+B^T C B contraction is a batched matmul XLA tiles onto the MXU -- followed by
+a single ``segment_sum`` over host-presorted indices (see topology.py).
+
+All functions are pure and shape-static; the system jits them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from femcy_tpu.linalg import det_small, inv_small
+
+
+def gradients_and_volume(coords, elements, dshape_gp, weights_gp):
+    """Shape-function gradients and integration volumes per (element, GP).
+
+    Parameters
+    ----------
+    coords : (N, dm) nodal coordinates of the configuration to differentiate in
+        (current configuration for updated-Lagrangian assembly,
+        ref: stiffnessMtrx.py:132-150; initial configuration for F,
+        ref: stiffnessMtrx.py:532-556)
+    elements : (E, n) connectivity
+    dshape_gp : (G, n, dm) d(shape)/d(natural) at the Gauss points
+    weights_gp : (G,) Gauss weights
+
+    Returns
+    -------
+    dsdx : (E, G, n, dm) shape gradients w.r.t. the given configuration
+    vol : (E, G) det(dx/dxi) * weight
+    """
+    x = coords[elements]  # (E, n, dm)
+    # dx/dxi = x^T @ dN : (E, G, dm_spatial, dm_natural)
+    dxdn = jnp.einsum("enD,gnd->egDd", x, dshape_gp)
+    inv = inv_small(dxdn)  # (E, G, d, D)
+    dsdx = jnp.einsum("gnd,egdD->egnD", dshape_gp, inv)
+    vol = det_small(dxdn) * weights_gp[None, :]
+    return dsdx, vol
+
+
+def b_matrix(dsdx):
+    """Voigt strain-displacement matrix from shape gradients.
+
+    dsdx: (..., n, dm) -> B: (..., n_voigt, n*dm) with the reference's row
+    order (2D: [e00, e11, gamma01], ref element strainMtrx e.g.
+    element_linear_triangular.py:123-145; 3D: [e00, e11, e22, gamma01,
+    gamma20, gamma12], ref element_linear_tetrahedral.py:137-177).
+    """
+    dm = dsdx.shape[-1]
+    lead = dsdx.shape[:-2]
+
+    def interleave(*cols):
+        # per-node column vectors -> flat (..., n*dm) dof-ordered row
+        return jnp.stack(cols, axis=-1).reshape(*lead, -1)
+
+    Z = jnp.zeros_like(dsdx[..., 0])
+    if dm == 2:
+        Nx, Ny = dsdx[..., 0], dsdx[..., 1]
+        rows = [
+            interleave(Nx, Z),
+            interleave(Z, Ny),
+            interleave(Ny, Nx),
+        ]
+    else:
+        Nx, Ny, Nz = dsdx[..., 0], dsdx[..., 1], dsdx[..., 2]
+        rows = [
+            interleave(Nx, Z, Z),
+            interleave(Z, Ny, Z),
+            interleave(Z, Z, Nz),
+            interleave(Ny, Nx, Z),
+            interleave(Nz, Z, Nx),
+            interleave(Z, Nz, Ny),
+        ]
+    return jnp.stack(rows, axis=-2)
+
+
+def element_stiffness(dsdx, vol, C):
+    """Ke = sum_gp B^T C B * vol  -> (E, edof, edof).
+
+    (ref: stiffnessMtrx.py:161-186 without the scatter)
+    """
+    B = b_matrix(dsdx)  # (E, G, nv, edof)
+    CB = jnp.einsum("ab,egbj->egaj", C, B)
+    return jnp.einsum("egai,egaj,eg->eij", B, CB, vol)
+
+
+def scatter_stiffness(Ke, scatter_perm, scatter_segments, n_dof, width):
+    """Element stiffnesses -> padded ELL values via one sorted segment-sum."""
+    contrib = Ke.reshape(-1)[scatter_perm]
+    flat = jax.ops.segment_sum(
+        contrib,
+        scatter_segments,
+        num_segments=n_dof * width,
+        indices_are_sorted=True,
+    )
+    return flat.reshape(n_dof, width)
+
+
+def deformation_gradient(dof, elements, dsdX0):
+    """F = I + du/dX at each (element, GP), w.r.t. the initial configuration.
+
+    dsdX0 : (E, G, n, dm) precomputed initial-configuration shape gradients
+    (the reference recomputes them every call, stiffnessMtrx.py:532-556; they
+    are constant, so we hoist them to setup).
+    """
+    dm = dsdX0.shape[-1]
+    u = dof.reshape(-1, dm)[elements]  # (E, n, dm)
+    dudX = jnp.einsum("enU,egnX->egUX", u, dsdX0)
+    return dudX + jnp.eye(dm, dtype=dof.dtype)
+
+
+def internal_force(dsdx, sigma, vol, force_perm, force_segments, n_dof):
+    """Internal nodal force f_a,i = sum_gp dsdx[a,:] . sigma[:,i] * vol.
+
+    (ref: stiffnessMtrx.py:609-644, restructured from a per-node gather with
+    a linear index search into a per-element-dof segment-sum scatter)
+    """
+    f_elem = jnp.einsum("egaj,egji,eg->eai", dsdx, sigma, vol)
+    contrib = f_elem.reshape(-1)[force_perm]
+    return jax.ops.segment_sum(
+        contrib, force_segments, num_segments=n_dof, indices_are_sorted=True
+    )
+
+
+def gp_stress(F, material, large: bool):
+    """Cauchy stress at every (element, GP) from the deformation gradient."""
+    fn = material.cauchy_large if large else material.cauchy_small
+    return jax.vmap(jax.vmap(fn))(F)
+
+
+def gp_energy_density(F, material):
+    return jax.vmap(jax.vmap(material.energy_density))(F)

@@ -1,0 +1,61 @@
+"""Solver configuration.
+
+The reference has no config system (SURVEY.md §5) -- its knobs are hardcoded
+(CG eps at conjugateGradientSolver.py:15, the scipy/CG crossover at
+stiffnessMtrx.py:273, Newton caps at stiffnessMtrx.py:771-819).  Here they are
+a dataclass so library users and the CLI can set them without editing code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Knobs of the equation-system solve.
+
+    Defaults reproduce the reference behaviour exactly.
+    """
+
+    # --- linear solver ---------------------------------------------------
+    #: relative residual (infinity norm) tolerance of the PCG
+    #: (ref: conjugateGradientSolver.py:15, eps=1e-3).
+    cg_eps: float = 1.0e-3
+    #: hard cap on CG iterations; <=0 means n_dof (ref: CG loops at most
+    #: b.shape[0] times, conjugateGradientSolver.py:109).
+    cg_max_iters: int = 0
+    #: below this many dofs use the host direct sparse solve, above it the
+    #: on-device PCG (ref: stiffnessMtrx.py:273, 1e5 crossover).
+    direct_solve_max_dof: int = 100_000
+    #: force one solver regardless of size: "auto" | "direct" | "cg"
+    linear_solver: str = "auto"
+
+    # --- Newton-Raphson (geometric nonlinearity) -------------------------
+    #: converged when residual / initial_residual < this
+    #: (ref: stiffnessMtrx.py:771).
+    newton_rel_tol: float = 0.01
+    #: absolute convergence short-circuit (ref: stiffnessMtrx.py:767).
+    newton_abs_tol: float = 1.0e-9
+    #: max Newton iterations per increment (ref: stiffnessMtrx.py:774).
+    newton_max_iters: int = 24
+    #: max "boost" line-search steps while the residual keeps declining
+    #: (ref: stiffnessMtrx.py:798).
+    newton_boost_max: int = 10
+    #: max relaxation halvings when the residual grows
+    #: (ref: stiffnessMtrx.py:813).
+    newton_relax_max: int = 2
+    #: grow dt by this factor after fast convergence (<= fast_iters Newton
+    #: loops) (ref: stiffnessMtrx.py:702-704).
+    dt_growth: float = 1.5
+    newton_fast_iters: int = 8
+    #: shrink dt by this factor on non-convergence (ref: stiffnessMtrx.py:694).
+    dt_cutback: float = 0.25
+
+    # --- observability ----------------------------------------------------
+    verbose: bool = False
+
+    # --- checkpointing ------------------------------------------------------
+    #: if set, write an .npz checkpoint of (dof, time, dt) after every
+    #: converged increment (the reference has none; SURVEY.md §5).
+    checkpoint_path: str | None = None

@@ -1,0 +1,579 @@
+"""The element zoo: CPS3/CPE3, CPS6/CPE6, CPS4/CPE4, CPS8/CPE8, C3D4, C3D10.
+
+Node orderings, Gauss rules, facet tables and extrapolation coefficients match
+the reference element_zoo/ exactly (cited per element below) so that Abaqus
+``.inp`` meshes and face numbers mean the same thing.  Everything is static
+numpy; see elements/base.py for the design rationale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from femcy_tpu.elements.base import ElementType
+
+_SQRT3 = np.sqrt(3.0)
+
+
+# --------------------------------------------------------------------------- #
+# Linear triangle (CPS3 / CPE3)
+# ref: element_zoo/element_linear_triangular.py
+# --------------------------------------------------------------------------- #
+def _tri3_shape(nc):
+    return np.array([nc[0], nc[1], 1.0 - nc[0] - nc[1]])
+
+
+def _tri3_dshape(nc):
+    return np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]])
+
+
+TRI3 = ElementType(
+    name="tri3",
+    dm=2,
+    n_nodes=3,
+    gauss_points=np.array([[1.0 / 3.0, 1.0 / 3.0]]),
+    gauss_weights=np.array([0.5]),
+    shape_fn=_tri3_shape,
+    dshape_fn=_tri3_dshape,
+    # ref: element_linear_triangular.py:35-53
+    facet_natural_coos={
+        (0, 1): [[0.5, 0.5]],
+        (1, 2): [[0.0, 0.5]],
+        (0, 2): [[0.5, 0.0]],
+    },
+    facet_point_weights={(0, 1): [1.0], (1, 2): [1.0], (0, 2): [1.0]},
+    facet_natural_normals={
+        (0, 1): [[np.sqrt(0.5), np.sqrt(0.5)]],
+        (1, 2): [[-1.0, 0.0]],
+        (0, 2): [[0.0, -1.0]],
+    },
+    # ref: element_linear_triangular.py:56-58
+    inp_surface_num=(((0, 1),), ((1, 2),), ((0, 2),)),
+    # linear element: copy the single centre GP to all nodes
+    # (ref: element_linear_triangular.py:211-226)
+    extrapolation_matrix=np.ones((3, 1)),
+    viz_triangles=((0, 1, 2),),
+)
+
+
+# --------------------------------------------------------------------------- #
+# Quadratic triangle (CPS6 / CPE6)
+# ref: element_zoo/element_quadratic_triangular.py
+# --------------------------------------------------------------------------- #
+def _tri6_shape(nc):
+    l = np.array([nc[0], nc[1], 1.0 - nc[0] - nc[1]])
+    return np.array(
+        [
+            l[0] * (2.0 * l[0] - 1.0),
+            l[1] * (2.0 * l[1] - 1.0),
+            l[2] * (2.0 * l[2] - 1.0),
+            4.0 * l[0] * l[1],
+            4.0 * l[1] * l[2],
+            4.0 * l[2] * l[0],
+        ]
+    )
+
+
+def _tri6_dshape(nc):
+    l = np.array([nc[0], nc[1], 1.0 - nc[0] - nc[1]])
+    return np.array(
+        [
+            [4.0 * l[0] - 1.0, 0.0],
+            [0.0, 4.0 * l[1] - 1.0],
+            [1.0 - 4.0 * l[2], 1.0 - 4.0 * l[2]],
+            [4.0 * l[1], 4.0 * l[0]],
+            [-4.0 * l[1], 4.0 * (l[2] - l[1])],
+            [4.0 * (l[2] - l[0]), -4.0 * l[0]],
+        ]
+    )
+
+
+TRI6 = ElementType(
+    name="tri6",
+    dm=2,
+    n_nodes=6,
+    # ref: element_quadratic_triangular.py:26-33
+    gauss_points=np.array(
+        [[2.0 / 3.0, 1.0 / 6.0], [1.0 / 6.0, 2.0 / 3.0], [1.0 / 6.0, 1.0 / 6.0]]
+    ),
+    gauss_weights=np.array([1.0 / 6.0, 1.0 / 6.0, 1.0 / 6.0]),
+    shape_fn=_tri6_shape,
+    dshape_fn=_tri6_dshape,
+    # ref: element_quadratic_triangular.py:39-67
+    facet_natural_coos={
+        (0, 3): [[0.5, 0.5], [1.0, 0.0]],
+        (1, 3): [[0.5, 0.5], [0.0, 1.0]],
+        (1, 4): [[0.0, 0.5], [0.0, 1.0]],
+        (2, 4): [[0.0, 0.5], [0.0, 0.0]],
+        (2, 5): [[0.5, 0.0], [0.0, 0.0]],
+        (0, 5): [[0.5, 0.0], [1.0, 0.0]],
+    },
+    facet_point_weights={
+        (0, 3): [0.5, 0.5],
+        (1, 3): [0.5, 0.5],
+        (1, 4): [0.5, 0.5],
+        (2, 4): [0.5, 0.5],
+        (2, 5): [0.5, 0.5],
+        (0, 5): [0.5, 0.5],
+    },
+    facet_natural_normals={
+        (0, 3): [[1.0, 1.0], [1.0, 1.0]],
+        (1, 3): [[1.0, 1.0], [1.0, 1.0]],
+        (1, 4): [[-1.0, 0.0], [-1.0, 0.0]],
+        (2, 4): [[-1.0, 0.0], [-1.0, 0.0]],
+        (2, 5): [[0.0, -1.0], [0.0, -1.0]],
+        (0, 5): [[0.0, -1.0], [0.0, -1.0]],
+    },
+    inp_surface_num=(((0, 3), (3, 1)), ((1, 4), (4, 2)), ((2, 5), (5, 0))),
+    # natural coords of the nodes in GP-triangle coordinates
+    # (ref: element_quadratic_triangular.py:295-305)
+    extrapolation_matrix=np.array(
+        [
+            [5.0 / 3.0, -1.0 / 3.0, -1.0 / 3.0],
+            [-1.0 / 3.0, 5.0 / 3.0, -1.0 / 3.0],
+            [-1.0 / 3.0, -1.0 / 3.0, 5.0 / 3.0],
+            [2.0 / 3.0, 2.0 / 3.0, -1.0 / 3.0],
+            [-1.0 / 3.0, 2.0 / 3.0, 2.0 / 3.0],
+            [2.0 / 3.0, -1.0 / 3.0, 2.0 / 3.0],
+        ]
+    ),
+    # ref: element_quadratic_triangular.py:244-247
+    viz_triangles=((0, 3, 5), (1, 3, 4), (2, 4, 5), (3, 4, 5)),
+)
+
+
+# --------------------------------------------------------------------------- #
+# Linear quadrilateral (CPS4 / CPE4)
+# ref: element_zoo/element_linear_quadrilateral.py
+# --------------------------------------------------------------------------- #
+def _quad4_shape(nc):
+    return np.array(
+        [
+            (1.0 - nc[0]) * (1.0 - nc[1]) / 4.0,
+            (1.0 + nc[0]) * (1.0 - nc[1]) / 4.0,
+            (1.0 + nc[0]) * (1.0 + nc[1]) / 4.0,
+            (1.0 - nc[0]) * (1.0 + nc[1]) / 4.0,
+        ]
+    )
+
+
+def _quad4_dshape(nc):
+    return np.array(
+        [
+            [-(1.0 - nc[1]) / 4.0, -(1.0 - nc[0]) / 4.0],
+            [(1.0 - nc[1]) / 4.0, -(1.0 + nc[0]) / 4.0],
+            [(1.0 + nc[1]) / 4.0, (1.0 + nc[0]) / 4.0],
+            [-(1.0 + nc[1]) / 4.0, (1.0 - nc[0]) / 4.0],
+        ]
+    )
+
+
+_QUAD_GP = np.array(
+    [
+        [-1.0 / _SQRT3, -1.0 / _SQRT3],
+        [1.0 / _SQRT3, -1.0 / _SQRT3],
+        [1.0 / _SQRT3, 1.0 / _SQRT3],
+        [-1.0 / _SQRT3, 1.0 / _SQRT3],
+    ]
+)
+
+# extrapolation: bilinear shape functions evaluated at the nodes' stretched
+# (+-sqrt(3)) coordinates (ref: element_linear_quadrilateral.py:228-238)
+_QUAD4_EXTRAP = np.stack(
+    [
+        _quad4_shape(c)
+        for c in [
+            [-_SQRT3, -_SQRT3],
+            [_SQRT3, -_SQRT3],
+            [_SQRT3, _SQRT3],
+            [-_SQRT3, _SQRT3],
+        ]
+    ]
+)
+
+QUAD4 = ElementType(
+    name="quad4",
+    dm=2,
+    n_nodes=4,
+    gauss_points=_QUAD_GP,
+    gauss_weights=np.array([1.0, 1.0, 1.0, 1.0]),
+    shape_fn=_quad4_shape,
+    dshape_fn=_quad4_dshape,
+    # ref: element_linear_quadrilateral.py:35-57
+    facet_natural_coos={
+        (0, 1): [[-1.0, -1.0], [1.0, -1.0]],
+        (1, 2): [[1.0, -1.0], [1.0, 1.0]],
+        (2, 3): [[1.0, 1.0], [-1.0, 1.0]],
+        (0, 3): [[-1.0, 1.0], [-1.0, -1.0]],
+    },
+    facet_point_weights={
+        (0, 1): [0.5, 0.5],
+        (1, 2): [0.5, 0.5],
+        (2, 3): [0.5, 0.5],
+        (0, 3): [0.5, 0.5],
+    },
+    facet_natural_normals={
+        (0, 1): [[0.0, -1.0], [0.0, -1.0]],
+        (1, 2): [[1.0, 0.0], [1.0, 0.0]],
+        (2, 3): [[0.0, 1.0], [0.0, 1.0]],
+        (0, 3): [[-1.0, 0.0], [-1.0, 0.0]],
+    },
+    inp_surface_num=(((0, 1),), ((1, 2),), ((2, 3),), ((0, 3),)),
+    extrapolation_matrix=_QUAD4_EXTRAP,
+    viz_triangles=((0, 1, 2), (0, 2, 3)),
+)
+
+
+# --------------------------------------------------------------------------- #
+# Quadratic (serendipity) quadrilateral (CPS8 / CPE8), reduced 2x2 integration
+# ref: element_zoo/element_quadratic_quadrilateral.py
+# --------------------------------------------------------------------------- #
+def _quad8_shape(nc):
+    return np.array(
+        [
+            (1.0 - nc[0]) * (1.0 - nc[1]) * (-1.0 - nc[0] - nc[1]) / 4.0,
+            (1.0 + nc[0]) * (1.0 - nc[1]) * (-1.0 + nc[0] - nc[1]) / 4.0,
+            (1.0 + nc[0]) * (1.0 + nc[1]) * (-1.0 + nc[0] + nc[1]) / 4.0,
+            (1.0 - nc[0]) * (1.0 + nc[1]) * (-1.0 - nc[0] + nc[1]) / 4.0,
+            (1.0 - nc[0] ** 2) * (1.0 - nc[1]) / 2.0,
+            (1.0 - nc[1] ** 2) * (1.0 + nc[0]) / 2.0,
+            (1.0 - nc[0] ** 2) * (1.0 + nc[1]) / 2.0,
+            (1.0 - nc[1] ** 2) * (1.0 - nc[0]) / 2.0,
+        ]
+    )
+
+
+def _quad8_dshape(nc):
+    return np.array(
+        [
+            [
+                -(1.0 - nc[1]) * (-2.0 * nc[0] - nc[1]) / 4.0,
+                -(1.0 - nc[0]) * (-2.0 * nc[1] - nc[0]) / 4.0,
+            ],
+            [
+                (1.0 - nc[1]) * (2.0 * nc[0] - nc[1]) / 4.0,
+                -(1.0 + nc[0]) * (-2.0 * nc[1] + nc[0]) / 4.0,
+            ],
+            [
+                (1.0 + nc[1]) * (2.0 * nc[0] + nc[1]) / 4.0,
+                (1.0 + nc[0]) * (2.0 * nc[1] + nc[0]) / 4.0,
+            ],
+            [
+                -(1.0 + nc[1]) * (-2.0 * nc[0] + nc[1]) / 4.0,
+                (1.0 - nc[0]) * (2.0 * nc[1] - nc[0]) / 4.0,
+            ],
+            [-2.0 * nc[0] * (1.0 - nc[1]) / 2.0, -(1.0 - nc[0] ** 2) / 2.0],
+            [(1.0 - nc[1] ** 2) / 2.0, -2.0 * nc[1] * (1.0 + nc[0]) / 2.0],
+            [-2.0 * nc[0] * (1.0 + nc[1]) / 2.0, (1.0 - nc[0] ** 2) / 2.0],
+            [-(1.0 - nc[1] ** 2) / 2.0, -2.0 * nc[1] * (1.0 - nc[0]) / 2.0],
+        ]
+    )
+
+
+# the 8 nodes extrapolated with the *bilinear* 4-node functions at stretched
+# coordinates (ref: element_quadratic_quadrilateral.py:249-301)
+_QUAD8_EXTRAP = np.stack(
+    [
+        _quad4_shape(c)
+        for c in [
+            [-_SQRT3, -_SQRT3],
+            [_SQRT3, -_SQRT3],
+            [_SQRT3, _SQRT3],
+            [-_SQRT3, _SQRT3],
+            [0.0, -_SQRT3],
+            [_SQRT3, 0.0],
+            [0.0, _SQRT3],
+            [-_SQRT3, 0.0],
+        ]
+    ]
+)
+
+QUAD8 = ElementType(
+    name="quad8",
+    dm=2,
+    n_nodes=8,
+    gauss_points=_QUAD_GP,  # reduced integration, kept for parity
+    gauss_weights=np.array([1.0, 1.0, 1.0, 1.0]),
+    shape_fn=_quad8_shape,
+    dshape_fn=_quad8_dshape,
+    # ref: element_quadratic_quadrilateral.py:36-57
+    facet_natural_coos={
+        (0, 4): [[-1.0, -1.0], [0.0, -1.0]],
+        (1, 4): [[1.0, -1.0], [0.0, -1.0]],
+        (1, 5): [[1.0, -1.0], [1.0, 0.0]],
+        (2, 5): [[1.0, 1.0], [1.0, 0.0]],
+        (2, 6): [[1.0, 1.0], [0.0, 1.0]],
+        (3, 6): [[-1.0, 1.0], [0.0, 1.0]],
+        (0, 7): [[-1.0, 1.0], [-1.0, 0.0]],
+        (3, 7): [[-1.0, -1.0], [-1.0, 0.0]],
+    },
+    facet_point_weights={
+        (0, 4): [0.5, 0.5],
+        (1, 4): [0.5, 0.5],
+        (1, 5): [0.5, 0.5],
+        (2, 5): [0.5, 0.5],
+        (2, 6): [0.5, 0.5],
+        (3, 6): [0.5, 0.5],
+        (0, 7): [0.5, 0.5],
+        (3, 7): [0.5, 0.5],
+    },
+    facet_natural_normals={
+        (0, 4): [[0.0, -1.0], [0.0, -1.0]],
+        (1, 4): [[0.0, -1.0], [0.0, -1.0]],
+        (1, 5): [[1.0, 0.0], [1.0, 0.0]],
+        (2, 5): [[1.0, 0.0], [1.0, 0.0]],
+        (2, 6): [[0.0, 1.0], [0.0, 1.0]],
+        (3, 6): [[0.0, 1.0], [0.0, 1.0]],
+        (0, 7): [[-1.0, 0.0], [-1.0, 0.0]],
+        (3, 7): [[-1.0, 0.0], [-1.0, 0.0]],
+    },
+    inp_surface_num=(
+        ((0, 4), (1, 4)),
+        ((1, 5), (2, 5)),
+        ((2, 6), (3, 6)),
+        ((0, 7), (3, 7)),
+    ),
+    extrapolation_matrix=_QUAD8_EXTRAP,
+    # ref: element_quadratic_quadrilateral.py:227-231
+    viz_triangles=((0, 4, 7), (1, 4, 5), (2, 5, 6), (3, 6, 7), (5, 6, 7), (4, 5, 7)),
+)
+
+
+# --------------------------------------------------------------------------- #
+# Linear tetrahedron (C3D4)
+# ref: element_zoo/element_linear_tetrahedral.py
+# --------------------------------------------------------------------------- #
+def _tet4_shape(nc):
+    return np.array([nc[2], nc[0], 1.0 - nc[0] - nc[1] - nc[2], nc[1]])
+
+
+def _tet4_dshape(nc):
+    return np.array(
+        [
+            [0.0, 0.0, 1.0],
+            [1.0, 0.0, 0.0],
+            [-1.0, -1.0, -1.0],
+            [0.0, 1.0, 0.0],
+        ]
+    )
+
+
+TET4 = ElementType(
+    name="tet4",
+    dm=3,
+    n_nodes=4,
+    gauss_points=np.array([[0.25, 0.25, 0.25]]),
+    gauss_weights=np.array([1.0 / 6.0]),
+    shape_fn=_tet4_shape,
+    dshape_fn=_tet4_dshape,
+    # ref: element_linear_tetrahedral.py:38-59
+    facet_natural_coos={
+        (1, 2, 3): [[1.0 / 3.0, 1.0 / 3.0, 0.0]],
+        (0, 2, 3): [[0.0, 1.0 / 3.0, 1.0 / 3.0]],
+        (0, 1, 3): [[1.0 / 3.0, 1.0 / 3.0, 1.0 / 3.0]],
+        (0, 1, 2): [[1.0 / 3.0, 0.0, 1.0 / 3.0]],
+    },
+    facet_point_weights={
+        (1, 2, 3): [1.0],
+        (0, 2, 3): [1.0],
+        (0, 1, 3): [1.0],
+        (0, 1, 2): [1.0],
+    },
+    facet_natural_normals={
+        (1, 2, 3): [[0.0, 0.0, -1.0]],
+        (0, 2, 3): [[-1.0, 0.0, 0.0]],
+        (0, 1, 3): [[1.0, 1.0, 1.0]],
+        (0, 1, 2): [[0.0, -1.0, 0.0]],
+    },
+    # ref: element_linear_tetrahedral.py:61-64
+    inp_surface_num=(((0, 1, 2),), ((0, 1, 3),), ((1, 2, 3),), ((0, 2, 3),)),
+    extrapolation_matrix=np.ones((4, 1)),
+    viz_triangles=((1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)),
+)
+
+
+# --------------------------------------------------------------------------- #
+# Quadratic tetrahedron (C3D10)
+# ref: element_zoo/element_quadratic_tetrahedral.py
+# --------------------------------------------------------------------------- #
+def _tet10_lambdas(nc):
+    return np.array([nc[2], nc[0], 1.0 - nc[0] - nc[1] - nc[2], nc[1]])
+
+
+def _tet10_shape(nc):
+    l = _tet10_lambdas(nc)
+    return np.array(
+        [
+            l[0] * (2.0 * l[0] - 1.0),
+            l[1] * (2.0 * l[1] - 1.0),
+            l[2] * (2.0 * l[2] - 1.0),
+            l[3] * (2.0 * l[3] - 1.0),
+            4.0 * l[0] * l[1],
+            4.0 * l[1] * l[2],
+            4.0 * l[2] * l[0],
+            4.0 * l[0] * l[3],
+            4.0 * l[3] * l[1],
+            4.0 * l[2] * l[3],
+        ]
+    )
+
+
+def _tet10_dshape(nc):
+    l = _tet10_lambdas(nc)
+    return np.array(
+        [
+            [0.0, 0.0, 4.0 * l[0] - 1.0],
+            [4.0 * l[1] - 1.0, 0.0, 0.0],
+            [1.0 - 4.0 * l[2], 1.0 - 4.0 * l[2], 1.0 - 4.0 * l[2]],
+            [0.0, 4.0 * l[3] - 1.0, 0.0],
+            [4.0 * l[0], 0.0, 4.0 * l[1]],
+            [4.0 * (l[2] - l[1]), -4.0 * l[1], -4.0 * l[1]],
+            [-4.0 * l[0], -4.0 * l[0], 4.0 * (l[2] - l[0])],
+            [0.0, 4.0 * l[0], 4.0 * l[3]],
+            [4.0 * l[3], 4.0 * l[1], 0.0],
+            [-4.0 * l[3], 4.0 * (l[2] - l[3]), -4.0 * l[3]],
+        ]
+    )
+
+
+_TET10_A = 0.585410196624968
+_TET10_B = 0.138196601125010
+_TET10_C = (1.0 - _TET10_A) / (_TET10_A - _TET10_B)
+_TET10_D = _TET10_B / (_TET10_A - _TET10_B)
+_TET10_X = (0.5 - _TET10_B) / (_TET10_A - _TET10_B)
+
+# natural coords of the 10 nodes in the GP sub-tet's coordinates
+# (ref: element_quadratic_tetrahedral.py:325-342)
+_TET10_EXTRAP = np.array(
+    [
+        [-_TET10_D, -_TET10_D, 1.0 + _TET10_C, 2.0 * _TET10_D - _TET10_C],
+        [1.0 + _TET10_C, -_TET10_D, -_TET10_D, 2.0 * _TET10_D - _TET10_C],
+        [-_TET10_D, -_TET10_D, -_TET10_D, 1.0 + 3.0 * _TET10_D],
+        [-_TET10_D, 1.0 + _TET10_C, -_TET10_D, 2.0 * _TET10_D - _TET10_C],
+        [_TET10_X, -_TET10_D, _TET10_X, 1.0 - 2.0 * _TET10_X + _TET10_D],
+        [_TET10_X, -_TET10_D, -_TET10_D, 1.0 + 2.0 * _TET10_D - _TET10_X],
+        [-_TET10_D, -_TET10_D, _TET10_X, 1.0 + 2.0 * _TET10_D - _TET10_X],
+        [-_TET10_D, _TET10_X, _TET10_X, 1.0 - 2.0 * _TET10_X + _TET10_D],
+        [_TET10_X, _TET10_X, -_TET10_D, 1.0 - 2.0 * _TET10_X + _TET10_D],
+        [-_TET10_D, _TET10_X, -_TET10_D, 1.0 + 2.0 * _TET10_D - _TET10_X],
+    ]
+)
+
+_TET10_FACE_W = [1.0 / 12.0] * 3 + [1.0 / 4.0] * 3
+
+TET10 = ElementType(
+    name="tet10",
+    dm=3,
+    n_nodes=10,
+    gauss_points=np.array(
+        [
+            [_TET10_A, _TET10_B, _TET10_B],
+            [_TET10_B, _TET10_A, _TET10_B],
+            [_TET10_B, _TET10_B, _TET10_A],
+            [_TET10_B, _TET10_B, _TET10_B],
+        ]
+    ),
+    gauss_weights=np.array([1.0 / 24.0] * 4),
+    shape_fn=_tet10_shape,
+    dshape_fn=_tet10_dshape,
+    # ref: element_quadratic_tetrahedral.py:48-78
+    facet_natural_coos={
+        (1, 2, 3, 5, 8, 9): [
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 0.0],
+            [0.5, 0.5, 0.0],
+            [0.0, 0.5, 0.0],
+            [0.5, 0.0, 0.0],
+        ],
+        (0, 2, 3, 6, 7, 9): [
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [0.0, 0.0, 0.0],
+            [0.0, 0.5, 0.0],
+            [0.0, 0.5, 0.5],
+            [0.0, 0.0, 0.5],
+        ],
+        (0, 1, 3, 4, 7, 8): [
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [0.5, 0.0, 0.5],
+            [0.0, 0.5, 0.5],
+            [0.5, 0.5, 0.0],
+        ],
+        (0, 1, 2, 4, 5, 6): [
+            [1.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [0.0, 0.0, 0.0],
+            [0.5, 0.0, 0.5],
+            [0.5, 0.0, 0.0],
+            [0.0, 0.0, 0.5],
+        ],
+    },
+    facet_point_weights={
+        (1, 2, 3, 5, 8, 9): _TET10_FACE_W,
+        (0, 2, 3, 6, 7, 9): _TET10_FACE_W,
+        (0, 1, 3, 4, 7, 8): _TET10_FACE_W,
+        (0, 1, 2, 4, 5, 6): _TET10_FACE_W,
+    },
+    facet_natural_normals={
+        (1, 2, 3, 5, 8, 9): [[0.0, 0.0, -1.0]] * 6,
+        (0, 2, 3, 6, 7, 9): [[-1.0, 0.0, 0.0]] * 6,
+        (0, 1, 3, 4, 7, 8): [[1.0, 1.0, 1.0]] * 6,
+        (0, 1, 2, 4, 5, 6): [[0.0, -1.0, 0.0]] * 6,
+    },
+    # ref: element_quadratic_tetrahedral.py:80-83
+    inp_surface_num=(
+        ((0, 1, 2, 4, 5, 6),),
+        ((0, 1, 3, 4, 7, 8),),
+        ((1, 2, 3, 5, 8, 9),),
+        ((0, 2, 3, 6, 7, 9),),
+    ),
+    extrapolation_matrix=_TET10_EXTRAP,
+    # ref: element_quadratic_tetrahedral.py:258-274
+    viz_triangles=(
+        (1, 5, 8),
+        (3, 8, 9),
+        (2, 5, 9),
+        (5, 9, 8),
+        (0, 6, 7),
+        (3, 7, 9),
+        (2, 9, 6),
+        (6, 7, 9),
+        (0, 4, 7),
+        (1, 8, 4),
+        (3, 7, 8),
+        (4, 7, 8),
+        (0, 4, 6),
+        (1, 5, 4),
+        (2, 6, 5),
+        (4, 5, 6),
+    ),
+)
+
+
+#: Abaqus/CalculiX element-type keyword -> element definition
+#: (ref: reader/inp_info.py:118-123)
+ELEMENT_REGISTRY = {
+    "CPS3": TRI3,
+    "CPE3": TRI3,
+    "CPS4": QUAD4,
+    "CPE4": QUAD4,
+    "CPS6": TRI6,
+    "CPE6": TRI6,
+    "CPS8": QUAD8,
+    "CPE8": QUAD8,
+    "C3D4": TET4,
+    "C3D10": TET10,
+}
+
+
+def get_element(abaqus_name: str) -> ElementType:
+    try:
+        return ELEMENT_REGISTRY[abaqus_name]
+    except KeyError:
+        raise KeyError(
+            f"element type {abaqus_name!r} is not supported "
+            f"(supported: {sorted(ELEMENT_REGISTRY)})"
+        ) from None

@@ -1,0 +1,452 @@
+"""The equation system: assembly + BCs + linear/Newton solves + time stepping.
+
+TPU-native counterpart of the reference ``System_of_equations``
+(stiffnessMtrx.py:19-844).  Every device step (assembly, BC application,
+residual evaluation, CG) is a jitted pure function with static shapes, so each
+compiles exactly once per mesh; the data-dependent outer control flow --
+adaptive load stepping, Newton iteration, the boost/relax line-search
+heuristics -- runs in host Python exactly like the reference's state machine
+(stiffnessMtrx.py:647-822), which is load-bearing for which benchmarks
+converge (SURVEY.md §5, "failure detection").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time as _time
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from femcy_tpu import assembly, bc as bc_mod
+from femcy_tpu.config import SolverConfig
+from femcy_tpu.io.inp import InpModel
+from femcy_tpu.materials import Material
+from femcy_tpu.mesh import FEMesh
+from femcy_tpu.solvers.cg import pcg_solve
+from femcy_tpu.solvers.direct import direct_solve
+from femcy_tpu.topology import ELLPattern, build_pattern
+
+logger = logging.getLogger("femcy_tpu")
+
+
+@dataclasses.dataclass
+class IncrementRecord:
+    kinc: int
+    time: float
+    dt: float
+    newton_iters: int
+    residual: float
+    converged: bool
+
+
+@dataclasses.dataclass
+class SolveReport:
+    success: bool
+    increments: List[IncrementRecord]
+    wall_time: float
+    message: str = ""
+
+    @property
+    def n_increments(self) -> int:
+        return len(self.increments)
+
+
+def _rms(x):
+    """Reference residual norm: sqrt(sum(x^2)/N) (ref: tiGadgets.py:28-37)."""
+    return jnp.sqrt(jnp.sum(x * x) / x.shape[0])
+
+
+class FEMSystem:
+    """Assemble and solve one body with one material.
+
+    Parameters mirror the reference constructor (stiffnessMtrx.py:26):
+    a mesh (``Body``), a material, and the geometric-nonlinearity flag.
+    """
+
+    def __init__(
+        self,
+        mesh: FEMesh,
+        material: Material,
+        geometric_nonlinear: bool = False,
+        config: SolverConfig = SolverConfig(),
+    ):
+        self.mesh = mesh
+        self.material = material
+        self.geometric_nonlinear = bool(geometric_nonlinear)
+        self.config = config
+        self.pattern: ELLPattern = build_pattern(mesh)
+
+        elem = mesh.element
+        # --- static device arrays -----------------------------------------
+        self._nodes = jnp.asarray(mesh.nodes)
+        self._elements = jnp.asarray(mesh.elements)
+        self._dN = jnp.asarray(elem.dshape_at_gp)
+        self._w = jnp.asarray(elem.gauss_weights)
+        self._C = jnp.asarray(material.C)
+        p = self.pattern
+        self._colidx = jnp.asarray(p.colidx)
+        self._diag_slot = jnp.asarray(p.diag_slot)
+        self._scatter_perm = jnp.asarray(p.scatter_perm)
+        self._scatter_segments = jnp.asarray(p.scatter_segments)
+        self._force_perm = jnp.asarray(p.force_perm)
+        self._force_segments = jnp.asarray(p.force_segments)
+
+        # initial-configuration gradients are constant: precompute once
+        dsdX0, vol0 = assembly.gradients_and_volume(
+            self._nodes, self._elements, self._dN, self._w
+        )
+        self._dsdX0 = dsdX0
+        self._vol0 = vol0
+
+        # --- state ----------------------------------------------------------
+        self.dof = jnp.zeros(mesh.n_dof)
+        self._last_vol = vol0  # volume of the most recent assembly
+        self.time0 = 0.0
+        self.time1 = 0.0
+        self.dt = 0.0
+        self._ini_residual: Optional[float] = None
+
+        # --- jitted steps ---------------------------------------------------
+        self._jit_stiffness = jax.jit(self._stiffness_impl)
+        self._jit_linear_system = jax.jit(self._linear_system_impl)
+        self._jit_newton_eval = jax.jit(self._newton_eval_impl)
+        self._jit_cg = jax.jit(
+            partial(
+                pcg_solve,
+                eps=config.cg_eps,
+                max_iters=config.cg_max_iters,
+            )
+        )
+        self._jit_F = jax.jit(self._deformation_gradient_impl)
+
+    # ------------------------------------------------------------------ #
+    # jitted implementations (pure functions of device state)
+    # ------------------------------------------------------------------ #
+    def _stiffness_impl(self, dof):
+        """K(dof) on the current configuration (updated Lagrangian,
+        ref: stiffnessMtrx.py:132-216)."""
+        coords = self._nodes + dof.reshape(-1, self.mesh.dm)
+        dsdx, vol = assembly.gradients_and_volume(
+            coords, self._elements, self._dN, self._w
+        )
+        Ke = assembly.element_stiffness(dsdx, vol, self._C)
+        values = assembly.scatter_stiffness(
+            Ke,
+            self._scatter_perm,
+            self._scatter_segments,
+            self.pattern.n_dof,
+            self.pattern.width,
+        )
+        return values, dsdx, vol
+
+    def _linear_system_impl(self, dof, rhs, fixed, sval):
+        """Assemble + Dirichlet-eliminate for the linear path."""
+        values, _, vol = self._stiffness_impl(dof)
+        values, rhs = bc_mod.apply_dirichlet_linear(
+            values, self._colidx, self._diag_slot, rhs, fixed, sval
+        )
+        return values, rhs, vol
+
+    def _deformation_gradient_impl(self, dof):
+        return assembly.deformation_gradient(dof, self._elements, self._dsdX0)
+
+    def _newton_eval_impl(self, dof, rhs, fixed, sval):
+        """One full residual/Jacobian evaluation of the Newton method.
+
+        Pins the prescribed dofs, computes internal force and stiffness on
+        the current configuration, applies the Newton Dirichlet treatment and
+        returns (pinned dof, K_bc, residual_bc, rms residual)
+        (ref: stiffnessMtrx.py:609-644 + 756-758 + 310-341).
+        """
+        dof = bc_mod.pin_dof(dof, fixed, sval)
+        F = assembly.deformation_gradient(dof, self._elements, self._dsdX0)
+        sigma = assembly.gp_stress(F, self.material, large=True)
+        coords = self._nodes + dof.reshape(-1, self.mesh.dm)
+        dsdx, vol = assembly.gradients_and_volume(
+            coords, self._elements, self._dN, self._w
+        )
+        f_int = assembly.internal_force(
+            dsdx,
+            sigma,
+            vol,
+            self._force_perm,
+            self._force_segments,
+            self.pattern.n_dof,
+        )
+        Ke = assembly.element_stiffness(dsdx, vol, self._C)
+        values = assembly.scatter_stiffness(
+            Ke,
+            self._scatter_perm,
+            self._scatter_segments,
+            self.pattern.n_dof,
+            self.pattern.width,
+        )
+        residual = f_int - rhs
+        values, residual = bc_mod.apply_dirichlet_newton(
+            values, self._colidx, self._diag_slot, residual, fixed
+        )
+        return dof, values, residual, _rms(residual), vol
+
+    # ------------------------------------------------------------------ #
+    # linear solve dispatch (ref: stiffnessMtrx.py:272-276)
+    # ------------------------------------------------------------------ #
+    def _solve_linear_system(self, values, b):
+        cfg = self.config
+        use_direct = cfg.linear_solver == "direct" or (
+            cfg.linear_solver == "auto" and self.pattern.n_dof < cfg.direct_solve_max_dof
+        )
+        if use_direct:
+            return jnp.asarray(direct_solve(self.pattern, values, b))
+        x, iters, rmax = self._jit_cg(values, self._colidx, self._diag_slot, b)
+        if cfg.verbose:
+            logger.info("CG: %d iters, ||r||_inf=%.3e", int(iters), float(rmax))
+        return x
+
+    # ------------------------------------------------------------------ #
+    # public API
+    # ------------------------------------------------------------------ #
+    def solve(
+        self,
+        inp: InpModel,
+        user_dirichlet: Optional[Callable] = None,
+        on_increment: Optional[Callable] = None,
+    ) -> SolveReport:
+        """Run the full adaptive-load-stepping analysis
+        (ref: stiffnessMtrx.py:647-711)."""
+        t_start = _time.time()
+        cfg = self.config
+        incs = inp.time_incs
+        max_time = incs["max_time"]
+        min_inc = incs["min_inc"]
+        max_inc = incs["max_inc"]
+        self.dt = incs["ini_inc"]
+        self.time0 = self.time1 = 0.0
+
+        patterns, tractions = bc_mod.build_neumann_patterns(self.mesh, inp.neumann_bcs)
+        patterns_d = jnp.asarray(patterns)
+        tractions_d = jnp.asarray(tractions)
+
+        records: List[IncrementRecord] = []
+        dof_old = self.dof
+        kinc = -1
+        success = True
+        message = "converged"
+
+        while self.time1 < max_time:
+            kinc += 1
+            self.time1 = min(self.time0 + self.dt, max_time)
+            load_ratio = self.time1 / max_time
+            if cfg.verbose:
+                logger.info(
+                    "kinc=%d time0=%.6g dt=%.6g", kinc, self.time0, self.dt
+                )
+
+            fixed, sval = bc_mod.build_dirichlet_arrays(
+                inp.dirichlet_bcs, self.mesh, self.time1, load_ratio, user_dirichlet
+            )
+            fixed_d = jnp.asarray(fixed)
+            sval_d = jnp.asarray(sval)
+            if patterns.shape[0]:
+                rhs = jnp.einsum("b,bn->n", tractions_d * load_ratio, patterns_d)
+            else:
+                rhs = jnp.zeros(self.pattern.n_dof)
+
+            converged, newton_loops, res = self._advance_inc(rhs, fixed_d, sval_d)
+
+            if not converged:
+                # cut back (ref: stiffnessMtrx.py:692-701)
+                self.time1 = self.time0
+                self.dt /= 4.0
+                self.dof = dof_old
+                kinc -= 1
+                records.append(
+                    IncrementRecord(kinc + 1, self.time0, self.dt, newton_loops, res, False)
+                )
+                if self.dt < min_inc:
+                    success = False
+                    message = (
+                        "allowable minimum dt reached; Newton's method did not "
+                        "converge"
+                    )
+                    logger.warning(message)
+                    break
+                continue
+
+            # grow dt after fast convergence (ref: stiffnessMtrx.py:702-704)
+            if newton_loops <= cfg.newton_fast_iters:
+                self.dt = min(self.dt * cfg.dt_growth, max_inc)
+            dof_old = self.dof
+            self.time0 = self.time1
+            records.append(
+                IncrementRecord(kinc, self.time1, self.dt, newton_loops, res, True)
+            )
+            if cfg.checkpoint_path:
+                self._write_checkpoint(cfg.checkpoint_path, kinc)
+            if on_increment is not None:
+                on_increment(self, records[-1])
+
+        return SolveReport(
+            success=success,
+            increments=records,
+            wall_time=_time.time() - t_start,
+            message=message,
+        )
+
+    # ------------------------------------------------------------------ #
+    def _advance_inc(self, rhs, fixed, sval):
+        """One load increment (ref: stiffnessMtrx.py:714-822).
+
+        Returns (converged, newton_loops, final residual).
+        """
+        cfg = self.config
+        if not self.geometric_nonlinear:
+            values, rhs_bc, vol = self._jit_linear_system(self.dof, rhs, fixed, sval)
+            self.dof = self._solve_linear_system(values, rhs_bc)
+            self._last_vol = vol
+            return True, 0, 0.0
+
+        # --- Newton-Raphson with boost/relax line search --------------------
+        def evaluate(dof):
+            dof, values, residual, res, vol = self._jit_newton_eval(
+                dof, rhs, fixed, sval
+            )
+            self._last_vol = vol
+            return dof, values, residual, float(res)
+
+        dof, values, residual, pre_residual = evaluate(self.dof)
+        if self._ini_residual is None:
+            # cached for the whole analysis (parity with the reference's
+            # process-lifetime cache, stiffnessMtrx.py:760-762)
+            self._ini_residual = pre_residual
+        ini = self._ini_residual
+        if cfg.verbose:
+            logger.info("initial residual = %.6e (ini=%.6e)", pre_residual, ini)
+
+        newton_loop = 0
+        residual_val = pre_residual
+        if ini >= cfg.newton_abs_tol:
+            newton_loop = -1
+            while pre_residual / (ini + 1.0e-30) >= cfg.newton_rel_tol:
+                newton_loop += 1
+                if newton_loop >= cfg.newton_max_iters:
+                    self.dof = dof
+                    return False, newton_loop, pre_residual
+
+                du = self._solve_linear_system(values, residual)
+                dof = dof - du
+                dof, values, residual, residual_val = evaluate(dof)
+                if np.isnan(residual_val):
+                    logger.warning("NaN residual; cutting back time step")
+                    self.dof = dof
+                    return False, newton_loop, residual_val
+                if cfg.verbose:
+                    logger.info(
+                        "newton %d residual=%.6e", newton_loop, residual_val
+                    )
+
+                # boost: keep stepping while the residual declines
+                # (ref: stiffnessMtrx.py:792-807)
+                boost_loop = -1
+                relaxation = 1.0
+                while 0.1 * pre_residual < residual_val < pre_residual:
+                    new_residual = residual_val
+                    boost_loop += 1
+                    if boost_loop >= cfg.newton_boost_max:
+                        break
+                    dof = dof - relaxation * du
+                    dof, values, residual, residual_val = evaluate(dof)
+                    if residual_val > new_residual:
+                        dof = dof + relaxation * du
+                        dof, values, residual, residual_val = evaluate(dof)
+                        relaxation *= 0.5
+
+                # relaxation: back off when the residual grows
+                # (ref: stiffnessMtrx.py:809-819)
+                relax_loop = -1
+                relaxation = 0.5
+                while residual_val > pre_residual:
+                    relax_loop += 1
+                    if relax_loop >= cfg.newton_relax_max:
+                        break
+                    dof = dof + (1.0 - relaxation) * du
+                    du = relaxation * du
+                    dof, values, residual, residual_val = evaluate(dof)
+
+                pre_residual = residual_val
+            newton_loop = max(newton_loop, 0)
+
+        self.dof = dof
+        return True, newton_loop, residual_val
+
+    # ------------------------------------------------------------------ #
+    # post-processing (ref: stiffnessMtrx.py:436-606)
+    # ------------------------------------------------------------------ #
+    def deformation_gradient(self):
+        return self._jit_F(self.dof)
+
+    def compute_strain_stress(self):
+        """(strain, cauchy stress, mises) at every (element, GP)."""
+        F = self._jit_F(self.dof)
+        dm = self.mesh.dm
+        eye = jnp.eye(dm)
+        if self.geometric_nonlinear:
+            strain = (jnp.swapaxes(F, -1, -2) @ F - eye) / 2.0
+            stress = assembly.gp_stress(F, self.material, large=True)
+        else:
+            strain = (F + jnp.swapaxes(F, -1, -2)) / 2.0 - eye
+            stress = assembly.gp_stress(F, self.material, large=False)
+        mises = mises_stress(stress, self.material)
+        return strain, stress, mises
+
+    def elastic_energy(self):
+        """Total elastic energy = sum psi(F) * vol
+        (ref: stiffnessMtrx.py:592-606, integrated over the most recently
+        assembled configuration's volumes)."""
+        F = self._jit_F(self.dof)
+        dens = assembly.gp_energy_density(F, self.material)
+        return float(jnp.sum(dens * self._last_vol))
+
+    def extrapolate(self, gp_vals):
+        """GP -> nodal patch extrapolation, (E, G) -> (E, n_nodes)
+        (ref: per-element extrapolate kernels)."""
+        M = jnp.asarray(self.mesh.element.extrapolation_matrix)
+        return gp_vals @ M.T
+
+    # ------------------------------------------------------------------ #
+    def _write_checkpoint(self, path: str, kinc: int):
+        np.savez(
+            path,
+            dof=np.asarray(self.dof),
+            time0=self.time0,
+            dt=self.dt,
+            kinc=kinc,
+        )
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        self.dof = jnp.asarray(data["dof"])
+        self.time0 = self.time1 = float(data["time0"])
+        self.dt = float(data["dt"])
+
+
+def mises_stress(stress, material: Material):
+    """Von Mises stress per (element, GP), with the material-type-specific
+    out-of-plane treatment (ref: stiffnessMtrx.py:457-501)."""
+    if material.type == "planeStress":
+        s33 = jnp.zeros_like(stress[..., 0, 0])
+    elif material.type == "planeStrain":
+        s33 = material.poisson_ratio * (stress[..., 0, 0] + stress[..., 1, 1])
+    else:
+        s = stress
+        dev = s - jnp.trace(s, axis1=-2, axis2=-1)[..., None, None] / 3.0 * jnp.eye(3)
+        return jnp.sqrt(1.5 * jnp.sum(dev * dev, axis=(-2, -1)))
+    s3 = jnp.zeros(stress.shape[:-2] + (3, 3))
+    s3 = s3.at[..., :2, :2].set(stress)
+    s3 = s3.at[..., 2, 2].set(s33)
+    dev = s3 - jnp.trace(s3, axis1=-2, axis2=-1)[..., None, None] / 3.0 * jnp.eye(3)
+    return jnp.sqrt(1.5 * jnp.sum(dev * dev, axis=(-2, -1)))

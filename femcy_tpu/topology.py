@@ -1,0 +1,148 @@
+"""Fixed-topology sparse pattern (padded ELL) + scatter maps, built once on host.
+
+TPU-first design.  The reference stores the stiffness matrix in a padded
+row-major format keyed by ``sparseIJ`` and, on every scatter, *linearly
+searches* the row's column list for the target slot with atomics
+(stiffnessMtrx.py:79-94, 161-216, 414-420).  TPUs have no atomics, so we
+restructure: the (element, a, b) -> flat ELL slot map is precomputed here in
+vectorised numpy, together with a sorting permutation, so device-side assembly
+is ONE ``jax.ops.segment_sum`` over presorted indices -- deterministic,
+search-free, and race-free by construction (this also subsumes the
+``check_sparseIJ`` duplicate validation the reference never calls,
+stiffnessMtrx.py:423-433).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+
+import numpy as np
+
+from femcy_tpu.mesh import FEMesh
+
+
+@dataclasses.dataclass(frozen=True)
+class ELLPattern:
+    """Static sparsity of the global stiffness matrix.
+
+    values array shape: ``(n_dof, width)`` with ``colidx`` giving the global
+    column of each slot; padding slots point at column 0 and always hold 0.
+    """
+
+    n_dof: int
+    width: int
+    #: (n_dof, width) int32 column index per slot (padded with 0)
+    colidx: np.ndarray
+    #: (n_dof,) number of valid slots per row
+    row_counts: np.ndarray
+    #: (n_dof, width) bool validity mask
+    valid: np.ndarray
+    #: (n_dof,) flat index (into n_dof*width) of each row's diagonal slot
+    diag_slot: np.ndarray
+    #: (E*edof*edof,) permutation sorting element-stiffness contributions by
+    #: their flat ELL slot
+    scatter_perm: np.ndarray
+    #: (E*edof*edof,) the sorted flat slots (segment ids for segment_sum)
+    scatter_segments: np.ndarray
+    #: (E*edof,) permutation sorting per-element-dof force contributions
+    force_perm: np.ndarray
+    #: (E*edof,) sorted global dof ids of the force contributions
+    force_segments: np.ndarray
+    #: (E, edof) global dof of each element dof (rows of the element matrix)
+    element_dofs: np.ndarray
+    # CSR mirror for the host direct solver (ref: scipy path,
+    # stiffnessMtrx.py:98-107, 219-251)
+    csr_indptr: np.ndarray
+    csr_indices: np.ndarray
+    #: flat ELL slots, in CSR order, to gather CSR data from the values array
+    csr_slots: np.ndarray
+
+    @property
+    def nnz(self) -> int:
+        return int(self.csr_indices.shape[0])
+
+    def to_scipy(self, values: np.ndarray):
+        """ELL values (n_dof, width) -> scipy CSR."""
+        import scipy.sparse as sp
+
+        data = np.asarray(values).reshape(-1)[self.csr_slots]
+        return sp.csr_matrix(
+            (data, self.csr_indices, self.csr_indptr), shape=(self.n_dof, self.n_dof)
+        )
+
+    def to_dense(self, values: np.ndarray) -> np.ndarray:
+        dense = np.zeros((self.n_dof, self.n_dof))
+        rows = np.repeat(np.arange(self.n_dof), np.diff(self.csr_indptr))
+        dense[rows, self.csr_indices] = np.asarray(values).reshape(-1)[self.csr_slots]
+        return dense
+
+
+def build_pattern(mesh: FEMesh) -> ELLPattern:
+    """Build the ELL pattern + scatter maps for a mesh (vectorised numpy)."""
+    dm = mesh.dm
+    elements = mesh.elements.astype(np.int64)  # (E, n)
+    n_ele, n_nodes_per = elements.shape
+    edof = n_nodes_per * dm
+    n_dof = mesh.n_dof
+
+    # global dof of each element dof: (E, edof)
+    element_dofs = (elements[:, :, None] * dm + np.arange(dm)).reshape(n_ele, edof)
+
+    # every (row, col) pair an element stiffness touches: (E, edof, edof)
+    rows = np.broadcast_to(element_dofs[:, :, None], (n_ele, edof, edof))
+    cols = np.broadcast_to(element_dofs[:, None, :], (n_ele, edof, edof))
+    keys = (rows * np.int64(n_dof) + cols).reshape(-1)
+
+    uniq, inv = np.unique(keys, return_inverse=True)
+    row_of = (uniq // n_dof).astype(np.int64)
+    col_of = (uniq % n_dof).astype(np.int64)
+
+    row_counts = np.bincount(row_of, minlength=n_dof)
+    width = int(row_counts.max())
+    row_start = np.zeros(n_dof + 1, dtype=np.int64)
+    np.cumsum(row_counts, out=row_start[1:])
+    # position of each unique entry within its row (uniq is (row, col) sorted)
+    pos_in_row = np.arange(uniq.shape[0], dtype=np.int64) - row_start[row_of]
+
+    colidx = np.zeros((n_dof, width), dtype=np.int32)
+    valid = np.zeros((n_dof, width), dtype=bool)
+    colidx[row_of, pos_in_row] = col_of
+    valid[row_of, pos_in_row] = True
+
+    slot_of_uniq = row_of * width + pos_in_row  # flat slot of each unique entry
+
+    # diagonal slots
+    diag_keys = np.arange(n_dof, dtype=np.int64) * n_dof + np.arange(n_dof)
+    diag_idx = np.searchsorted(uniq, diag_keys)
+    if not np.array_equal(uniq[diag_idx], diag_keys):
+        raise RuntimeError("mesh has dofs without a diagonal entry")
+    diag_slot = slot_of_uniq[diag_idx].astype(np.int64)
+
+    # stiffness scatter map, presorted so segment_sum sees sorted segments
+    targets = slot_of_uniq[inv]
+    scatter_perm = np.argsort(targets, kind="stable")
+    scatter_segments = targets[scatter_perm]
+
+    # internal-force scatter map (per element dof -> global dof)
+    fl = element_dofs.reshape(-1)
+    force_perm = np.argsort(fl, kind="stable")
+    force_segments = fl[force_perm]
+
+    idx_dtype = np.int32 if targets.size and targets.max() < 2**31 else np.int64
+    return ELLPattern(
+        n_dof=n_dof,
+        width=width,
+        colidx=colidx,
+        row_counts=row_counts.astype(np.int32),
+        valid=valid,
+        diag_slot=diag_slot,
+        scatter_perm=scatter_perm.astype(idx_dtype),
+        scatter_segments=scatter_segments.astype(idx_dtype),
+        force_perm=force_perm.astype(np.int32 if fl.size < 2**31 else np.int64),
+        force_segments=force_segments.astype(np.int32),
+        element_dofs=element_dofs.astype(np.int32),
+        csr_indptr=row_start,
+        csr_indices=col_of.astype(np.int32),
+        csr_slots=slot_of_uniq,
+    )

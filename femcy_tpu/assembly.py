@@ -90,6 +90,23 @@ def element_stiffness(dsdx, vol, C):
     return jnp.einsum("egai,egaj,eg->eij", B, CB, vol)
 
 
+def geometric_stiffness(dsdx, sigma, vol):
+    """Initial-stress (geometric) stiffness: Kg[(a,i),(b,j)] = d_ij
+    int grad(N_a) . sigma . grad(N_b) dv  -> (E, edof, edof).
+
+    The reference approximates the Newton Jacobian by the secant material
+    stiffness only (README.md:93; the true tangent is left commented out at
+    neo_hookean.py:62-64), which stalls its Newton loop on the higher-load
+    Cook cases.  Adding this term gives a consistent updated-Lagrangian
+    tangent (enable with SolverConfig.geometric_stiffness).
+    """
+    E, G, n, dm = dsdx.shape
+    kg = jnp.einsum("egaj,egjk,egbk,eg->eab", dsdx, sigma, dsdx, vol)
+    return jnp.einsum("eab,ij->eaibj", kg, jnp.eye(dm, dtype=dsdx.dtype)).reshape(
+        E, n * dm, n * dm
+    )
+
+
 def scatter_stiffness(Ke, scatter_perm, scatter_segments, n_dof, width):
     """Element stiffnesses -> padded ELL values via one sorted segment-sum."""
     contrib = Ke.reshape(-1)[scatter_perm]
@@ -126,6 +143,44 @@ def internal_force(dsdx, sigma, vol, force_perm, force_segments, n_dof):
     return jax.ops.segment_sum(
         contrib, force_segments, num_segments=n_dof, indices_are_sorted=True
     )
+
+
+def _element_internal_force(u_e, x0_e, dN, w, material):
+    """Internal force of ONE element, (n, dm) displacement -> (edof,) force.
+
+    Same math as the global path (F from the initial configuration, Cauchy
+    stress, gradients/volumes on the current configuration) but expressed per
+    element so it can be differentiated.
+    """
+    dm = x0_e.shape[1]
+    dxdn0 = jnp.einsum("nD,gnd->gDd", x0_e, dN)
+    dsdX = jnp.einsum("gnd,gdD->gnD", dN, inv_small(dxdn0))
+    F = jnp.eye(dm, dtype=u_e.dtype) + jnp.einsum("nU,gnX->gUX", u_e, dsdX)
+    sigma = jax.vmap(material.cauchy_large)(F)
+    x_e = x0_e + u_e
+    dxdn = jnp.einsum("nD,gnd->gDd", x_e, dN)
+    dsdx = jnp.einsum("gnd,gdD->gnD", dN, inv_small(dxdn))
+    vol = det_small(dxdn) * w
+    return jnp.einsum("gaj,gji,g->ai", dsdx, sigma, vol).reshape(-1)
+
+
+def consistent_tangent(dof, elements, coords0, dN, w, material):
+    """Exact per-element Newton tangent Ke = d f_int_e / d u_e by forward-mode
+    autodiff, vmapped over elements -> (E, edof, edof).
+
+    This is the TPU/JAX-native upgrade over the reference's secant Jacobian
+    (README.md:93): material + geometric + configuration terms, exact, with
+    no hand-derived tensor algebra.  Cost: edof JVPs of the element force.
+    """
+    dm = coords0.shape[1]
+    u_e = dof.reshape(-1, dm)[elements]  # (E, n, dm)
+    x0_e = coords0[elements]
+    edof = u_e.shape[1] * dm
+
+    def fe(u_flat, x0):
+        return _element_internal_force(u_flat.reshape(-1, dm), x0, dN, w, material)
+
+    return jax.vmap(jax.jacfwd(fe))(u_e.reshape(-1, edof), x0_e)
 
 
 def gp_stress(F, material, large: bool):

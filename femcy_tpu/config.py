@@ -51,6 +51,23 @@ class SolverConfig:
     newton_fast_iters: int = 8
     #: shrink dt by this factor on non-convergence (ref: stiffnessMtrx.py:694).
     dt_cutback: float = 0.25
+    #: include the initial-stress (geometric) stiffness in the Newton
+    #: Jacobian.  The reference uses the secant material stiffness only
+    #: (README.md:93), which stalls on the high-load Cook cases; the
+    #: consistent tangent converges everywhere the secant does, faster.
+    #: Set False for strict reference parity.
+    geometric_stiffness: bool = True
+    #: Newton Jacobian: "secant" = reference-style constant material tangent
+    #: (+ geometric stiffness when enabled above); "consistent" = exact
+    #: per-element tangent of the internal force by forward-mode autodiff
+    #: (converges on the high-load Cook cases the secant cannot).
+    tangent: str = "secant"
+    #: what the relative Newton tolerance is measured against:
+    #: "increment" (default) = the first residual of each increment;
+    #: "global" = the first residual of the whole analysis, cached forever --
+    #: the reference's quirky behaviour (stiffnessMtrx.py:760-762), which lets
+    #: small increments "converge" with zero Newton work and accumulate error.
+    newton_residual_ref: str = "increment"
 
     # --- observability ----------------------------------------------------
     verbose: bool = False

@@ -144,13 +144,27 @@ class FEMSystem:
         )
         return values, dsdx, vol
 
-    def _linear_system_impl(self, dof, rhs, fixed, sval):
-        """Assemble + Dirichlet-eliminate for the linear path."""
-        values, _, vol = self._stiffness_impl(dof)
+    def _linear_system_impl(self, rhs, fixed, sval):
+        """Assemble + Dirichlet-eliminate for the linear path.
+
+        Always on the *initial* configuration: in the reference the linear
+        branch rebinds ``self.dof = self.du`` (stiffnessMtrx.py:246) after the
+        assembly kernel has already captured the original, forever-zero dof
+        field via ``ti.static`` (stiffnessMtrx.py:135-136), so its linear
+        assembly never sees the deformed geometry either.
+        """
+        Ke = assembly.element_stiffness(self._dsdX0, self._vol0, self._C)
+        values = assembly.scatter_stiffness(
+            Ke,
+            self._scatter_perm,
+            self._scatter_segments,
+            self.pattern.n_dof,
+            self.pattern.width,
+        )
         values, rhs = bc_mod.apply_dirichlet_linear(
             values, self._colidx, self._diag_slot, rhs, fixed, sval
         )
-        return values, rhs, vol
+        return values, rhs, self._vol0
 
     def _deformation_gradient_impl(self, dof):
         return assembly.deformation_gradient(dof, self._elements, self._dsdX0)
@@ -178,7 +192,14 @@ class FEMSystem:
             self._force_segments,
             self.pattern.n_dof,
         )
-        Ke = assembly.element_stiffness(dsdx, vol, self._C)
+        if self.config.tangent == "consistent":
+            Ke = assembly.consistent_tangent(
+                dof, self._elements, self._nodes, self._dN, self._w, self.material
+            )
+        else:
+            Ke = assembly.element_stiffness(dsdx, vol, self._C)
+            if self.config.geometric_stiffness:
+                Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
         values = assembly.scatter_stiffness(
             Ke,
             self._scatter_perm,
@@ -305,7 +326,7 @@ class FEMSystem:
         """
         cfg = self.config
         if not self.geometric_nonlinear:
-            values, rhs_bc, vol = self._jit_linear_system(self.dof, rhs, fixed, sval)
+            values, rhs_bc, vol = self._jit_linear_system(rhs, fixed, sval)
             self.dof = self._solve_linear_system(values, rhs_bc)
             self._last_vol = vol
             return True, 0, 0.0
@@ -323,7 +344,13 @@ class FEMSystem:
             # cached for the whole analysis (parity with the reference's
             # process-lifetime cache, stiffnessMtrx.py:760-762)
             self._ini_residual = pre_residual
-        ini = self._ini_residual
+        if cfg.newton_residual_ref == "increment":
+            # sane default: measure convergence against THIS increment's
+            # initial unbalance (the reference's global cache lets later
+            # increments skip Newton entirely and accumulate error)
+            ini = pre_residual
+        else:
+            ini = self._ini_residual
         if cfg.verbose:
             logger.info("initial residual = %.6e (ini=%.6e)", pre_residual, ini)
 

@@ -1,0 +1,123 @@
+"""End-to-end geometric-nonlinear benchmarks (Newton + adaptive stepping).
+
+Covers the reference's nonlinear fixture families (SURVEY.md §4): cantilever
+beam large-deformation, Cook's membrane (incl. neo-Hookean 3D), and the twist
+plate with the user-subroutine rotation BC.
+"""
+
+import numpy as np
+import pytest
+
+from femcy_tpu import FEMesh, FEMSystem, SolverConfig, read_inp
+from femcy_tpu.materials import NeoHookean, material_from_inp
+
+BEAM_LARGE = "beam_deflection/load800_freeEnd_largeDef/beamDeflec_quadPSE_largeD_load800.inp"
+BEAM_SMALL = "beam_deflection/load800_freeEnd_smallDef/beamDeflec_quadPSE_largeD_load800.inp"
+COOK_NEOHOOK = "cook_membrane/3D/neo-Hookean/cook_3d_linearEl_largeDef.inp"
+COOK_5MPA = "cook_membrane/largeDef_quadEl_5MPa/cook_membrane_2d.inp"
+TWIST_C3D4 = "twist/twist_plate_C3D4.inp"
+
+
+def _solve(fixtures_dir, rel, config=SolverConfig()):
+    inp = read_inp(fixtures_dir / rel)
+    mat = material_from_inp(inp.material_type, inp.material_params, inp.element_type)
+    mesh = FEMesh(inp.nodes, inp.elements, inp.element)
+    system = FEMSystem(mesh, mat, inp.geometric_nonlinear, config)
+    report = system.solve(inp)
+    return inp, system, report
+
+
+def test_beam_large_deformation_stiffer_than_linear(fixtures_dir):
+    """Large-deformation tip deflection must be well below the linear one
+    (membrane stiffening), reproducing the README load-deflection curve's
+    qualitative shape (reference README.md:91-95)."""
+    _, sys_lin, rep_lin = _solve(fixtures_dir, BEAM_SMALL)
+    assert rep_lin.success
+    # Euler-Bernoulli: P=800*4, L=40, E=200000, I=4^3/12 -> delta ~ 64
+    d_lin = float(np.abs(np.asarray(sys_lin.dof)).max())
+    assert abs(d_lin - 64.0) / 64.0 < 0.05
+
+    _, sys_nl, rep_nl = _solve(fixtures_dir, BEAM_LARGE)
+    assert rep_nl.success
+    d_nl = float(np.abs(np.asarray(sys_nl.dof)).max())
+    assert 20.0 < d_nl < 40.0  # geometric stiffening cuts deflection ~in half
+    assert d_nl < 0.6 * d_lin
+
+
+def test_beam_large_deformation_consistent_tangent_agrees(fixtures_dir):
+    """Secant (reference-style) and exact autodiff tangents must converge to
+    the same equilibrium."""
+    _, sys_sec, rep_sec = _solve(fixtures_dir, BEAM_LARGE)
+    _, sys_con, rep_con = _solve(
+        fixtures_dir, BEAM_LARGE, SolverConfig(tangent="consistent")
+    )
+    assert rep_sec.success and rep_con.success
+    d1 = float(np.abs(np.asarray(sys_sec.dof)).max())
+    d2 = float(np.abs(np.asarray(sys_con.dof)).max())
+    assert abs(d1 - d2) / d2 < 5e-3
+
+
+def test_cook_neo_hookean_3d(fixtures_dir):
+    inp, system, report = _solve(fixtures_dir, COOK_NEOHOOK)
+    assert report.success
+    assert isinstance(
+        material_from_inp(inp.material_type, inp.material_params, inp.element_type),
+        NeoHookean,
+    )
+    d = float(np.abs(np.asarray(system.dof)).max())
+    assert 4.0 < d < 10.0  # strongly deformed but finite
+    # energy must be positive and displacements finite
+    assert np.isfinite(np.asarray(system.dof)).all()
+    assert system.elastic_energy() > 0
+
+
+def test_cook_5mpa_converges_with_consistent_tangent(fixtures_dir):
+    """The 5 MPa Cook case stalls with the reference's secant Jacobian; the
+    autodiff consistent tangent converges it -- a capability beyond the
+    reference."""
+    _, system, report = _solve(
+        fixtures_dir, COOK_5MPA, SolverConfig(tangent="consistent")
+    )
+    assert report.success
+    d = float(np.abs(np.asarray(system.dof)).max())
+    assert 10.0 < d < 25.0
+
+
+def test_twist_plate_user_rotation_bc(fixtures_dir):
+    """Twist plate: one end fixed, the other rotated by time*pi about
+    (40, 5, 0) via the user Dirichlet subroutine (ref: user_api.py:17-30,
+    README.md:110-120)."""
+    inp, system, report = _solve(fixtures_dir, TWIST_C3D4)
+    assert report.success
+    dof = np.asarray(system.dof).reshape(-1, 3)
+    # the rotated face (x=0 plane, 40 from the centre) ends up displaced by
+    # exactly 2R for the 180-degree rotation
+    assert abs(np.abs(dof).max() - 80.0) < 1e-6
+
+    # stress grows with radius from the twist axis (classical torsion,
+    # ref README's qualitative check): compare mean Mises in inner vs outer
+    # radial bands at mid-plate
+    _, stress, mises = system.compute_strain_stress()
+    mises = np.asarray(mises).mean(axis=1)  # per element
+    centers = inp.nodes[inp.elements].mean(axis=1)
+    mid = (centers[:, 0] > 15) & (centers[:, 0] < 25)
+    r = np.linalg.norm(centers[:, 1:] - np.array([5.0, 0.0]), axis=1)
+    inner = mises[mid & (r < np.median(r[mid]))].mean()
+    outer = mises[mid & (r >= np.median(r[mid]))].mean()
+    assert outer > inner
+
+
+def test_checkpoint_roundtrip(tmp_path, fixtures_dir):
+    path = str(tmp_path / "ckpt.npz")
+    _, system, report = _solve(
+        fixtures_dir, BEAM_LARGE, SolverConfig(checkpoint_path=path)
+    )
+    assert report.success
+    inp = read_inp(fixtures_dir / BEAM_LARGE)
+    mat = material_from_inp(inp.material_type, inp.material_params, inp.element_type)
+    fresh = FEMSystem(
+        FEMesh(inp.nodes, inp.elements, inp.element), mat, inp.geometric_nonlinear
+    )
+    fresh.load_checkpoint(path)
+    np.testing.assert_allclose(np.asarray(fresh.dof), np.asarray(system.dof))
+    assert fresh.time0 == 1.0

@@ -1,0 +1,156 @@
+"""Benchmark: assemble + PCG-solve a ~1M-element C3D4 mesh on one chip.
+
+The driver-set target (BASELINE.json): <10 s on a single TPU chip.  The
+reference publishes no throughput numbers (SURVEY.md §6), so vs_baseline is
+measured against that 10 s target.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+(vs_baseline > 1 means faster than the target.)
+
+Environment knobs:
+  BENCH_NX      cells per cube edge (default 55 -> 997,920 tets)
+  BENCH_DTYPE   f64 (default) | f32
+  BENCH_REPS    timed repetitions (default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+if os.environ.get("BENCH_DTYPE", "f64") == "f32":
+    os.environ["FEMCY_TPU_X64"] = "0"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import femcy_tpu  # noqa: F401  (sets x64 config)
+from femcy_tpu import assembly
+from femcy_tpu import bc as bc_mod
+from femcy_tpu.materials import LinearIsotropic
+from femcy_tpu.meshgen import box_tets
+from femcy_tpu.solvers.cg import pcg_solve
+from femcy_tpu.topology import build_pattern
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    nx = int(os.environ.get("BENCH_NX", "55"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    dtype = jnp.float64 if os.environ.get("BENCH_DTYPE", "f64") == "f64" else jnp.float32
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    mesh = box_tets(nx, nx, nx)
+    log(
+        f"mesh: {mesh.n_elements} C3D4 elements, {mesh.n_nodes} nodes, "
+        f"{mesh.n_dof} dofs ({time.time() - t0:.1f}s)"
+    )
+
+    t0 = time.time()
+    pattern = build_pattern(mesh)
+    log(
+        f"pattern: width={pattern.width}, nnz={pattern.nnz} "
+        f"({time.time() - t0:.1f}s host setup)"
+    )
+
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+
+    # BCs: clamp z=0 face, unit traction load on z=1 face nodes
+    fixed = np.zeros(mesh.n_dof, dtype=bool)
+    bottom = np.nonzero(mesh.nodes[:, 2] < 1e-12)[0]
+    top = np.nonzero(mesh.nodes[:, 2] > 1 - 1e-12)[0]
+    for d in range(3):
+        fixed[bottom * 3 + d] = True
+    rhs_np = np.zeros(mesh.n_dof)
+    rhs_np[top * 3 + 0] = 1.0  # shear the top face
+    sval = np.zeros(mesh.n_dof)
+
+    # device arrays
+    nodes = jnp.asarray(mesh.nodes, dtype=dtype)
+    elements = jnp.asarray(mesh.elements)
+    dN = jnp.asarray(mesh.element.dshape_at_gp, dtype=dtype)
+    w = jnp.asarray(mesh.element.gauss_weights, dtype=dtype)
+    C = jnp.asarray(material.C, dtype=dtype)
+    colidx = jnp.asarray(pattern.colidx)
+    diag_slot = jnp.asarray(pattern.diag_slot)
+    perm = jnp.asarray(pattern.scatter_perm)
+    segs = jnp.asarray(pattern.scatter_segments)
+    rhs = jnp.asarray(rhs_np, dtype=dtype)
+    fixed_d = jnp.asarray(fixed)
+    sval_d = jnp.asarray(sval, dtype=dtype)
+
+    n_dof, width = pattern.n_dof, pattern.width
+
+    @jax.jit
+    def assemble():
+        dsdx, vol = assembly.gradients_and_volume(nodes, elements, dN, w)
+        Ke = assembly.element_stiffness(dsdx, vol, C)
+        return assembly.scatter_stiffness(Ke, perm, segs, n_dof, width)
+
+    @jax.jit
+    def assemble_and_solve():
+        values = assemble()
+        values, b = bc_mod.apply_dirichlet_linear(
+            values, colidx, diag_slot, rhs, fixed_d, sval_d
+        )
+        x, iters, rmax = pcg_solve(values, colidx, diag_slot, b, eps=1.0e-3)
+        return x, iters, rmax
+
+    # ---- warmup / compile -------------------------------------------------
+    t0 = time.time()
+    values = assemble()
+    values.block_until_ready()
+    log(f"assembly compile+run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    x, iters, rmax = assemble_and_solve()
+    x.block_until_ready()
+    log(
+        f"assemble+solve compile+run: {time.time() - t0:.1f}s "
+        f"(CG iters={int(iters)}, rmax={float(rmax):.3e})"
+    )
+    assert np.isfinite(np.asarray(x)).all()
+
+    # ---- timed ------------------------------------------------------------
+    t_asm = []
+    for _ in range(reps):
+        t0 = time.time()
+        assemble().block_until_ready()
+        t_asm.append(time.time() - t0)
+    t_solve = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = assemble_and_solve()
+        out[0].block_until_ready()
+        t_solve.append(time.time() - t0)
+
+    asm = min(t_asm)
+    total = min(t_solve)
+    melems = mesh.n_elements / asm / 1e6
+    dof_iters = mesh.n_dof * int(iters) / (total - asm) / 1e6
+    log(
+        f"assembly: {asm:.3f}s ({melems:.2f} M-elem/s); "
+        f"assemble+CG: {total:.3f}s ({dof_iters:.1f} M dof-iters/s)"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"c3d4_{mesh.n_elements//1000}k_assemble_pcg",
+                "value": round(total, 4),
+                "unit": "s",
+                "vs_baseline": round(10.0 / total, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

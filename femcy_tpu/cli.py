@@ -1,0 +1,142 @@
+"""Non-interactive CLI: ``python -m femcy_tpu.cli model.inp [options]``.
+
+Replaces the reference's interactive ``main.py`` (input() prompts + GUI
+windows, main.py:14-82) with a scriptable entry point printing the same
+observables (elastic energy, max Mises at integration points, max nodal
+Mises, max displacement) and optional PNG/VTK export.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+STRESS_IDS_2D = {0: (0, 0), 1: (1, 1), 2: (0, 1)}
+STRESS_IDS_3D = {0: (0, 0), 1: (1, 1), 2: (2, 2), 3: (0, 1), 4: (2, 0), 5: (1, 2)}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="femcy_tpu",
+        description="TPU-native finite-element solver for Abaqus .inp models",
+    )
+    p.add_argument("inp", help="path to the .inp model")
+    p.add_argument(
+        "--platform",
+        default=None,
+        help="force a JAX platform (e.g. cpu) before solving",
+    )
+    p.add_argument(
+        "--solver",
+        default="auto",
+        choices=["auto", "direct", "cg"],
+        help="linear solver selection (default: auto crossover like the reference)",
+    )
+    p.add_argument(
+        "--tangent",
+        default="secant",
+        choices=["secant", "consistent"],
+        help="Newton Jacobian (consistent = exact autodiff tangent)",
+    )
+    p.add_argument("--cg-eps", type=float, default=1.0e-3)
+    p.add_argument(
+        "--stress",
+        type=int,
+        default=None,
+        help="also report stress component by index "
+        "(2D: 0=sxx 1=syy 2=sxy; 3D: 0=sxx 1=syy 2=szz 3=sxy 4=szx 5=syz)",
+    )
+    p.add_argument("--save-png", default=None, help="write a Mises PNG here")
+    p.add_argument("--save-vtk", default=None, help="write a VTK result file here")
+    p.add_argument("--checkpoint", default=None, help="write .npz checkpoints here")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.verbose:
+        logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    import jax.numpy as jnp
+
+    from femcy_tpu import FEMesh, FEMSystem, SolverConfig, read_inp
+    from femcy_tpu.materials import material_from_inp
+
+    t0 = time.time()
+    inp = read_inp(args.inp)
+    material = material_from_inp(
+        inp.material_type, inp.material_params, inp.element_type
+    )
+    mesh = FEMesh(inp.nodes, inp.elements, inp.element)
+    config = SolverConfig(
+        linear_solver=args.solver,
+        cg_eps=args.cg_eps,
+        tangent=args.tangent,
+        verbose=args.verbose,
+        checkpoint_path=args.checkpoint,
+    )
+    system = FEMSystem(mesh, material, inp.geometric_nonlinear, config)
+    print(
+        f"model: {mesh.n_elements} {inp.element_type} elements, "
+        f"{mesh.n_nodes} nodes, {mesh.n_dof} dofs, "
+        f"geometric_nonlinear={inp.geometric_nonlinear}"
+    )
+
+    report = system.solve(inp)
+    print(
+        f"solve: {'converged' if report.success else 'FAILED'} in "
+        f"{report.n_increments} increment(s), {report.wall_time:.2f}s "
+        f"(total {time.time() - t0:.2f}s incl. compile)"
+    )
+    if not report.success:
+        print(f"  {report.message}", file=sys.stderr)
+
+    # observables (parity with reference main.py:34-47)
+    energy = system.elastic_energy()
+    _, stress, mises = system.compute_strain_stress()
+    mises_np = np.asarray(mises)
+    nodal_mises = np.asarray(system.extrapolate(jnp.asarray(mises_np)))
+    dof = np.asarray(system.dof)
+    print(f"total elastic energy = {energy:.6g}")
+    print(f"max Mises stress at integration points = {mises_np.max():.6g}")
+    print(f"max nodal (extrapolated) Mises stress = {nodal_mises.max():.6g}")
+    print(f"max |dof| (displacement) = {np.abs(dof).max():.6g}")
+
+    if args.stress is not None:
+        ids = STRESS_IDS_2D if mesh.dm == 2 else STRESS_IDS_3D
+        i, j = ids[args.stress]
+        comp = np.asarray(stress)[:, :, i, j]
+        nodal_comp = np.asarray(system.extrapolate(jnp.asarray(comp)))
+        print(f"max |stress[{i}{j}]| at integration points = {np.abs(comp).max():.6g}")
+        print(f"max nodal stress[{i}{j}] = {nodal_comp.max():.6g}")
+
+    if args.save_png:
+        from femcy_tpu.io.export import export_png
+
+        export_png(mesh, dof, nodal_mises, args.save_png, title="Mises stress")
+        print(f"wrote {args.save_png}")
+    if args.save_vtk:
+        from femcy_tpu.io.export import average_nodal_field, export_vtk
+
+        export_vtk(
+            mesh,
+            args.save_vtk,
+            dof=dof,
+            point_data={"mises": average_nodal_field(mesh, nodal_mises)},
+            cell_data={"mises_max_gp": mises_np.max(axis=1)},
+        )
+        print(f"wrote {args.save_vtk}")
+    return 0 if report.success else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,91 @@
+"""Structured mesh generators (host, numpy) for benchmarks and tests.
+
+The reference has no mesh generator -- every model comes from an ``.inp``
+file.  Benchmarks at the 1M-element scale need synthetic meshes, so these
+build structured triangle/quad/tet grids with the element node orderings of
+elements/library.py.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from femcy_tpu.elements import QUAD4, TET4, TRI3
+from femcy_tpu.mesh import FEMesh
+
+
+def rect_quads(nx: int, ny: int, lx: float = 1.0, ly: float = 1.0) -> FEMesh:
+    """Structured quad4 mesh of [0,lx] x [0,ly]."""
+    xs = np.linspace(0.0, lx, nx + 1)
+    ys = np.linspace(0.0, ly, ny + 1)
+    nodes = np.stack(np.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
+    i, j = np.meshgrid(np.arange(nx), np.arange(ny), indexing="xy")
+    a = j * (nx + 1) + i
+    quads = np.stack([a, a + 1, a + nx + 2, a + nx + 1], axis=-1).reshape(-1, 4)
+    return FEMesh(nodes, quads.astype(np.int32), QUAD4)
+
+
+def rect_tris(nx: int, ny: int, lx: float = 1.0, ly: float = 1.0) -> FEMesh:
+    """Structured tri3 mesh of [0,lx] x [0,ly] (2 triangles per cell)."""
+    quad_mesh = rect_quads(nx, ny, lx, ly)
+    q = quad_mesh.elements
+    tris = np.concatenate([q[:, [0, 1, 2]], q[:, [0, 2, 3]]], axis=0)
+    return FEMesh(quad_mesh.nodes, tris.astype(np.int32), TRI3)
+
+
+def box_tets(
+    nx: int, ny: int, nz: int, lx: float = 1.0, ly: float = 1.0, lz: float = 1.0
+) -> FEMesh:
+    """Structured tet4 mesh of a box: 6 tets per hex cell (Kuhn subdivision,
+    conforming across cells)."""
+    xs = np.linspace(0.0, lx, nx + 1)
+    ys = np.linspace(0.0, ly, ny + 1)
+    zs = np.linspace(0.0, lz, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    nodes = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+    def nid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    i, j, k = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    c = [
+        nid(i, j, k),
+        nid(i + 1, j, k),
+        nid(i, j + 1, k),
+        nid(i + 1, j + 1, k),
+        nid(i, j, k + 1),
+        nid(i + 1, j, k + 1),
+        nid(i, j + 1, k + 1),
+        nid(i + 1, j + 1, k + 1),
+    ]
+    # Kuhn triangulation along the main diagonal c0-c7: 6 conforming tets
+    kuhn = [
+        (0, 1, 3, 7),
+        (0, 1, 7, 5),
+        (0, 5, 7, 4),
+        (0, 4, 7, 6),
+        (0, 6, 7, 2),
+        (0, 2, 7, 3),
+    ]
+    tets = np.stack(
+        [np.stack([c[a], c[b], c[d], c[e]], axis=-1) for a, b, d, e in kuhn],
+        axis=-2,
+    ).reshape(-1, 4)
+    return FEMesh(nodes, tets.astype(np.int32), TET4)
+
+
+def cantilever_tets(
+    n_long: int, n_thick: int, length: float = 10.0, thickness: float = 1.0
+) -> Tuple[FEMesh, np.ndarray, np.ndarray]:
+    """A cantilever-beam tet mesh plus (fixed-end node ids, loaded-end node ids).
+
+    Canonical benchmark body: fixed at x=0, loaded at x=length.
+    """
+    mesh = box_tets(n_long, n_thick, n_thick, length, thickness, thickness)
+    fixed = np.nonzero(mesh.nodes[:, 0] < 1e-12)[0]
+    loaded = np.nonzero(mesh.nodes[:, 0] > length - 1e-12)[0]
+    return mesh, fixed, loaded

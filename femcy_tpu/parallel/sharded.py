@@ -1,0 +1,355 @@
+"""Multi-chip execution: sharded assembly + row-parallel CG over a device mesh.
+
+TPU-native scaling design (SURVEY.md §2.5: the reference is strictly
+single-device; this layer is the "beyond parity" distributed path):
+
+* **Assembly — data-parallel over elements.**  Elements are partitioned into
+  equal shards, one per device.  Each device computes its elements' Ke and
+  segment-sums them into a full-height ELL values buffer, then one
+  ``psum_scatter`` over the ICI mesh both reduces the partial sums and leaves
+  each device holding its own row block — the only collective in assembly.
+
+* **CG — row-parallel SpMV.**  The ELL values/colidx live row-sharded; the
+  search direction is ``all_gather``ed once per iteration (the x-vector is
+  tiny next to the matrix), dot products are local + ``psum``.  The entire CG
+  loop, collectives included, sits inside one jitted ``shard_map``ed
+  ``lax.while_loop``: zero host round trips, XLA schedules the collectives on
+  ICI.
+
+All per-shard index maps (scatter permutations, local diagonal slots) are
+precomputed host-side in numpy and stacked on a leading device axis, so the
+device program is static-shape and search-free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from femcy_tpu import assembly
+from femcy_tpu.materials import Material
+from femcy_tpu.mesh import FEMesh
+from femcy_tpu.topology import build_pattern
+
+AXIS = "fem_mesh"
+
+
+@dataclasses.dataclass
+class ShardedOperands:
+    """Host-built static data for a sharded solve on D devices."""
+
+    n_devices: int
+    n_dof: int  # true dof count
+    n_dof_pad: int  # padded to a multiple of D
+    width: int
+    rows_per_dev: int
+    # stacked per-device arrays (leading axis = device)
+    elements: np.ndarray  # (D, E_s, n) padded element shards
+    ele_weight: np.ndarray  # (D, E_s) 1 for real elements, 0 for padding
+    scatter_perm: np.ndarray  # (D, E_s*edof*edof)
+    scatter_segments: np.ndarray  # (D, E_s*edof*edof) into n_dof_pad*width
+    colidx: np.ndarray  # (n_dof_pad, W) global columns (row-sharded at run)
+    diag_local: np.ndarray  # (n_dof_pad,) flat local slot of each row's diagonal
+    nodes: np.ndarray  # (N, dm) replicated
+    dshape_gp: np.ndarray
+    weights_gp: np.ndarray
+    C: np.ndarray
+
+
+def build_sharded_operands(
+    mesh: FEMesh, material: Material, n_devices: int
+) -> ShardedOperands:
+    pattern = build_pattern(mesh)
+    D = n_devices
+    n_dof = pattern.n_dof
+    n_dof_pad = -(-n_dof // D) * D
+    rows_per_dev = n_dof_pad // D
+    width = pattern.width
+
+    # pad colidx rows; padding rows are identity rows in spirit (values 0)
+    colidx = np.zeros((n_dof_pad, width), dtype=np.int32)
+    colidx[:n_dof] = pattern.colidx
+
+    # local flat slot of each row's diagonal within its device block
+    diag_local = np.zeros(n_dof_pad, dtype=np.int64)
+    diag_local[:n_dof] = pattern.diag_slot - (
+        (np.arange(n_dof) // rows_per_dev) * rows_per_dev * width
+    )
+    # padded rows: point their "diagonal" at their local slot 0
+    for r in range(n_dof, n_dof_pad):
+        diag_local[r] = (r % rows_per_dev) * width
+
+    # --- element shards -------------------------------------------------
+    E = mesh.n_elements
+    E_s = -(-E // D)
+    edof = mesh.element.edof
+    dm = mesh.dm
+    elements_pad = np.zeros((D * E_s, mesh.element.n_nodes), dtype=np.int32)
+    elements_pad[:E] = mesh.elements
+    elements_pad[E:] = mesh.elements[0]  # valid geometry, zero-weighted
+    weight = np.zeros(D * E_s)
+    weight[:E] = 1.0
+    elements_sh = elements_pad.reshape(D, E_s, -1)
+    weight_sh = weight.reshape(D, E_s)
+
+    # per-shard scatter maps into the PADDED flat slot space
+    perms = np.zeros((D, E_s * edof * edof), dtype=np.int64)
+    segs = np.zeros((D, E_s * edof * edof), dtype=np.int64)
+    # map global (row, col) -> flat padded slot, reusing the unpadded pattern:
+    # pattern.scatter maps are global; rebuild per shard from scratch
+    for d in range(D):
+        ele = elements_sh[d].astype(np.int64)
+        edofs = (ele[:, :, None] * dm + np.arange(dm)).reshape(E_s, edof)
+        rows = np.broadcast_to(edofs[:, :, None], (E_s, edof, edof)).reshape(-1)
+        cols = np.broadcast_to(edofs[:, None, :], (E_s, edof, edof)).reshape(-1)
+        # slot of (row, col) in the ELL row: search the row's column list
+        # vectorised per-entry slot lookup in each row's column list
+        idx = np.argmax(pattern.colidx[rows] == cols[:, None], axis=1)
+        # rows with padding colidx==0 and col==0 would false-match; validity:
+        ok = pattern.colidx[rows, idx] == cols
+        if not ok.all():
+            raise RuntimeError("sharded scatter map: column not found in pattern")
+        targets = rows * width + idx
+        perm = np.argsort(targets, kind="stable")
+        perms[d] = perm
+        segs[d] = targets[perm]
+
+    return ShardedOperands(
+        n_devices=D,
+        n_dof=n_dof,
+        n_dof_pad=n_dof_pad,
+        width=width,
+        rows_per_dev=rows_per_dev,
+        elements=elements_sh,
+        ele_weight=weight_sh,
+        scatter_perm=perms,
+        scatter_segments=segs,
+        colidx=colidx,
+        diag_local=diag_local,
+        nodes=mesh.nodes,
+        dshape_gp=mesh.element.dshape_at_gp,
+        weights_gp=mesh.element.gauss_weights,
+        C=material.C,
+    )
+
+
+# --------------------------------------------------------------------------- #
+def _shard_step(
+    elements,
+    ele_weight,
+    scatter_perm,
+    scatter_segments,
+    colidx_local,
+    diag_local,
+    rhs_local,
+    fixed_local,
+    sval_full,
+    fixed_full,
+    nodes,
+    dshape_gp,
+    weights_gp,
+    C,
+    dof_full,
+    *,
+    n_dof: int,
+    n_dof_pad: int,
+    width: int,
+    rows_per_dev: int,
+    cg_eps: float,
+    cg_iters: int,
+):
+    """Per-device body (runs under shard_map): assemble + BC + CG.
+
+    Leading device axis of the stacked inputs is already consumed: every
+    array here is this device's block.
+    """
+    elements = elements[0]
+    ele_weight = ele_weight[0]
+    scatter_perm = scatter_perm[0]
+    scatter_segments = scatter_segments[0]
+
+    # ---- assembly: local elements -> full partial values -> reduce-scatter
+    coords = nodes + dof_full[:n_dof].reshape(nodes.shape)
+    dsdx, vol = assembly.gradients_and_volume(coords, elements, dshape_gp, weights_gp)
+    vol = vol * ele_weight[:, None]  # zero out padded elements
+    Ke = assembly.element_stiffness(dsdx, vol, C)
+    contrib = Ke.reshape(-1)[scatter_perm]
+    partial_flat = jax.ops.segment_sum(
+        contrib, scatter_segments, num_segments=n_dof_pad * width,
+        indices_are_sorted=True,
+    )
+    # reduce + scatter rows across the mesh in one collective (rides ICI)
+    values_local = jax.lax.psum_scatter(
+        partial_flat.reshape(n_dof_pad, width), AXIS, scatter_dimension=0, tiled=True
+    )  # (rows_per_dev, W)
+
+    # ---- Dirichlet: symmetric zero-one elimination on the local row block
+    col_fixed = fixed_full[colidx_local]
+    rhs_local = rhs_local - jnp.sum(
+        jnp.where(col_fixed, values_local * sval_full[colidx_local], 0.0), axis=1
+    )
+    rhs_local = jnp.where(fixed_local, sval_full[_local_rows(rows_per_dev)], rhs_local)
+    values_local = jnp.where(col_fixed | fixed_local[:, None], 0.0, values_local)
+    flat = values_local.reshape(-1)
+    diag_vals = jnp.where(fixed_local, 1.0, flat[diag_local])
+    values_local = flat.at[diag_local].set(diag_vals).reshape(values_local.shape)
+
+    # ---- row-parallel Jacobi-PCG, all inside while_loop ------------------
+    diag = values_local.reshape(-1)[diag_local]
+    minv = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
+
+    def spmv_local(d_full):
+        return jnp.sum(values_local * d_full[colidx_local], axis=1)
+
+    r0 = rhs_local
+    d0 = minv * r0
+    x0 = jnp.zeros_like(r0)
+    rmax0 = jax.lax.pmax(jnp.max(jnp.abs(r0)), AXIS)
+
+    # rmax is carried in the state so the while condition stays collective-free
+    def cond(state):
+        _, _, _, k, rmax = state
+        return (k < cg_iters) & (rmax >= cg_eps * rmax0) & (rmax0 > 0.0)
+
+    def body(state):
+        x, r, d, k, _ = state
+        d_full = jax.lax.all_gather(d, AXIS, tiled=True)
+        Ad = spmv_local(d_full)
+        rmr = jax.lax.psum(jnp.dot(r, minv * r), AXIS)
+        dAd = jax.lax.psum(jnp.dot(d, Ad), AXIS)
+        alpha = rmr / dAd
+        x = x + alpha * d
+        r = r - alpha * Ad
+        rmr_new = jax.lax.psum(jnp.dot(r, minv * r), AXIS)
+        d = minv * r + (rmr_new / rmr) * d
+        rmax = jax.lax.pmax(jnp.max(jnp.abs(r)), AXIS)
+        return x, r, d, k + 1, rmax
+
+    x, r, _, k, _ = jax.lax.while_loop(cond, body, (x0, r0, d0, jnp.int32(0), rmax0))
+    return jax.lax.all_gather(x, AXIS, tiled=True), k
+
+
+def _local_rows(rows_per_dev: int):
+    """Global row ids of this device's block."""
+    base = jax.lax.axis_index(AXIS) * rows_per_dev
+    return base + jnp.arange(rows_per_dev)
+
+
+class ShardedLinearSolver:
+    """K(dof) x = rhs with Dirichlet elimination, sharded over a device mesh.
+
+    The full step (assembly -> reduce-scatter -> BC -> CG) is one jitted
+    shard_map program; calling it is one XLA execution per solve.
+    """
+
+    def __init__(
+        self,
+        fe_mesh: FEMesh,
+        material: Material,
+        devices: Optional[list] = None,
+        cg_eps: float = 1.0e-6,
+        cg_iters: int = 0,
+    ):
+        devices = devices if devices is not None else jax.devices()
+        self.device_mesh = Mesh(np.asarray(devices), (AXIS,))
+        D = len(devices)
+        ops = build_sharded_operands(fe_mesh, material, D)
+        self.ops = ops
+        if cg_iters <= 0:
+            cg_iters = ops.n_dof
+
+        shard = NamedSharding(self.device_mesh, P(AXIS))
+        repl = NamedSharding(self.device_mesh, P())
+
+        def put(x, sharding):
+            return jax.device_put(jnp.asarray(x), sharding)
+
+        # stacked per-device arrays -> shard on leading axis
+        self._elements = put(ops.elements, shard)
+        self._ele_weight = put(ops.ele_weight, shard)
+        self._perm = put(ops.scatter_perm, shard)
+        self._segs = put(ops.scatter_segments, shard)
+        # row-sharded arrays
+        self._colidx = put(ops.colidx, shard)
+        self._diag_local = put(ops.diag_local, shard)
+        # replicated
+        self._nodes = put(ops.nodes, repl)
+        self._dN = put(ops.dshape_gp, repl)
+        self._w = put(ops.weights_gp, repl)
+        self._C = put(ops.C, repl)
+
+        from jax import shard_map
+
+        fn = partial(
+            _shard_step,
+            n_dof=ops.n_dof,
+            n_dof_pad=ops.n_dof_pad,
+            width=ops.width,
+            rows_per_dev=ops.rows_per_dev,
+            cg_eps=cg_eps,
+            cg_iters=cg_iters,
+        )
+        self._step = jax.jit(
+            shard_map(
+                fn,
+                mesh=self.device_mesh,
+                in_specs=(
+                    P(AXIS),  # elements
+                    P(AXIS),  # ele_weight
+                    P(AXIS),  # perm
+                    P(AXIS),  # segments
+                    P(AXIS, None),  # colidx rows
+                    P(AXIS),  # diag_local
+                    P(AXIS),  # rhs rows
+                    P(AXIS),  # fixed rows
+                    P(),  # sval full
+                    P(),  # fixed full
+                    P(),  # nodes
+                    P(),  # dN
+                    P(),  # w
+                    P(),  # C
+                    P(),  # dof full
+                ),
+                out_specs=(P(), P()),
+                check_rep=False,
+            )
+        )
+
+    def solve(self, rhs: np.ndarray, fixed: np.ndarray, sval: np.ndarray, dof=None):
+        """Assemble K(dof), apply Dirichlet BCs and solve K x = rhs."""
+        ops = self.ops
+        pad = ops.n_dof_pad - ops.n_dof
+        rhs_p = jnp.concatenate([jnp.asarray(rhs), jnp.zeros(pad)])
+        fixed_p = jnp.concatenate(
+            [jnp.asarray(fixed), jnp.ones(pad, dtype=bool)]
+        )  # padded rows behave as pinned-to-zero identity rows
+        sval_p = jnp.concatenate([jnp.asarray(sval), jnp.zeros(pad)])
+        dof_p = (
+            jnp.zeros(ops.n_dof_pad)
+            if dof is None
+            else jnp.concatenate([jnp.asarray(dof), jnp.zeros(pad)])
+        )
+        x, iters = self._step(
+            self._elements,
+            self._ele_weight,
+            self._perm,
+            self._segs,
+            self._colidx,
+            self._diag_local,
+            rhs_p,
+            fixed_p,
+            sval_p,
+            fixed_p,
+            self._nodes,
+            self._dN,
+            self._w,
+            self._C,
+            dof_p,
+        )
+        return x[: ops.n_dof], int(iters)

@@ -1,0 +1,79 @@
+"""CLI and exporter tests."""
+
+import numpy as np
+
+from femcy_tpu.cli import main as cli_main
+from femcy_tpu.io.export import average_nodal_field, export_png, export_vtk
+from femcy_tpu.materials import LinearIsotropicPlaneStress
+from femcy_tpu.meshgen import rect_tris
+
+ELLIP = "elliptic_membrane/element_linear/ellip_membrane_linEle_localVeryFine.inp"
+
+
+def test_cli_end_to_end(fixtures_dir, tmp_path, capsys):
+    png = tmp_path / "out.png"
+    vtk = tmp_path / "out.vtk"
+    rc = cli_main(
+        [
+            str(fixtures_dir / ELLIP),
+            "--stress",
+            "1",
+            "--save-png",
+            str(png),
+            "--save-vtk",
+            str(vtk),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "converged" in out
+    assert "max nodal stress[11]" in out
+    # the published sigma_yy anchor appears in the CLI output
+    syy = float([l for l in out.splitlines() if "max nodal stress[11]" in l][0].split("=")[1])
+    assert abs(syy - 93.45) / 93.45 < 0.005
+    assert png.exists() and png.stat().st_size > 10_000
+    assert vtk.exists()
+    text = vtk.read_text()
+    assert "UNSTRUCTURED_GRID" in text
+    assert "VECTORS displacement" in text
+    assert "SCALARS mises" in text
+
+
+def test_export_roundtrip_vtk(tmp_path):
+    mesh = rect_tris(3, 2)
+    dof = np.zeros(mesh.n_dof)
+    patch = np.ones((mesh.n_elements, 3)) * 2.5
+    path = export_vtk(
+        mesh,
+        str(tmp_path / "m.vtk"),
+        dof=dof,
+        point_data={"f": average_nodal_field(mesh, patch)},
+    )
+    lines = open(path).read().splitlines()
+    assert lines[0].startswith("# vtk")
+    assert f"POINTS {mesh.n_nodes} double" in lines
+    # averaged constant patch field stays constant
+    nodal = average_nodal_field(mesh, patch)
+    np.testing.assert_allclose(nodal, 2.5)
+
+
+def test_export_png_3d(tmp_path):
+    from femcy_tpu.meshgen import box_tets
+
+    mesh = box_tets(2, 2, 2)
+    dof = np.zeros(mesh.n_dof)
+    patch = np.random.default_rng(0).random((mesh.n_elements, 4))
+    p = export_png(mesh, dof, patch, str(tmp_path / "m3d.png"))
+    import os
+
+    assert os.path.getsize(p) > 5_000
+
+
+def test_cli_failure_exit_code(fixtures_dir, tmp_path):
+    # the 6.25 MPa Cook case does not converge -> nonzero exit
+    rc = cli_main(
+        [
+            str(fixtures_dir / "cook_membrane/largeDef_quadEl/cook_membrane_2d.inp"),
+        ]
+    )
+    assert rc == 1

@@ -317,7 +317,7 @@ class ShardedLinearSolver:
                     P(),  # dof full
                 ),
                 out_specs=(P(), P()),
-                check_rep=False,
+                check_vma=False,
             )
         )
 

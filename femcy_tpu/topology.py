@@ -78,8 +78,17 @@ class ELLPattern:
         return dense
 
 
+def colidx_valid_mask(colidx: np.ndarray, row_counts: np.ndarray) -> np.ndarray:
+    return np.arange(colidx.shape[1])[None, :] < row_counts[:, None]
+
+
 def build_pattern(mesh: FEMesh) -> ELLPattern:
-    """Build the ELL pattern + scatter maps for a mesh (vectorised numpy)."""
+    """Build the ELL pattern + scatter maps for a mesh.
+
+    Uses the native C++ builder (femcy_tpu/native/pattern.cpp) when available
+    -- counting sort by row, O(contributions) -- and falls back to the
+    vectorised-numpy global-sort path otherwise.
+    """
     dm = mesh.dm
     elements = mesh.elements.astype(np.int64)  # (E, n)
     n_ele, n_nodes_per = elements.shape
@@ -88,6 +97,43 @@ def build_pattern(mesh: FEMesh) -> ELLPattern:
 
     # global dof of each element dof: (E, edof)
     element_dofs = (elements[:, :, None] * dm + np.arange(dm)).reshape(n_ele, edof)
+
+    from femcy_tpu.native.loader import build_pattern_native
+
+    native = build_pattern_native(mesh.elements, dm, n_dof)
+    if native is not None:
+        (
+            perm,
+            segments,
+            colidx,
+            row_counts,
+            diag_slot,
+            csr_indices,
+            csr_slots,
+            csr_indptr,
+            nnz,
+            width,
+        ) = native
+        fl = element_dofs.reshape(-1)
+        force_perm = np.argsort(fl, kind="stable")
+        return ELLPattern(
+            n_dof=n_dof,
+            width=width,
+            colidx=colidx,
+            row_counts=row_counts,
+            valid=colidx_valid_mask(colidx, row_counts),
+            diag_slot=diag_slot,
+            scatter_perm=perm,
+            scatter_segments=segments,
+            force_perm=force_perm.astype(
+                np.int32 if fl.size < 2**31 else np.int64
+            ),
+            force_segments=fl[force_perm].astype(np.int32),
+            element_dofs=element_dofs.astype(np.int32),
+            csr_indptr=csr_indptr,
+            csr_indices=csr_indices,
+            csr_slots=csr_slots,
+        )
 
     # every (row, col) pair an element stiffness touches: (E, edof, edof)
     rows = np.broadcast_to(element_dofs[:, :, None], (n_ele, edof, edof))

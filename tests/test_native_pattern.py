@@ -1,0 +1,49 @@
+"""Native (C++) pattern builder vs the numpy fallback: must agree exactly."""
+
+import numpy as np
+import pytest
+
+from femcy_tpu.meshgen import box_tets, rect_quads, rect_tris
+from femcy_tpu.native.loader import build_pattern_native, get_lib
+from femcy_tpu.topology import build_pattern
+
+
+@pytest.fixture(scope="module")
+def native_available():
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+
+
+@pytest.mark.parametrize(
+    "mesh",
+    [box_tets(3, 3, 3), rect_tris(5, 4), rect_quads(4, 4)],
+    ids=["tets", "tris", "quads"],
+)
+def test_native_matches_numpy(mesh, native_available, monkeypatch):
+    native = build_pattern_native(mesh.elements, mesh.dm, mesh.n_dof)
+    assert native is not None
+    monkeypatch.setenv("FEMCY_TPU_NATIVE", "0")
+    ref = build_pattern(mesh)
+
+    (perm, segments, colidx, row_counts, diag_slot,
+     csr_indices, csr_slots, csr_indptr, nnz, width) = native
+    assert width == ref.width
+    assert nnz == ref.nnz
+    np.testing.assert_array_equal(colidx, ref.colidx)
+    np.testing.assert_array_equal(row_counts, ref.row_counts)
+    np.testing.assert_array_equal(diag_slot, ref.diag_slot)
+    np.testing.assert_array_equal(segments, ref.scatter_segments)
+    np.testing.assert_array_equal(csr_indices, ref.csr_indices)
+    np.testing.assert_array_equal(csr_indptr, ref.csr_indptr)
+    np.testing.assert_array_equal(csr_slots, ref.csr_slots)
+    # perms may order ties (same slot) differently; as multisets per segment
+    # they must match -- verified by identical assembled values in
+    # test_assembly; here check the permutation property itself
+    assert np.array_equal(np.sort(perm), np.arange(perm.shape[0]))
+
+
+def test_native_used_by_default(native_available):
+    mesh = box_tets(2, 2, 2)
+    p = build_pattern(mesh)
+    # int32 outputs are the native builder's signature
+    assert p.scatter_perm.dtype == np.int32

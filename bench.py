@@ -10,7 +10,7 @@ Prints ONE JSON line:
 
 Environment knobs:
   BENCH_NX      cells per cube edge (default 55 -> 997,920 tets)
-  BENCH_DTYPE   f64 (default) | f32
+  BENCH_DTYPE   f32 (default, TPU-native) | f64
   BENCH_REPS    timed repetitions (default 3)
 """
 
@@ -21,7 +21,7 @@ import os
 import sys
 import time
 
-if os.environ.get("BENCH_DTYPE", "f64") == "f32":
+if os.environ.get("BENCH_DTYPE", "f32") == "f32":
     os.environ["FEMCY_TPU_X64"] = "0"
 
 import jax
@@ -34,7 +34,19 @@ from femcy_tpu import bc as bc_mod
 from femcy_tpu.materials import LinearIsotropic
 from femcy_tpu.meshgen import box_tets
 from femcy_tpu.solvers.cg import pcg_solve
+from femcy_tpu.solvers.dia import (
+    build_dia_pattern,
+    dia_dirichlet_linear,
+    dia_pcg_solve,
+    dia_scatter,
+)
 from femcy_tpu.topology import build_pattern
+
+
+def sync(x):
+    """Force completion (block_until_ready can return early through the
+    remote-execution tunnel); reading one scalar back is authoritative."""
+    return float(jnp.asarray(x).reshape(-1)[0])
 
 
 def log(*a):
@@ -44,7 +56,7 @@ def log(*a):
 def main():
     nx = int(os.environ.get("BENCH_NX", "55"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    dtype = jnp.float64 if os.environ.get("BENCH_DTYPE", "f64") == "f64" else jnp.float32
+    dtype = jnp.float64 if os.environ.get("BENCH_DTYPE", "f32") == "f64" else jnp.float32
 
     log(f"devices: {jax.devices()}")
     t0 = time.time()
@@ -56,8 +68,10 @@ def main():
 
     t0 = time.time()
     pattern = build_pattern(mesh)
+    dia = build_dia_pattern(mesh, ell=pattern)
     log(
-        f"pattern: width={pattern.width}, nnz={pattern.nnz} "
+        f"pattern: width={pattern.width}, nnz={pattern.nnz}, "
+        f"dia offsets={dia.n_offsets if dia else None} "
         f"({time.time() - t0:.1f}s host setup)"
     )
 
@@ -89,29 +103,53 @@ def main():
 
     n_dof, width = pattern.n_dof, pattern.width
 
-    @jax.jit
-    def assemble():
-        dsdx, vol = assembly.gradients_and_volume(nodes, elements, dN, w)
-        Ke = assembly.element_stiffness(dsdx, vol, C)
-        return assembly.scatter_stiffness(Ke, perm, segs, n_dof, width)
+    # all large arrays are jit ARGUMENTS (closure capture would bake them
+    # into the compiled module as constants -- fatal with remote compile)
+    use_dia = dia is not None
+    arrs = dict(
+        nodes=nodes, elements=elements, dN=dN, w=w, C=C,
+        rhs=rhs, fixed=fixed_d, sval=sval_d,
+    )
+    if use_dia:
+        arrs["perm"] = jnp.asarray(dia.scatter_perm)
+        arrs["segs"] = jnp.asarray(dia.scatter_segments)
+        offsets, diag_idx, n_off = dia.offsets, dia.diag_idx, dia.n_offsets
+    else:
+        arrs["perm"] = perm
+        arrs["segs"] = segs
+        arrs["colidx"] = colidx
+        arrs["diag_slot"] = diag_slot
 
     @jax.jit
-    def assemble_and_solve():
-        values = assemble()
-        values, b = bc_mod.apply_dirichlet_linear(
-            values, colidx, diag_slot, rhs, fixed_d, sval_d
+    def assemble(a):
+        dsdx, vol = assembly.gradients_and_volume(
+            a["nodes"], a["elements"], a["dN"], a["w"]
         )
-        x, iters, rmax = pcg_solve(values, colidx, diag_slot, b, eps=1.0e-3)
-        return x, iters, rmax
+        Ke = assembly.element_stiffness(dsdx, vol, a["C"])
+        if use_dia:
+            return dia_scatter(Ke, a["perm"], a["segs"], n_dof, n_off)
+        return assembly.scatter_stiffness(Ke, a["perm"], a["segs"], n_dof, width)
+
+    @jax.jit
+    def assemble_and_solve(a):
+        values = assemble(a)
+        if use_dia:
+            values, b = dia_dirichlet_linear(
+                values, offsets, diag_idx, a["rhs"], a["fixed"], a["sval"]
+            )
+            return dia_pcg_solve(values, offsets, diag_idx, b, eps=1.0e-3)
+        values, b = bc_mod.apply_dirichlet_linear(
+            values, a["colidx"], a["diag_slot"], a["rhs"], a["fixed"], a["sval"]
+        )
+        return pcg_solve(values, a["colidx"], a["diag_slot"], b, eps=1.0e-3)
 
     # ---- warmup / compile -------------------------------------------------
     t0 = time.time()
-    values = assemble()
-    values.block_until_ready()
+    sync(assemble(arrs))
     log(f"assembly compile+run: {time.time() - t0:.1f}s")
     t0 = time.time()
-    x, iters, rmax = assemble_and_solve()
-    x.block_until_ready()
+    x, iters, rmax = assemble_and_solve(arrs)
+    sync(x)
     log(
         f"assemble+solve compile+run: {time.time() - t0:.1f}s "
         f"(CG iters={int(iters)}, rmax={float(rmax):.3e})"
@@ -122,13 +160,13 @@ def main():
     t_asm = []
     for _ in range(reps):
         t0 = time.time()
-        assemble().block_until_ready()
+        sync(assemble(arrs))
         t_asm.append(time.time() - t0)
     t_solve = []
     for _ in range(reps):
         t0 = time.time()
-        out = assemble_and_solve()
-        out[0].block_until_ready()
+        out = assemble_and_solve(arrs)
+        sync(out[0])
         t_solve.append(time.time() - t0)
 
     asm = min(t_asm)

@@ -30,6 +30,14 @@ class SolverConfig:
     direct_solve_max_dof: int = 100_000
     #: force one solver regardless of size: "auto" | "direct" | "cg"
     linear_solver: str = "auto"
+    #: sparse storage: "auto" picks the gather-free DIA (diagonal-offset)
+    #: layout when the mesh's dof graph has a bounded offset set (structured
+    #: grids, bandwidth-reduced meshes) -- XLA's gather/scatter on TPU is
+    #: ~500x off HBM speed, so this is the fast path; "ell" forces the
+    #: general padded-row layout; "dia" requires the DIA layout.
+    sparse_format: str = "auto"
+    #: max distinct column offsets for the DIA layout to be considered
+    dia_max_offsets: int = 1024
 
     # --- Newton-Raphson (geometric nonlinearity) -------------------------
     #: converged when residual / initial_residual < this

@@ -28,6 +28,13 @@ from femcy_tpu.io.inp import InpModel
 from femcy_tpu.materials import Material
 from femcy_tpu.mesh import FEMesh
 from femcy_tpu.solvers.cg import pcg_solve
+from femcy_tpu.solvers.dia import (
+    build_dia_pattern,
+    dia_dirichlet_linear,
+    dia_dirichlet_newton,
+    dia_pcg_solve,
+    dia_scatter,
+)
 from femcy_tpu.solvers.direct import direct_solve
 from femcy_tpu.topology import ELLPattern, build_pattern
 
@@ -81,27 +88,54 @@ class FEMSystem:
         self.config = config
         self.pattern: ELLPattern = build_pattern(mesh)
 
-        elem = mesh.element
-        # --- static device arrays -----------------------------------------
-        self._nodes = jnp.asarray(mesh.nodes)
-        self._elements = jnp.asarray(mesh.elements)
-        self._dN = jnp.asarray(elem.dshape_at_gp)
-        self._w = jnp.asarray(elem.gauss_weights)
-        self._C = jnp.asarray(material.C)
-        p = self.pattern
-        self._colidx = jnp.asarray(p.colidx)
-        self._diag_slot = jnp.asarray(p.diag_slot)
-        self._scatter_perm = jnp.asarray(p.scatter_perm)
-        self._scatter_segments = jnp.asarray(p.scatter_segments)
-        self._force_perm = jnp.asarray(p.force_perm)
-        self._force_segments = jnp.asarray(p.force_segments)
+        # gather-free DIA layout when the offset structure allows it
+        self.dia = None
+        if config.sparse_format in ("auto", "dia"):
+            dia = build_dia_pattern(
+                mesh, max_offsets=config.dia_max_offsets, ell=self.pattern
+            )
+            dense_enough = (
+                dia is not None
+                and dia.n_offsets * self.pattern.n_dof <= 4 * self.pattern.nnz
+            )
+            if dia is not None and (config.sparse_format == "dia" or dense_enough):
+                self.dia = dia
+            elif config.sparse_format == "dia":
+                raise ValueError(
+                    "sparse_format='dia' but the mesh has no bounded offset "
+                    "structure (try a bandwidth-reducing node ordering)"
+                )
 
+        elem = mesh.element
+        # --- static device arrays, passed as jit ARGUMENTS ------------------
+        # (never closed over inside jit: captured arrays are baked into the
+        # compiled module as constants, which bloats/serialises the HLO --
+        # fatal with remote TPU compilation at the 1M-element scale)
+        p = self.pattern
+        arrs = {
+            "nodes": jnp.asarray(mesh.nodes),
+            "elements": jnp.asarray(mesh.elements),
+            "dN": jnp.asarray(elem.dshape_at_gp),
+            "w": jnp.asarray(elem.gauss_weights),
+            "C": jnp.asarray(material.C),
+            "colidx": jnp.asarray(p.colidx),
+            "diag_slot": jnp.asarray(p.diag_slot),
+            "scatter_perm": jnp.asarray(
+                self.dia.scatter_perm if self.dia else p.scatter_perm
+            ),
+            "scatter_segments": jnp.asarray(
+                self.dia.scatter_segments if self.dia else p.scatter_segments
+            ),
+            "force_perm": jnp.asarray(p.force_perm),
+            "force_segments": jnp.asarray(p.force_segments),
+        }
         # initial-configuration gradients are constant: precompute once
         dsdX0, vol0 = assembly.gradients_and_volume(
-            self._nodes, self._elements, self._dN, self._w
+            arrs["nodes"], arrs["elements"], arrs["dN"], arrs["w"]
         )
-        self._dsdX0 = dsdX0
-        self._vol0 = vol0
+        arrs["dsdX0"] = dsdX0
+        arrs["vol0"] = vol0
+        self._arrs = arrs
 
         # --- state ----------------------------------------------------------
         self.dof = jnp.zeros(mesh.n_dof)
@@ -123,28 +157,71 @@ class FEMSystem:
             )
         )
         self._jit_F = jax.jit(self._deformation_gradient_impl)
+        if self.dia is not None:
+            dia = self.dia
+
+            def _dia_cg(values, b):
+                return dia_pcg_solve(
+                    values,
+                    dia.offsets,
+                    dia.diag_idx,
+                    b,
+                    eps=config.cg_eps,
+                    max_iters=config.cg_max_iters,
+                )
+
+            self._jit_dia_cg = jax.jit(_dia_cg)
 
     # ------------------------------------------------------------------ #
     # jitted implementations (pure functions of device state)
     # ------------------------------------------------------------------ #
-    def _stiffness_impl(self, dof):
-        """K(dof) on the current configuration (updated Lagrangian,
-        ref: stiffnessMtrx.py:132-216)."""
-        coords = self._nodes + dof.reshape(-1, self.mesh.dm)
-        dsdx, vol = assembly.gradients_and_volume(
-            coords, self._elements, self._dN, self._w
-        )
-        Ke = assembly.element_stiffness(dsdx, vol, self._C)
-        values = assembly.scatter_stiffness(
+    def _scatter(self, a, Ke):
+        """Element matrices -> global sparse values (ELL or DIA layout)."""
+        if self.dia is not None:
+            return dia_scatter(
+                Ke,
+                a["scatter_perm"],
+                a["scatter_segments"],
+                self.dia.n_dof,
+                self.dia.n_offsets,
+            )
+        return assembly.scatter_stiffness(
             Ke,
-            self._scatter_perm,
-            self._scatter_segments,
+            a["scatter_perm"],
+            a["scatter_segments"],
             self.pattern.n_dof,
             self.pattern.width,
         )
-        return values, dsdx, vol
 
-    def _linear_system_impl(self, rhs, fixed, sval):
+    def _dirichlet_linear(self, a, values, rhs, fixed, sval):
+        if self.dia is not None:
+            return dia_dirichlet_linear(
+                values, self.dia.offsets, self.dia.diag_idx, rhs, fixed, sval
+            )
+        return bc_mod.apply_dirichlet_linear(
+            values, a["colidx"], a["diag_slot"], rhs, fixed, sval
+        )
+
+    def _dirichlet_newton(self, a, values, residual, fixed):
+        if self.dia is not None:
+            return dia_dirichlet_newton(
+                values, self.dia.offsets, self.dia.diag_idx, residual, fixed
+            )
+        return bc_mod.apply_dirichlet_newton(
+            values, a["colidx"], a["diag_slot"], residual, fixed
+        )
+
+    def _stiffness_impl(self, a, dof):
+        """K(dof) on the current configuration (updated Lagrangian,
+        ref: stiffnessMtrx.py:132-216)."""
+        coords = a["nodes"] + dof.reshape(-1, self.mesh.dm)
+        dsdx, vol = assembly.gradients_and_volume(
+            coords, a["elements"], a["dN"], a["w"]
+        )
+        Ke = assembly.element_stiffness(dsdx, vol, a["C"])
+        return self._scatter(a, Ke), dsdx, vol
+
+    def _linear_system_impl(self, a, rhs, fixed, sval):
         """Assemble + Dirichlet-eliminate for the linear path.
 
         Always on the *initial* configuration: in the reference the linear
@@ -153,23 +230,15 @@ class FEMSystem:
         field via ``ti.static`` (stiffnessMtrx.py:135-136), so its linear
         assembly never sees the deformed geometry either.
         """
-        Ke = assembly.element_stiffness(self._dsdX0, self._vol0, self._C)
-        values = assembly.scatter_stiffness(
-            Ke,
-            self._scatter_perm,
-            self._scatter_segments,
-            self.pattern.n_dof,
-            self.pattern.width,
-        )
-        values, rhs = bc_mod.apply_dirichlet_linear(
-            values, self._colidx, self._diag_slot, rhs, fixed, sval
-        )
-        return values, rhs, self._vol0
+        Ke = assembly.element_stiffness(a["dsdX0"], a["vol0"], a["C"])
+        values = self._scatter(a, Ke)
+        values, rhs = self._dirichlet_linear(a, values, rhs, fixed, sval)
+        return values, rhs, a["vol0"]
 
-    def _deformation_gradient_impl(self, dof):
-        return assembly.deformation_gradient(dof, self._elements, self._dsdX0)
+    def _deformation_gradient_impl(self, a, dof):
+        return assembly.deformation_gradient(dof, a["elements"], a["dsdX0"])
 
-    def _newton_eval_impl(self, dof, rhs, fixed, sval):
+    def _newton_eval_impl(self, a, dof, rhs, fixed, sval):
         """One full residual/Jacobian evaluation of the Newton method.
 
         Pins the prescribed dofs, computes internal force and stiffness on
@@ -178,39 +247,31 @@ class FEMSystem:
         (ref: stiffnessMtrx.py:609-644 + 756-758 + 310-341).
         """
         dof = bc_mod.pin_dof(dof, fixed, sval)
-        F = assembly.deformation_gradient(dof, self._elements, self._dsdX0)
+        F = assembly.deformation_gradient(dof, a["elements"], a["dsdX0"])
         sigma = assembly.gp_stress(F, self.material, large=True)
-        coords = self._nodes + dof.reshape(-1, self.mesh.dm)
+        coords = a["nodes"] + dof.reshape(-1, self.mesh.dm)
         dsdx, vol = assembly.gradients_and_volume(
-            coords, self._elements, self._dN, self._w
+            coords, a["elements"], a["dN"], a["w"]
         )
         f_int = assembly.internal_force(
             dsdx,
             sigma,
             vol,
-            self._force_perm,
-            self._force_segments,
+            a["force_perm"],
+            a["force_segments"],
             self.pattern.n_dof,
         )
         if self.config.tangent == "consistent":
             Ke = assembly.consistent_tangent(
-                dof, self._elements, self._nodes, self._dN, self._w, self.material
+                dof, a["elements"], a["nodes"], a["dN"], a["w"], self.material
             )
         else:
-            Ke = assembly.element_stiffness(dsdx, vol, self._C)
+            Ke = assembly.element_stiffness(dsdx, vol, a["C"])
             if self.config.geometric_stiffness:
                 Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
-        values = assembly.scatter_stiffness(
-            Ke,
-            self._scatter_perm,
-            self._scatter_segments,
-            self.pattern.n_dof,
-            self.pattern.width,
-        )
+        values = self._scatter(a, Ke)
         residual = f_int - rhs
-        values, residual = bc_mod.apply_dirichlet_newton(
-            values, self._colidx, self._diag_slot, residual, fixed
-        )
+        values, residual = self._dirichlet_newton(a, values, residual, fixed)
         return dof, values, residual, _rms(residual), vol
 
     # ------------------------------------------------------------------ #
@@ -222,8 +283,14 @@ class FEMSystem:
             cfg.linear_solver == "auto" and self.pattern.n_dof < cfg.direct_solve_max_dof
         )
         if use_direct:
-            return jnp.asarray(direct_solve(self.pattern, values, b))
-        x, iters, rmax = self._jit_cg(values, self._colidx, self._diag_slot, b)
+            pat = self.dia if self.dia is not None else self.pattern
+            return jnp.asarray(direct_solve(pat, values, b))
+        if self.dia is not None:
+            x, iters, rmax = self._jit_dia_cg(values, b)
+        else:
+            x, iters, rmax = self._jit_cg(
+                values, self._arrs["colidx"], self._arrs["diag_slot"], b
+            )
         if cfg.verbose:
             logger.info("CG: %d iters, ||r||_inf=%.3e", int(iters), float(rmax))
         return x
@@ -326,7 +393,9 @@ class FEMSystem:
         """
         cfg = self.config
         if not self.geometric_nonlinear:
-            values, rhs_bc, vol = self._jit_linear_system(rhs, fixed, sval)
+            values, rhs_bc, vol = self._jit_linear_system(
+                self._arrs, rhs, fixed, sval
+            )
             self.dof = self._solve_linear_system(values, rhs_bc)
             self._last_vol = vol
             return True, 0, 0.0
@@ -334,7 +403,7 @@ class FEMSystem:
         # --- Newton-Raphson with boost/relax line search --------------------
         def evaluate(dof):
             dof, values, residual, res, vol = self._jit_newton_eval(
-                dof, rhs, fixed, sval
+                self._arrs, dof, rhs, fixed, sval
             )
             self._last_vol = vol
             return dof, values, residual, float(res)
@@ -414,11 +483,11 @@ class FEMSystem:
     # post-processing (ref: stiffnessMtrx.py:436-606)
     # ------------------------------------------------------------------ #
     def deformation_gradient(self):
-        return self._jit_F(self.dof)
+        return self._jit_F(self._arrs, self.dof)
 
     def compute_strain_stress(self):
         """(strain, cauchy stress, mises) at every (element, GP)."""
-        F = self._jit_F(self.dof)
+        F = self._jit_F(self._arrs, self.dof)
         dm = self.mesh.dm
         eye = jnp.eye(dm)
         if self.geometric_nonlinear:
@@ -434,7 +503,7 @@ class FEMSystem:
         """Total elastic energy = sum psi(F) * vol
         (ref: stiffnessMtrx.py:592-606, integrated over the most recently
         assembled configuration's volumes)."""
-        F = self._jit_F(self.dof)
+        F = self._jit_F(self._arrs, self.dof)
         dens = assembly.gp_energy_density(F, self.material)
         return float(jnp.sum(dens * self._last_vol))
 

@@ -52,7 +52,7 @@ def test_sharded_matches_direct(mesh, mat, eight_devices):
 
     system = FEMSystem(mesh, mat, False, SolverConfig(linear_solver="direct"))
     values, rhs_bc, _ = system._jit_linear_system(
-        jnp.asarray(rhs), jnp.asarray(fixed), jnp.asarray(sval)
+        system._arrs, jnp.asarray(rhs), jnp.asarray(fixed), jnp.asarray(sval)
     )
     x_ref = direct_solve(system.pattern, values, rhs_bc)
     scale = np.abs(x_ref).max()

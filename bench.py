@@ -95,8 +95,6 @@ def main():
     C = jnp.asarray(material.C, dtype=dtype)
     colidx = jnp.asarray(pattern.colidx)
     diag_slot = jnp.asarray(pattern.diag_slot)
-    perm = jnp.asarray(pattern.scatter_perm)
-    segs = jnp.asarray(pattern.scatter_segments)
     rhs = jnp.asarray(rhs_np, dtype=dtype)
     fixed_d = jnp.asarray(fixed)
     sval_d = jnp.asarray(sval, dtype=dtype)
@@ -111,12 +109,10 @@ def main():
         rhs=rhs, fixed=fixed_d, sval=sval_d,
     )
     if use_dia:
-        arrs["perm"] = jnp.asarray(dia.scatter_perm)
-        arrs["segs"] = jnp.asarray(dia.scatter_segments)
+        arrs["targets"] = jnp.asarray(dia.scatter_targets)
         offsets, diag_idx, n_off = dia.offsets, dia.diag_idx, dia.n_offsets
     else:
-        arrs["perm"] = perm
-        arrs["segs"] = segs
+        arrs["targets"] = jnp.asarray(pattern.scatter_targets)
         arrs["colidx"] = colidx
         arrs["diag_slot"] = diag_slot
 
@@ -127,8 +123,8 @@ def main():
         )
         Ke = assembly.element_stiffness(dsdx, vol, a["C"])
         if use_dia:
-            return dia_scatter(Ke, a["perm"], a["segs"], n_dof, n_off)
-        return assembly.scatter_stiffness(Ke, a["perm"], a["segs"], n_dof, width)
+            return dia_scatter(Ke, a["targets"], n_dof, n_off)
+        return assembly.scatter_stiffness(Ke, a["targets"], n_dof, width)
 
     @jax.jit
     def assemble_and_solve(a):

@@ -77,7 +77,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
@@ -91,7 +90,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
 def build_pattern_native(elements: np.ndarray, dm: int, n_dof: int):
     """Returns the pattern arrays or None when the native path can't be used.
 
-    (perm, segments, colidx, row_counts, diag_slot, csr_indices, csr_slots,
+    (targets, colidx, row_counts, diag_slot, csr_indices, csr_slots,
      csr_indptr, nnz, width)
     """
     lib = get_lib()
@@ -118,8 +117,7 @@ def build_pattern_native(elements: np.ndarray, dm: int, n_dof: int):
         width = lib.pattern_width(handle)
         if n_dof * width >= 2**31:
             return None
-        perm = np.empty(n_contrib, dtype=np.int32)
-        segments = np.empty(n_contrib, dtype=np.int32)
+        targets = np.empty(n_contrib, dtype=np.int32)
         colidx = np.empty((n_dof, width), dtype=np.int32)
         row_counts = np.empty(n_dof, dtype=np.int32)
         diag_slot = np.empty(n_dof, dtype=np.int64)
@@ -135,8 +133,7 @@ def build_pattern_native(elements: np.ndarray, dm: int, n_dof: int):
 
         status = lib.pattern_export(
             handle,
-            p32(perm),
-            p32(segments),
+            p32(targets),
             p32(colidx),
             p32(row_counts),
             p64(diag_slot),
@@ -147,8 +144,7 @@ def build_pattern_native(elements: np.ndarray, dm: int, n_dof: int):
         if status != 0:
             raise RuntimeError("mesh has dofs without a diagonal entry")
         return (
-            perm,
-            segments,
+            targets,
             colidx,
             row_counts,
             diag_slot,

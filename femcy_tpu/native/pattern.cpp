@@ -111,12 +111,13 @@ int32_t pattern_width(void* h) { return static_cast<Pattern*>(h)->width; }
 int64_t pattern_n_contrib(void* h) { return static_cast<Pattern*>(h)->n_contrib; }
 
 // Fill caller-allocated buffers:
-//   perm, segments: [n_contrib] int32 -- sorted scatter map
+//   targets: [n_contrib] int32 -- flat slot of each contribution, in the
+//            original (element-stiffness layout) order
 //   colidx: [n_dof*width] int32 (zero-padded), row_counts: [n_dof] int32
 //   diag_slot: [n_dof] int64
 //   csr_indices: [nnz] int32, csr_slots: [nnz] int64, csr_indptr: [n_dof+1] int64
 // Returns 0 on success, nonzero if a row is missing its diagonal.
-int32_t pattern_export(void* h, int32_t* perm, int32_t* segments,
+int32_t pattern_export(void* h, int32_t* targets,
                        int32_t* colidx, int32_t* row_counts, int64_t* diag_slot,
                        int32_t* csr_indices, int64_t* csr_slots,
                        int64_t* csr_indptr) {
@@ -145,9 +146,7 @@ int32_t pattern_export(void* h, int32_t* perm, int32_t* segments,
         ++csr_pos;
         if (col == (int32_t)r) diag = r * (int64_t)width + pos;
       }
-      const int64_t slot = r * (int64_t)width + pos;
-      perm[k] = p->idx_b[k];
-      segments[k] = (int32_t)slot;
+      targets[p->idx_b[k]] = (int32_t)(r * (int64_t)width + pos);
     }
     if (diag < 0) status = 1;
     diag_slot[r] = diag;

@@ -52,8 +52,7 @@ class ShardedOperands:
     # stacked per-device arrays (leading axis = device)
     elements: np.ndarray  # (D, E_s, n) padded element shards
     ele_weight: np.ndarray  # (D, E_s) 1 for real elements, 0 for padding
-    scatter_perm: np.ndarray  # (D, E_s*edof*edof)
-    scatter_segments: np.ndarray  # (D, E_s*edof*edof) into n_dof_pad*width
+    scatter_targets: np.ndarray  # (D, E_s*edof*edof) into n_dof_pad*width
     colidx: np.ndarray  # (n_dof_pad, W) global columns (row-sharded at run)
     diag_local: np.ndarray  # (n_dof_pad,) flat local slot of each row's diagonal
     nodes: np.ndarray  # (N, dm) replicated
@@ -99,26 +98,19 @@ def build_sharded_operands(
     weight_sh = weight.reshape(D, E_s)
 
     # per-shard scatter maps into the PADDED flat slot space
-    perms = np.zeros((D, E_s * edof * edof), dtype=np.int64)
-    segs = np.zeros((D, E_s * edof * edof), dtype=np.int64)
-    # map global (row, col) -> flat padded slot, reusing the unpadded pattern:
-    # pattern.scatter maps are global; rebuild per shard from scratch
+    targets_sh = np.zeros((D, E_s * edof * edof), dtype=np.int64)
     for d in range(D):
         ele = elements_sh[d].astype(np.int64)
         edofs = (ele[:, :, None] * dm + np.arange(dm)).reshape(E_s, edof)
         rows = np.broadcast_to(edofs[:, :, None], (E_s, edof, edof)).reshape(-1)
         cols = np.broadcast_to(edofs[:, None, :], (E_s, edof, edof)).reshape(-1)
-        # slot of (row, col) in the ELL row: search the row's column list
         # vectorised per-entry slot lookup in each row's column list
         idx = np.argmax(pattern.colidx[rows] == cols[:, None], axis=1)
         # rows with padding colidx==0 and col==0 would false-match; validity:
         ok = pattern.colidx[rows, idx] == cols
         if not ok.all():
             raise RuntimeError("sharded scatter map: column not found in pattern")
-        targets = rows * width + idx
-        perm = np.argsort(targets, kind="stable")
-        perms[d] = perm
-        segs[d] = targets[perm]
+        targets_sh[d] = rows * width + idx
 
     return ShardedOperands(
         n_devices=D,
@@ -128,8 +120,7 @@ def build_sharded_operands(
         rows_per_dev=rows_per_dev,
         elements=elements_sh,
         ele_weight=weight_sh,
-        scatter_perm=perms,
-        scatter_segments=segs,
+        scatter_targets=targets_sh,
         colidx=colidx,
         diag_local=diag_local,
         nodes=mesh.nodes,
@@ -143,8 +134,7 @@ def build_sharded_operands(
 def _shard_step(
     elements,
     ele_weight,
-    scatter_perm,
-    scatter_segments,
+    scatter_targets,
     colidx_local,
     diag_local,
     rhs_local,
@@ -171,18 +161,15 @@ def _shard_step(
     """
     elements = elements[0]
     ele_weight = ele_weight[0]
-    scatter_perm = scatter_perm[0]
-    scatter_segments = scatter_segments[0]
+    scatter_targets = scatter_targets[0]
 
     # ---- assembly: local elements -> full partial values -> reduce-scatter
     coords = nodes + dof_full[:n_dof].reshape(nodes.shape)
     dsdx, vol = assembly.gradients_and_volume(coords, elements, dshape_gp, weights_gp)
     vol = vol * ele_weight[:, None]  # zero out padded elements
     Ke = assembly.element_stiffness(dsdx, vol, C)
-    contrib = Ke.reshape(-1)[scatter_perm]
     partial_flat = jax.ops.segment_sum(
-        contrib, scatter_segments, num_segments=n_dof_pad * width,
-        indices_are_sorted=True,
+        Ke.reshape(-1), scatter_targets, num_segments=n_dof_pad * width
     )
     # reduce + scatter rows across the mesh in one collective (rides ICI)
     values_local = jax.lax.psum_scatter(
@@ -273,8 +260,7 @@ class ShardedLinearSolver:
         # stacked per-device arrays -> shard on leading axis
         self._elements = put(ops.elements, shard)
         self._ele_weight = put(ops.ele_weight, shard)
-        self._perm = put(ops.scatter_perm, shard)
-        self._segs = put(ops.scatter_segments, shard)
+        self._targets = put(ops.scatter_targets, shard)
         # row-sharded arrays
         self._colidx = put(ops.colidx, shard)
         self._diag_local = put(ops.diag_local, shard)
@@ -302,8 +288,7 @@ class ShardedLinearSolver:
                 in_specs=(
                     P(AXIS),  # elements
                     P(AXIS),  # ele_weight
-                    P(AXIS),  # perm
-                    P(AXIS),  # segments
+                    P(AXIS),  # scatter targets
                     P(AXIS, None),  # colidx rows
                     P(AXIS),  # diag_local
                     P(AXIS),  # rhs rows
@@ -338,8 +323,7 @@ class ShardedLinearSolver:
         x, iters = self._step(
             self._elements,
             self._ele_weight,
-            self._perm,
-            self._segs,
+            self._targets,
             self._colidx,
             self._diag_local,
             rhs_p,

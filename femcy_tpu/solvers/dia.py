@@ -41,9 +41,8 @@ class DIAPattern:
     offsets: Tuple[int, ...]
     #: index of offset 0 (the diagonal) in ``offsets``
     diag_idx: int
-    #: presorted scatter map: contribution -> flat (row * K + k) slot
-    scatter_perm: np.ndarray
-    scatter_segments: np.ndarray
+    #: scatter map: contribution (Ke layout order) -> flat (row * K + k) slot
+    scatter_targets: np.ndarray
     #: CSR mirror: flat DIA slots in CSR order (shares indptr/indices with the
     #: ELL pattern it was built from)
     csr_slots: np.ndarray
@@ -92,15 +91,13 @@ def build_dia_pattern(
     offidx = np.searchsorted(offsets, rel)
     ell2dia = np.zeros(n_dof * width, dtype=np.int64)
     ell2dia[ell.csr_slots] = rows * K + offidx
-    segments = ell2dia[ell.scatter_segments]
-    # colidx ascending within a row => offsets ascending => still sorted
+    targets = ell2dia[ell.scatter_targets]
     seg_dtype = np.int32 if n_dof * K < 2**31 else np.int64
     return DIAPattern(
         n_dof=n_dof,
         offsets=tuple(int(o) for o in offsets),
         diag_idx=diag_idx,
-        scatter_perm=ell.scatter_perm,
-        scatter_segments=segments.astype(seg_dtype),
+        scatter_targets=targets.astype(seg_dtype),
         csr_slots=(rows * K + offidx).astype(np.int64),
         csr_indptr=ell.csr_indptr,
         csr_indices=ell.csr_indices,
@@ -108,14 +105,10 @@ def build_dia_pattern(
 
 
 # --------------------------------------------------------------------------- #
-def dia_scatter(Ke, scatter_perm, scatter_segments, n_dof: int, n_offsets: int):
-    """Element stiffness -> DIA values (n_dof, K) via one sorted segment-sum."""
-    contrib = Ke.reshape(-1)[scatter_perm]
+def dia_scatter(Ke, scatter_targets, n_dof: int, n_offsets: int):
+    """Element stiffness -> DIA values (n_dof, K) via one segment-sum."""
     flat = jax.ops.segment_sum(
-        contrib,
-        scatter_segments,
-        num_segments=n_dof * n_offsets,
-        indices_are_sorted=True,
+        Ke.reshape(-1), scatter_targets, num_segments=n_dof * n_offsets
     )
     return flat.reshape(n_dof, n_offsets)
 

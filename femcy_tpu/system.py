@@ -37,6 +37,7 @@ from femcy_tpu.solvers.dia import (
 )
 from femcy_tpu.solvers.direct import direct_solve
 from femcy_tpu.topology import ELLPattern, build_pattern
+from femcy_tpu.utils.timing import Timer
 
 logger = logging.getLogger("femcy_tpu")
 
@@ -120,14 +121,10 @@ class FEMSystem:
             "C": jnp.asarray(material.C),
             "colidx": jnp.asarray(p.colidx),
             "diag_slot": jnp.asarray(p.diag_slot),
-            "scatter_perm": jnp.asarray(
-                self.dia.scatter_perm if self.dia else p.scatter_perm
+            "scatter_targets": jnp.asarray(
+                self.dia.scatter_targets if self.dia else p.scatter_targets
             ),
-            "scatter_segments": jnp.asarray(
-                self.dia.scatter_segments if self.dia else p.scatter_segments
-            ),
-            "force_perm": jnp.asarray(p.force_perm),
-            "force_segments": jnp.asarray(p.force_segments),
+            "force_targets": jnp.asarray(p.force_targets),
         }
         # initial-configuration gradients are constant: precompute once
         dsdX0, vol0 = assembly.gradients_and_volume(
@@ -144,6 +141,7 @@ class FEMSystem:
         self.time1 = 0.0
         self.dt = 0.0
         self._ini_residual: Optional[float] = None
+        self.timer = Timer(verbose=config.verbose)
 
         # --- jitted steps ---------------------------------------------------
         self._jit_stiffness = jax.jit(self._stiffness_impl)
@@ -179,18 +177,10 @@ class FEMSystem:
         """Element matrices -> global sparse values (ELL or DIA layout)."""
         if self.dia is not None:
             return dia_scatter(
-                Ke,
-                a["scatter_perm"],
-                a["scatter_segments"],
-                self.dia.n_dof,
-                self.dia.n_offsets,
+                Ke, a["scatter_targets"], self.dia.n_dof, self.dia.n_offsets
             )
         return assembly.scatter_stiffness(
-            Ke,
-            a["scatter_perm"],
-            a["scatter_segments"],
-            self.pattern.n_dof,
-            self.pattern.width,
+            Ke, a["scatter_targets"], self.pattern.n_dof, self.pattern.width
         )
 
     def _dirichlet_linear(self, a, values, rhs, fixed, sval):
@@ -254,12 +244,7 @@ class FEMSystem:
             coords, a["elements"], a["dN"], a["w"]
         )
         f_int = assembly.internal_force(
-            dsdx,
-            sigma,
-            vol,
-            a["force_perm"],
-            a["force_segments"],
-            self.pattern.n_dof,
+            dsdx, sigma, vol, a["force_targets"], self.pattern.n_dof
         )
         if self.config.tangent == "consistent":
             Ke = assembly.consistent_tangent(
@@ -393,18 +378,21 @@ class FEMSystem:
         """
         cfg = self.config
         if not self.geometric_nonlinear:
-            values, rhs_bc, vol = self._jit_linear_system(
-                self._arrs, rhs, fixed, sval
-            )
-            self.dof = self._solve_linear_system(values, rhs_bc)
+            with self.timer.section("assemble+bc"):
+                values, rhs_bc, vol = self._jit_linear_system(
+                    self._arrs, rhs, fixed, sval
+                )
+            with self.timer.section("linear_solve"):
+                self.dof = self._solve_linear_system(values, rhs_bc)
             self._last_vol = vol
             return True, 0, 0.0
 
         # --- Newton-Raphson with boost/relax line search --------------------
         def evaluate(dof):
-            dof, values, residual, res, vol = self._jit_newton_eval(
-                self._arrs, dof, rhs, fixed, sval
-            )
+            with self.timer.section("newton_eval"):
+                dof, values, residual, res, vol = self._jit_newton_eval(
+                    self._arrs, dof, rhs, fixed, sval
+                )
             self._last_vol = vol
             return dof, values, residual, float(res)
 
@@ -433,7 +421,8 @@ class FEMSystem:
                     self.dof = dof
                     return False, newton_loop, pre_residual
 
-                du = self._solve_linear_system(values, residual)
+                with self.timer.section("linear_solve"):
+                    du = self._solve_linear_system(values, residual)
                 dof = dof - du
                 dof, values, residual, residual_val = evaluate(dof)
                 if np.isnan(residual_val):

@@ -6,7 +6,7 @@ searches* the row's column list for the target slot with atomics
 (stiffnessMtrx.py:79-94, 161-216, 414-420).  TPUs have no atomics, so we
 restructure: the (element, a, b) -> flat ELL slot map is precomputed here in
 vectorised numpy, together with a sorting permutation, so device-side assembly
-is ONE ``jax.ops.segment_sum`` over presorted indices -- deterministic,
+is ONE ``jax.ops.segment_sum`` over precomputed slot targets -- deterministic,
 search-free, and race-free by construction (this also subsumes the
 ``check_sparseIJ`` duplicate validation the reference never calls,
 stiffnessMtrx.py:423-433).
@@ -40,15 +40,12 @@ class ELLPattern:
     valid: np.ndarray
     #: (n_dof,) flat index (into n_dof*width) of each row's diagonal slot
     diag_slot: np.ndarray
-    #: (E*edof*edof,) permutation sorting element-stiffness contributions by
-    #: their flat ELL slot
-    scatter_perm: np.ndarray
-    #: (E*edof*edof,) the sorted flat slots (segment ids for segment_sum)
-    scatter_segments: np.ndarray
-    #: (E*edof,) permutation sorting per-element-dof force contributions
-    force_perm: np.ndarray
-    #: (E*edof,) sorted global dof ids of the force contributions
-    force_segments: np.ndarray
+    #: (E*edof*edof,) flat ELL slot of each element-stiffness contribution,
+    #: in Ke layout order (direct scatter -- measured faster on TPU than
+    #: pre-sorting, which costs a full gather)
+    scatter_targets: np.ndarray
+    #: (E*edof,) global dof of each force contribution, in element layout
+    force_targets: np.ndarray
     #: (E, edof) global dof of each element dof (rows of the element matrix)
     element_dofs: np.ndarray
     # CSR mirror for the host direct solver (ref: scipy path,
@@ -70,6 +67,22 @@ class ELLPattern:
         return sp.csr_matrix(
             (data, self.csr_indices, self.csr_indptr), shape=(self.n_dof, self.n_dof)
         )
+
+    def validate(self) -> None:
+        """Debug check: no duplicate columns within any row, diagonals present.
+
+        Functional equivalent of the reference's (never-called)
+        ``check_sparseIJ`` (stiffnessMtrx.py:423-433); here duplicates are
+        impossible by construction, so this guards against builder bugs.
+        """
+        for r in range(self.n_dof):
+            cols = self.colidx[r, : self.row_counts[r]]
+            if np.unique(cols).shape[0] != cols.shape[0]:
+                raise AssertionError(f"duplicate columns in row {r}")
+            if r not in cols:
+                raise AssertionError(f"row {r} is missing its diagonal")
+        if not (self.colidx.reshape(-1)[self.diag_slot] == np.arange(self.n_dof)).all():
+            raise AssertionError("diag_slot does not point at diagonals")
 
     def to_dense(self, values: np.ndarray) -> np.ndarray:
         dense = np.zeros((self.n_dof, self.n_dof))
@@ -103,8 +116,7 @@ def build_pattern(mesh: FEMesh) -> ELLPattern:
     native = build_pattern_native(mesh.elements, dm, n_dof)
     if native is not None:
         (
-            perm,
-            segments,
+            targets,
             colidx,
             row_counts,
             diag_slot,
@@ -114,8 +126,6 @@ def build_pattern(mesh: FEMesh) -> ELLPattern:
             nnz,
             width,
         ) = native
-        fl = element_dofs.reshape(-1)
-        force_perm = np.argsort(fl, kind="stable")
         return ELLPattern(
             n_dof=n_dof,
             width=width,
@@ -123,12 +133,8 @@ def build_pattern(mesh: FEMesh) -> ELLPattern:
             row_counts=row_counts,
             valid=colidx_valid_mask(colidx, row_counts),
             diag_slot=diag_slot,
-            scatter_perm=perm,
-            scatter_segments=segments,
-            force_perm=force_perm.astype(
-                np.int32 if fl.size < 2**31 else np.int64
-            ),
-            force_segments=fl[force_perm].astype(np.int32),
+            scatter_targets=targets,
+            force_targets=element_dofs.reshape(-1).astype(np.int32),
             element_dofs=element_dofs.astype(np.int32),
             csr_indptr=csr_indptr,
             csr_indices=csr_indices,
@@ -165,16 +171,8 @@ def build_pattern(mesh: FEMesh) -> ELLPattern:
         raise RuntimeError("mesh has dofs without a diagonal entry")
     diag_slot = slot_of_uniq[diag_idx].astype(np.int64)
 
-    # stiffness scatter map, presorted so segment_sum sees sorted segments
+    # stiffness scatter map: contribution (in Ke layout order) -> flat slot
     targets = slot_of_uniq[inv]
-    scatter_perm = np.argsort(targets, kind="stable")
-    scatter_segments = targets[scatter_perm]
-
-    # internal-force scatter map (per element dof -> global dof)
-    fl = element_dofs.reshape(-1)
-    force_perm = np.argsort(fl, kind="stable")
-    force_segments = fl[force_perm]
-
     idx_dtype = np.int32 if targets.size and targets.max() < 2**31 else np.int64
     return ELLPattern(
         n_dof=n_dof,
@@ -183,10 +181,8 @@ def build_pattern(mesh: FEMesh) -> ELLPattern:
         row_counts=row_counts.astype(np.int32),
         valid=valid,
         diag_slot=diag_slot,
-        scatter_perm=scatter_perm.astype(idx_dtype),
-        scatter_segments=scatter_segments.astype(idx_dtype),
-        force_perm=force_perm.astype(np.int32 if fl.size < 2**31 else np.int64),
-        force_segments=force_segments.astype(np.int32),
+        scatter_targets=targets.astype(idx_dtype),
+        force_targets=element_dofs.reshape(-1).astype(np.int32),
         element_dofs=element_dofs.astype(np.int32),
         csr_indptr=row_start,
         csr_indices=col_of.astype(np.int32),

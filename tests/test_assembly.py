@@ -82,11 +82,7 @@ def test_ell_assembly_matches_dense_oracle(tri_mesh):
     )
     Ke = assembly.element_stiffness(dsdx, vol, jnp.asarray(material.C))
     values = assembly.scatter_stiffness(
-        Ke,
-        jnp.asarray(pattern.scatter_perm),
-        jnp.asarray(pattern.scatter_segments),
-        pattern.n_dof,
-        pattern.width,
+        Ke, jnp.asarray(pattern.scatter_targets), pattern.n_dof, pattern.width
     )
     K_dense = pattern.to_dense(np.asarray(values))
     K_oracle = _dense_oracle(tri_mesh, material)
@@ -198,12 +194,7 @@ def test_internal_force_matches_k_times_u_small_strain():
     )
     f = np.asarray(
         assembly.internal_force(
-            dsdx,
-            sigma,
-            vol,
-            jnp.asarray(pattern.force_perm),
-            jnp.asarray(pattern.force_segments),
-            pattern.n_dof,
+            dsdx, sigma, vol, jnp.asarray(pattern.force_targets), pattern.n_dof
         )
     )
     scale = max(np.abs(f_expected).max(), 1e-30)

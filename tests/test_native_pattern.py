@@ -25,25 +25,26 @@ def test_native_matches_numpy(mesh, native_available, monkeypatch):
     monkeypatch.setenv("FEMCY_TPU_NATIVE", "0")
     ref = build_pattern(mesh)
 
-    (perm, segments, colidx, row_counts, diag_slot,
+    (targets, colidx, row_counts, diag_slot,
      csr_indices, csr_slots, csr_indptr, nnz, width) = native
     assert width == ref.width
     assert nnz == ref.nnz
     np.testing.assert_array_equal(colidx, ref.colidx)
     np.testing.assert_array_equal(row_counts, ref.row_counts)
     np.testing.assert_array_equal(diag_slot, ref.diag_slot)
-    np.testing.assert_array_equal(segments, ref.scatter_segments)
+    np.testing.assert_array_equal(targets, ref.scatter_targets)
     np.testing.assert_array_equal(csr_indices, ref.csr_indices)
     np.testing.assert_array_equal(csr_indptr, ref.csr_indptr)
     np.testing.assert_array_equal(csr_slots, ref.csr_slots)
-    # perms may order ties (same slot) differently; as multisets per segment
-    # they must match -- verified by identical assembled values in
-    # test_assembly; here check the permutation property itself
-    assert np.array_equal(np.sort(perm), np.arange(perm.shape[0]))
 
 
 def test_native_used_by_default(native_available):
     mesh = box_tets(2, 2, 2)
     p = build_pattern(mesh)
     # int32 outputs are the native builder's signature
-    assert p.scatter_perm.dtype == np.int32
+    assert p.scatter_targets.dtype == np.int32
+
+
+def test_pattern_validate():
+    mesh = box_tets(2, 2, 2)
+    build_pattern(mesh).validate()

@@ -40,6 +40,7 @@ from femcy_tpu.solvers.dia import (
     dia_pcg_solve,
     dia_scatter,
 )
+from femcy_tpu.structured import build_structured_plan, structured_dia_scatter
 from femcy_tpu.topology import build_pattern
 
 
@@ -108,9 +109,13 @@ def main():
         nodes=nodes, elements=elements, dN=dN, w=w, C=C,
         rhs=rhs, fixed=fixed_d, sval=sval_d,
     )
+    plan = None
     if use_dia:
         arrs["targets"] = jnp.asarray(dia.scatter_targets)
         offsets, diag_idx, n_off = dia.offsets, dia.diag_idx, dia.n_offsets
+        if mesh.structure is not None and os.environ.get("BENCH_STRUCTURED", "1") == "1":
+            plan = build_structured_plan(mesh, dia)
+            log("using the dense structured (scatter-free) assembly path")
     else:
         arrs["targets"] = jnp.asarray(pattern.scatter_targets)
         arrs["colidx"] = colidx
@@ -122,6 +127,8 @@ def main():
             a["nodes"], a["elements"], a["dN"], a["w"]
         )
         Ke = assembly.element_stiffness(dsdx, vol, a["C"])
+        if plan is not None:
+            return structured_dia_scatter(Ke, plan)
         if use_dia:
             return dia_scatter(Ke, a["targets"], n_dof, n_off)
         return assembly.scatter_stiffness(Ke, a["targets"], n_dof, width)

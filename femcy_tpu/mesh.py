@@ -21,6 +21,9 @@ class FEMesh:
     nodes: np.ndarray  # (N, dm) float64
     elements: np.ndarray  # (E, n) int32
     element: ElementType
+    #: optional structured-grid metadata set by meshgen (enables the dense
+    #: scatter-free assembly path), e.g. {"kind": "box_tets", "nx":..,...}
+    structure: dict = dataclasses.field(default=None, compare=False)
 
     def __post_init__(self):
         self.nodes = np.ascontiguousarray(self.nodes, dtype=np.float64)

@@ -75,7 +75,23 @@ def box_tets(
         [np.stack([c[a], c[b], c[d], c[e]], axis=-1) for a, b, d, e in kuhn],
         axis=-2,
     ).reshape(-1, 4)
-    return FEMesh(nodes, tets.astype(np.int32), TET4)
+    return FEMesh(
+        nodes,
+        tets.astype(np.int32),
+        TET4,
+        structure={
+            "kind": "box_tets",
+            "nx": nx,
+            "ny": ny,
+            "nz": nz,
+            "corner_delta": [
+                [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+                 (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)][idx]
+                for idx in range(8)
+            ],
+            "kuhn": kuhn,
+        },
+    )
 
 
 def cantilever_tets(

@@ -82,6 +82,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pattern_export_sorted.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.pattern_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
@@ -91,7 +96,7 @@ def build_pattern_native(elements: np.ndarray, dm: int, n_dof: int):
     """Returns the pattern arrays or None when the native path can't be used.
 
     (targets, colidx, row_counts, diag_slot, csr_indices, csr_slots,
-     csr_indptr, nnz, width)
+     csr_indptr, nnz, width, perm_sorted, csr_counts)
     """
     lib = get_lib()
     if lib is None:
@@ -143,6 +148,9 @@ def build_pattern_native(elements: np.ndarray, dm: int, n_dof: int):
         )
         if status != 0:
             raise RuntimeError("mesh has dofs without a diagonal entry")
+        perm_sorted = np.empty(n_contrib, dtype=np.int32)
+        csr_counts = np.empty(nnz, dtype=np.int32)
+        lib.pattern_export_sorted(handle, p32(perm_sorted), p32(csr_counts))
         return (
             targets,
             colidx,
@@ -153,6 +161,8 @@ def build_pattern_native(elements: np.ndarray, dm: int, n_dof: int):
             csr_indptr,
             int(nnz),
             int(width),
+            perm_sorted,
+            csr_counts,
         )
     finally:
         lib.pattern_free(handle)

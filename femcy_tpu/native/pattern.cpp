@@ -155,6 +155,28 @@ int32_t pattern_export(void* h, int32_t* targets,
   return status;
 }
 
+// Optional second export for the Pallas tiled segment-sum kernel:
+//   perm_sorted: [n_contrib] int32 -- original contribution index of each
+//                entry in (row, col)-sorted order
+//   csr_counts: [nnz] int32 -- contributions per unique (row, col) entry
+void pattern_export_sorted(void* h, int32_t* perm_sorted, int32_t* csr_counts) {
+  Pattern* p = static_cast<Pattern*>(h);
+  std::memcpy(perm_sorted, p->idx_b.data(), sizeof(int32_t) * p->n_contrib);
+  int64_t csr_pos = -1;
+  for (int64_t r = 0; r < p->n_dof; ++r) {
+    const int64_t lo = p->offsets[r], hi = p->offsets[r + 1];
+    int32_t prev = -1;
+    for (int64_t k = lo; k < hi; ++k) {
+      const int32_t col = p->col_b[k];
+      if (col != prev) {
+        prev = col;
+        csr_counts[++csr_pos] = 0;
+      }
+      ++csr_counts[csr_pos];
+    }
+  }
+}
+
 void pattern_free(void* h) { delete static_cast<Pattern*>(h); }
 
 }  // extern "C"

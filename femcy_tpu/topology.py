@@ -54,6 +54,28 @@ class ELLPattern:
     csr_indices: np.ndarray
     #: flat ELL slots, in CSR order, to gather CSR data from the values array
     csr_slots: np.ndarray
+    #: contribution indices in (row, col)-sorted order (for the Pallas tiled
+    #: segment-sum); None until requested on the numpy path
+    sorted_perm: "np.ndarray | None" = None
+    #: contributions per unique (row, col) entry, CSR order
+    csr_counts: "np.ndarray | None" = None
+
+    def ensure_sorted_scatter(self):
+        """(sorted_perm, csr_counts), computing them on the numpy path."""
+        if self.sorted_perm is None:
+            perm = np.argsort(
+                np.asarray(self.scatter_targets), kind="stable"
+            ).astype(np.int32)
+            sorted_targets = np.asarray(self.scatter_targets)[perm]
+            # counts per unique slot, CSR order (slots sorted = CSR order
+            # within the flat padded space restricted to valid slots)
+            uniq, counts = np.unique(sorted_targets, return_counts=True)
+            order = np.argsort(self.csr_slots, kind="stable")
+            csr_counts = np.zeros(self.nnz, dtype=np.int32)
+            csr_counts[order] = counts.astype(np.int32)
+            object.__setattr__(self, "sorted_perm", perm)
+            object.__setattr__(self, "csr_counts", csr_counts)
+        return self.sorted_perm, self.csr_counts
 
     @property
     def nnz(self) -> int:
@@ -125,6 +147,8 @@ def build_pattern(mesh: FEMesh) -> ELLPattern:
             csr_indptr,
             nnz,
             width,
+            perm_sorted,
+            csr_counts,
         ) = native
         return ELLPattern(
             n_dof=n_dof,
@@ -139,6 +163,8 @@ def build_pattern(mesh: FEMesh) -> ELLPattern:
             csr_indptr=csr_indptr,
             csr_indices=csr_indices,
             csr_slots=csr_slots,
+            sorted_perm=perm_sorted,
+            csr_counts=csr_counts,
         )
 
     # every (row, col) pair an element stiffness touches: (E, edof, edof)

@@ -26,7 +26,8 @@ def test_native_matches_numpy(mesh, native_available, monkeypatch):
     ref = build_pattern(mesh)
 
     (targets, colidx, row_counts, diag_slot,
-     csr_indices, csr_slots, csr_indptr, nnz, width) = native
+     csr_indices, csr_slots, csr_indptr, nnz, width,
+     perm_sorted, csr_counts) = native
     assert width == ref.width
     assert nnz == ref.nnz
     np.testing.assert_array_equal(colidx, ref.colidx)
@@ -36,6 +37,12 @@ def test_native_matches_numpy(mesh, native_available, monkeypatch):
     np.testing.assert_array_equal(csr_indices, ref.csr_indices)
     np.testing.assert_array_equal(csr_indptr, ref.csr_indptr)
     np.testing.assert_array_equal(csr_slots, ref.csr_slots)
+    # sorted-order export: must be a permutation whose targets are sorted
+    assert np.array_equal(np.sort(perm_sorted), np.arange(perm_sorted.shape[0]))
+    assert (np.diff(targets[perm_sorted]) >= 0).all()
+    assert csr_counts.sum() == perm_sorted.shape[0]
+    ref_perm, ref_counts = ref.ensure_sorted_scatter()
+    np.testing.assert_array_equal(csr_counts, ref_counts)
 
 
 def test_native_used_by_default(native_available):

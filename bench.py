@@ -16,6 +16,7 @@ Environment knobs:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -40,7 +41,7 @@ from femcy_tpu.solvers.dia import (
     dia_pcg_solve,
     dia_scatter,
 )
-from femcy_tpu.structured import build_structured_plan, structured_dia_scatter
+from femcy_tpu.structured import build_structured_plan, structured_assemble
 from femcy_tpu.topology import build_pattern
 
 
@@ -111,11 +112,12 @@ def main():
     )
     plan = None
     if use_dia:
-        arrs["targets"] = jnp.asarray(dia.scatter_targets)
         offsets, diag_idx, n_off = dia.offsets, dia.diag_idx, dia.n_offsets
         if mesh.structure is not None and os.environ.get("BENCH_STRUCTURED", "1") == "1":
             plan = build_structured_plan(mesh, dia)
             log("using the dense structured (scatter-free) assembly path")
+        else:
+            arrs["targets"] = jnp.asarray(dia.scatter_targets)
     else:
         arrs["targets"] = jnp.asarray(pattern.scatter_targets)
         arrs["colidx"] = colidx
@@ -126,16 +128,17 @@ def main():
         dsdx, vol = assembly.gradients_and_volume(
             a["nodes"], a["elements"], a["dN"], a["w"]
         )
-        Ke = assembly.element_stiffness(dsdx, vol, a["C"])
         if plan is not None:
-            return structured_dia_scatter(Ke, plan)
+            return structured_assemble(dsdx, vol, a["C"], plan)
+        Ke = assembly.element_stiffness(dsdx, vol, a["C"])
         if use_dia:
             return dia_scatter(Ke, a["targets"], n_dof, n_off)
         return assembly.scatter_stiffness(Ke, a["targets"], n_dof, width)
 
-    @jax.jit
-    def assemble_and_solve(a):
-        values = assemble(a)
+    # BC + CG as a second program (one fused program peaks over HBM at the
+    # 1M scale; the values array is donated to keep memory flat)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def bc_and_solve(values, a):
         if use_dia:
             values, b = dia_dirichlet_linear(
                 values, offsets, diag_idx, a["rhs"], a["fixed"], a["sval"]
@@ -145,6 +148,9 @@ def main():
             values, a["colidx"], a["diag_slot"], a["rhs"], a["fixed"], a["sval"]
         )
         return pcg_solve(values, a["colidx"], a["diag_slot"], b, eps=1.0e-3)
+
+    def assemble_and_solve(a):
+        return bc_and_solve(assemble(a), a)
 
     # ---- warmup / compile -------------------------------------------------
     t0 = time.time()

@@ -14,6 +14,14 @@ This kernel restructures the sorted-segment reduction as on-chip dense math:
 No scatter instruction is ever issued; everything is contiguous DMA + dense
 compare + matmul.  f32 only; the host plan comes from the sorted order /
 counts exported by the native pattern builder (femcy_tpu/native/pattern.cpp).
+
+Status: EXPERIMENTAL.  The algorithm is validated in interpreter mode (see
+tests/test_kernels.py); on the current jax/Mosaic version the TPU-compiled
+kernel shows a numerical discrepancy (suspected 1D odd-offset relayout
+miscompile) and measures only ~10%% faster than XLA's scatter once the
+mandatory input gather is counted, so it is NOT wired into production paths
+-- the structured dense assembly (structured.py) and the direct segment-sum
+serve those.
 """
 
 from __future__ import annotations
@@ -30,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 _SLAB = 512
 
 
-def _segsum_kernel(starts_ref, bounds_ref, data_ref, out_ref, chunk_ref, sem):
+def _segsum_kernel(starts_ref, lo_ref, hi_ref, data_ref, out_ref, chunk_ref, sem):
     """One tile: S output slots, contributions in data[start : start+CHUNK]."""
     i = pl.program_id(0)
     start = starts_ref[i]
@@ -44,8 +52,10 @@ def _segsum_kernel(starts_ref, bounds_ref, data_ref, out_ref, chunk_ref, sem):
     )
     dma.start()
 
-    lo = bounds_ref[0:s].reshape(1, s)  # first contribution of each slot
-    hi = bounds_ref[1 : s + 1].reshape(1, s)  # one-past-last
+    # lo/hi come pre-shifted from the host: Mosaic's odd-offset 1D lane
+    # slices are avoided entirely
+    lo = lo_ref[...].reshape(1, s)  # first contribution of each slot
+    hi = hi_ref[...].reshape(1, s)  # one-past-last
     dma.wait()
 
     acc = jnp.zeros((1, s), dtype=jnp.float32)
@@ -61,24 +71,26 @@ def _segsum_kernel(starts_ref, bounds_ref, data_ref, out_ref, chunk_ref, sem):
     out_ref[:] = acc.reshape(s)
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles", "tile_slots", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "tile_slots", "chunk", "interpret")
+)
 def sorted_segment_sum_pallas(
-    data_sorted, bounds_tiled, chunk_starts, *, n_tiles: int, tile_slots: int,
-    chunk: int
+    data_sorted, lo_tiled, hi_tiled, chunk_starts, *, n_tiles: int,
+    tile_slots: int, chunk: int, interpret: bool = False
 ):
     """Segment-sum of presorted data into ``n_tiles * tile_slots`` slots.
 
     data_sorted : (>= max_start + chunk,) f32, sorted by slot, zero-padded
-    bounds_tiled : (n_tiles * (tile_slots + 128),) int32 slot boundaries
-        (per tile: S+1 boundaries, lane-padded to S+128)
-    chunk_starts : (n_tiles,) int32 first contribution of each tile
+    lo_tiled / hi_tiled : (n_tiles * tile_slots,) int32 per-slot contribution
+        ranges [lo, hi)
+    chunk_starts : (n_tiles,) int32 aligned DMA start of each tile
     """
-    width = bounds_tiled.shape[0] // n_tiles
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((width,), lambda i, s: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_slots,), lambda i, s: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_slots,), lambda i, s: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # data stays in HBM
         ],
         out_specs=pl.BlockSpec(
@@ -93,7 +105,8 @@ def sorted_segment_sum_pallas(
         _segsum_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile_slots,), jnp.float32),
-    )(chunk_starts, bounds_tiled, data_sorted)
+        interpret=interpret,
+    )(chunk_starts, lo_tiled, hi_tiled, data_sorted)
 
 
 class TiledSegsum:
@@ -109,9 +122,12 @@ class TiledSegsum:
         csr_counts: np.ndarray,
         csr_slots: np.ndarray,
         n_slots: int,
-        tile_slots: int = 512,
+        tile_slots: int = 1024,
         chunk: int = 0,
     ):
+        if tile_slots % 1024:
+            raise ValueError("tile_slots must be a multiple of 1024 "
+                             "(TPU 1D block tiling)")
         n_contrib = int(csr_counts.sum())
         counts_per_slot = np.zeros(n_slots, dtype=np.int64)
         counts_per_slot[np.asarray(csr_slots)] = csr_counts
@@ -125,18 +141,18 @@ class TiledSegsum:
         n_slots_pad = n_tiles * tile_slots
         bounds_pad = np.concatenate(
             [bounds, np.full(n_slots_pad - n_slots, n_contrib, dtype=np.int64)]
-        )
+        )  # length n_slots_pad + 1
 
-        # per-tile boundaries (overlapping by one, lane-padded to S+128)
-        idx = (
-            np.arange(n_tiles)[:, None] * tile_slots
-            + np.arange(tile_slots + 128)[None, :]
-        )
-        bounds_tiled = bounds_pad[np.minimum(idx, n_slots_pad)]
+        # per-slot [lo, hi) contribution ranges, pre-shifted host-side
+        lo = bounds_pad[:-1] if bounds_pad.shape[0] == n_slots_pad + 1 else bounds_pad[:n_slots_pad]
+        lo = bounds_pad[:n_slots_pad]
+        hi = bounds_pad[1 : n_slots_pad + 1]
         # 1D HBM DMA slices must be 1024-aligned: align starts down and round
         # the chunk length up
-        starts = (bounds_tiled[:, 0] // 1024) * 1024
-        max_chunk = int((bounds_tiled[:, tile_slots] - starts).max())
+        tile_lo = lo.reshape(n_tiles, tile_slots)
+        tile_hi = hi.reshape(n_tiles, tile_slots)
+        starts = (tile_lo[:, 0] // 1024) * 1024
+        max_chunk = int((tile_hi[:, -1] - starts).max())
         if chunk <= 0:
             chunk = max(1024, -(-max_chunk // 1024) * 1024)
         if max_chunk > chunk:
@@ -146,20 +162,21 @@ class TiledSegsum:
             )
         self.chunk = chunk
         self.n_contrib = n_contrib
-        self._bounds_tiled = jnp.asarray(
-            bounds_tiled.reshape(-1), dtype=jnp.int32
-        )
+        self._lo = jnp.asarray(lo, dtype=jnp.int32)
+        self._hi = jnp.asarray(hi, dtype=jnp.int32)
         self._chunk_starts = jnp.asarray(starts, dtype=jnp.int32)
 
-    def __call__(self, data_sorted):
+    def __call__(self, data_sorted, interpret: bool = False):
         """data_sorted: (>= n_contrib + chunk,) f32 (zero-padded)."""
         out = sorted_segment_sum_pallas(
             data_sorted,
-            self._bounds_tiled,
+            self._lo,
+            self._hi,
             self._chunk_starts,
             n_tiles=self.n_tiles,
             tile_slots=self.tile_slots,
             chunk=self.chunk,
+            interpret=interpret,
         )
         return out[: self.n_slots]
 

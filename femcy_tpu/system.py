@@ -107,6 +107,17 @@ class FEMSystem:
                     "structure (try a bandwidth-reducing node ordering)"
                 )
 
+        # dense scatter-free assembly for structured box meshes
+        self._structured_plan = None
+        if (
+            self.dia is not None
+            and mesh.structure is not None
+            and mesh.structure.get("kind") == "box_tets"
+        ):
+            from femcy_tpu.structured import build_structured_plan
+
+            self._structured_plan = build_structured_plan(mesh, self.dia)
+
         elem = mesh.element
         # --- static device arrays, passed as jit ARGUMENTS ------------------
         # (never closed over inside jit: captured arrays are baked into the
@@ -173,8 +184,22 @@ class FEMSystem:
     # ------------------------------------------------------------------ #
     # jitted implementations (pure functions of device state)
     # ------------------------------------------------------------------ #
+    def _assemble_values(self, a, dsdx, vol):
+        """Gradients -> global sparse values, via the structured dense path
+        when available (Ke computed per orientation to bound live memory)."""
+        if self._structured_plan is not None:
+            from femcy_tpu.structured import structured_assemble
+
+            return structured_assemble(dsdx, vol, a["C"], self._structured_plan)
+        Ke = assembly.element_stiffness(dsdx, vol, a["C"])
+        return self._scatter(a, Ke)
+
     def _scatter(self, a, Ke):
         """Element matrices -> global sparse values (ELL or DIA layout)."""
+        if self._structured_plan is not None:
+            from femcy_tpu.structured import structured_dia_scatter
+
+            return structured_dia_scatter(Ke, self._structured_plan)
         if self.dia is not None:
             return dia_scatter(
                 Ke, a["scatter_targets"], self.dia.n_dof, self.dia.n_offsets
@@ -208,8 +233,7 @@ class FEMSystem:
         dsdx, vol = assembly.gradients_and_volume(
             coords, a["elements"], a["dN"], a["w"]
         )
-        Ke = assembly.element_stiffness(dsdx, vol, a["C"])
-        return self._scatter(a, Ke), dsdx, vol
+        return self._assemble_values(a, dsdx, vol), dsdx, vol
 
     def _linear_system_impl(self, a, rhs, fixed, sval):
         """Assemble + Dirichlet-eliminate for the linear path.
@@ -220,8 +244,7 @@ class FEMSystem:
         field via ``ti.static`` (stiffnessMtrx.py:135-136), so its linear
         assembly never sees the deformed geometry either.
         """
-        Ke = assembly.element_stiffness(a["dsdX0"], a["vol0"], a["C"])
-        values = self._scatter(a, Ke)
+        values = self._assemble_values(a, a["dsdX0"], a["vol0"])
         values, rhs = self._dirichlet_linear(a, values, rhs, fixed, sval)
         return values, rhs, a["vol0"]
 
@@ -243,18 +266,31 @@ class FEMSystem:
         dsdx, vol = assembly.gradients_and_volume(
             coords, a["elements"], a["dN"], a["w"]
         )
-        f_int = assembly.internal_force(
-            dsdx, sigma, vol, a["force_targets"], self.pattern.n_dof
-        )
+        if self._structured_plan is not None:
+            from femcy_tpu.structured import structured_force_scatter
+
+            f_elem = jnp.einsum("egaj,egji,eg->eai", dsdx, sigma, vol)
+            f_int = structured_force_scatter(
+                f_elem, self._structured_plan, self.mesh
+            )
+        else:
+            f_int = assembly.internal_force(
+                dsdx, sigma, vol, a["force_targets"], self.pattern.n_dof
+            )
         if self.config.tangent == "consistent":
             Ke = assembly.consistent_tangent(
                 dof, a["elements"], a["nodes"], a["dN"], a["w"], self.material
             )
-        else:
+            values = self._scatter(a, Ke)
+        elif (
+            self._structured_plan is None or self.config.geometric_stiffness
+        ):
             Ke = assembly.element_stiffness(dsdx, vol, a["C"])
             if self.config.geometric_stiffness:
                 Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
-        values = self._scatter(a, Ke)
+            values = self._scatter(a, Ke)
+        else:
+            values = self._assemble_values(a, dsdx, vol)
         residual = f_int - rhs
         values, residual = self._dirichlet_newton(a, values, residual, fixed)
         return dof, values, residual, _rms(residual), vol

@@ -1,6 +1,7 @@
 """Structured scatter-free assembly must match the general DIA scatter."""
 
 import jax.numpy as jnp
+import jax
 import numpy as np
 
 from femcy_tpu import assembly
@@ -29,3 +30,80 @@ def test_structured_scatter_matches_general():
     plan = build_structured_plan(mesh, dia)
     v_str = structured_dia_scatter(Ke, plan)
     np.testing.assert_allclose(np.asarray(v_str), np.asarray(v_ref), atol=1e-12)
+
+
+def test_structured_force_scatter_matches_general():
+    import jax
+
+    mesh = box_tets(3, 2, 4)
+    from femcy_tpu.materials import LinearIsotropic
+
+    mat = LinearIsotropic(1000.0, 0.3)
+    ell = build_pattern(mesh)
+    dia = build_dia_pattern(mesh, ell=ell)
+    plan = build_structured_plan(mesh, dia)
+    rng = np.random.default_rng(0)
+    dof = jnp.asarray(0.01 * rng.standard_normal(mesh.n_dof))
+    dsdX0, _ = assembly.gradients_and_volume(
+        jnp.asarray(mesh.nodes), jnp.asarray(mesh.elements),
+        jnp.asarray(mesh.element.dshape_at_gp),
+        jnp.asarray(mesh.element.gauss_weights),
+    )
+    F = assembly.deformation_gradient(dof, jnp.asarray(mesh.elements), dsdX0)
+    sigma = assembly.gp_stress(F, mat, large=True)
+    coords = jnp.asarray(mesh.nodes) + dof.reshape(-1, 3)
+    dsdx, vol = assembly.gradients_and_volume(
+        coords, jnp.asarray(mesh.elements),
+        jnp.asarray(mesh.element.dshape_at_gp),
+        jnp.asarray(mesh.element.gauss_weights),
+    )
+    f_ref = assembly.internal_force(
+        dsdx, sigma, vol, jnp.asarray(ell.force_targets), ell.n_dof
+    )
+    from femcy_tpu.structured import structured_force_scatter
+
+    f_elem = jnp.einsum("egaj,egji,eg->eai", dsdx, sigma, vol)
+    f_str = structured_force_scatter(f_elem, plan, mesh)
+    np.testing.assert_allclose(np.asarray(f_str), np.asarray(f_ref), atol=1e-12)
+
+
+def test_system_uses_structured_plan_and_solves():
+    from femcy_tpu import FEMSystem, SolverConfig
+    from femcy_tpu.materials import LinearIsotropic
+
+    mesh = box_tets(4, 3, 3)
+    mat = LinearIsotropic(1000.0, 0.3)
+    system = FEMSystem(mesh, mat, geometric_nonlinear=True)
+    assert system._structured_plan is not None
+
+    # one Newton evaluation must run through the structured path and give a
+    # finite residual
+    fixed = np.zeros(mesh.n_dof, bool)
+    left = np.nonzero(mesh.nodes[:, 0] < 1e-9)[0]
+    for d in range(3):
+        fixed[left * 3 + d] = True
+    rhs = np.zeros(mesh.n_dof)
+    right = np.nonzero(mesh.nodes[:, 0] > mesh.nodes[:, 0].max() - 1e-9)[0]
+    rhs[right * 3 + 1] = 0.5
+    dof, values, residual, res, vol = system._jit_newton_eval(
+        system._arrs,
+        jnp.zeros(mesh.n_dof),
+        jnp.asarray(rhs),
+        jnp.asarray(fixed),
+        jnp.asarray(np.zeros(mesh.n_dof)),
+    )
+    assert np.isfinite(float(res))
+
+    # and the structured system must agree with a forced-ELL system
+    sys_ell = FEMSystem(
+        mesh, mat, geometric_nonlinear=True,
+        config=SolverConfig(sparse_format="ell"),
+    )
+    _, _, r2, res2, _ = sys_ell._jit_newton_eval(
+        sys_ell._arrs,
+        jnp.zeros(mesh.n_dof),
+        jnp.asarray(rhs),
+        jnp.asarray(fixed),
+        jnp.asarray(np.zeros(mesh.n_dof)),
+    )
+    np.testing.assert_allclose(float(res), float(res2), rtol=1e-12)

@@ -143,7 +143,10 @@ def main():
             values, b = dia_dirichlet_linear(
                 values, offsets, diag_idx, a["rhs"], a["fixed"], a["sval"]
             )
-            return dia_pcg_solve(values, offsets, diag_idx, b, eps=1.0e-3)
+            block_dm = 3 if os.environ.get("BENCH_PRECOND", "scalar") == "block" else 0
+            return dia_pcg_solve(
+                values, offsets, diag_idx, b, eps=1.0e-3, block_dm=block_dm
+            )
         values, b = bc_mod.apply_dirichlet_linear(
             values, a["colidx"], a["diag_slot"], a["rhs"], a["fixed"], a["sval"]
         )

@@ -51,6 +51,16 @@ def build_parser() -> argparse.ArgumentParser:
         "(2D: 0=sxx 1=syy 2=sxy; 3D: 0=sxx 1=syy 2=szz 3=sxy 4=szx 5=syz)",
     )
     p.add_argument("--save-png", default=None, help="write a Mises PNG here")
+    p.add_argument(
+        "--save-frames",
+        default=None,
+        help="directory for a per-increment Mises PNG (nonlinear runs)",
+    )
+    p.add_argument(
+        "--save-gif",
+        default=None,
+        help="assemble the per-increment frames into a GIF here",
+    )
     p.add_argument("--save-vtk", default=None, help="write a VTK result file here")
     p.add_argument("--checkpoint", default=None, help="write .npz checkpoints here")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -91,7 +101,31 @@ def main(argv=None) -> int:
         f"geometric_nonlinear={inp.geometric_nonlinear}"
     )
 
-    report = system.solve(inp)
+    frames = []
+
+    def _frame_cb(sys_, record):
+        import os as _os
+
+        _os.makedirs(args.save_frames, exist_ok=True)
+        _, _, mises_f = sys_.compute_strain_stress()
+        nodal_f = np.asarray(sys_.extrapolate(mises_f))
+        fname = _os.path.join(
+            args.save_frames, f"frame_{len(frames):04d}.png"
+        )
+        from femcy_tpu.io.export import export_png
+
+        export_png(
+            mesh,
+            np.asarray(sys_.dof),
+            nodal_f,
+            fname,
+            title=f"t={record.time:.4f}",
+        )
+        frames.append(fname)
+
+    report = system.solve(
+        inp, on_increment=_frame_cb if args.save_frames else None
+    )
     print(
         f"solve: {'converged' if report.success else 'FAILED'} in "
         f"{report.n_increments} increment(s), {report.wall_time:.2f}s "
@@ -119,6 +153,11 @@ def main(argv=None) -> int:
         print(f"max |stress[{i}{j}]| at integration points = {np.abs(comp).max():.6g}")
         print(f"max nodal stress[{i}{j}] = {nodal_comp.max():.6g}")
 
+    if args.save_gif and frames:
+        from femcy_tpu.utils.gif import frames_to_gif
+
+        frames_to_gif(frames, args.save_gif)
+        print(f"wrote {args.save_gif} ({len(frames)} frames)")
     if args.save_png:
         from femcy_tpu.io.export import export_png
 

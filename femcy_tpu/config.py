@@ -38,6 +38,10 @@ class SolverConfig:
     sparse_format: str = "auto"
     #: max distinct column offsets for the DIA layout to be considered
     dia_max_offsets: int = 1024
+    #: CG preconditioner: "jacobi" (reference parity,
+    #: conjugateGradientSolver.py:48-51) or "block_jacobi" (dm x dm node
+    #: blocks; fewer iterations for elasticity; DIA layout only)
+    preconditioner: str = "jacobi"
 
     # --- Newton-Raphson (geometric nonlinearity) -------------------------
     #: converged when residual / initial_residual < this

@@ -173,35 +173,94 @@ def dia_dirichlet_newton(values, offsets: Tuple[int, ...], diag_idx: int,
     return values, residual
 
 
+def block_jacobi_inverse(values, offsets: Tuple[int, ...], dm: int):
+    """Inverse of the per-node dm x dm diagonal blocks -> (n_nodes, dm, dm).
+
+    In the DIA layout the (3n+i, 3n+j) block entry sits at column offset
+    (j - i), so the whole block diagonal is dm^2 static column picks --
+    no gather.  Singular blocks (from Dirichlet-eliminated rows mixing with
+    free ones) fall back to their scalar diagonal.
+    """
+    from femcy_tpu.linalg import det_small, inv_small
+
+    n = values.shape[0]
+    off_to_k = {off: k for k, off in enumerate(offsets)}
+    rows = values.reshape(n // dm, dm, values.shape[1])
+    block = jnp.stack(
+        [
+            jnp.stack(
+                [rows[:, i, off_to_k[j - i]] for j in range(dm)], axis=-1
+            )
+            for i in range(dm)
+        ],
+        axis=-2,
+    )  # (n_nodes, dm, dm)
+    det = det_small(block)
+    safe = jnp.abs(det) > 1e-30
+    eye = jnp.eye(dm, dtype=values.dtype)
+    block_safe = jnp.where(safe[:, None, None], block, eye)
+    inv = inv_small(block_safe)
+    # fallback: scalar Jacobi on the diagonal
+    diag = jnp.einsum("nii->ni", block)
+    scalar = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
+    inv = jnp.where(
+        safe[:, None, None],
+        inv,
+        scalar[:, :, None] * eye,
+    )
+    return inv
+
+
 def dia_pcg_solve(values, offsets: Tuple[int, ...], diag_idx: int, b,
-                  eps: float = 1.0e-3, max_iters: int = 0):
-    """Jacobi-PCG on the DIA operator, entirely inside lax.while_loop."""
+                  eps: float = 1.0e-3, max_iters: int = 0,
+                  block_dm: int = 0):
+    """Preconditioned CG on the DIA operator, entirely inside lax.while_loop.
+
+    block_dm > 0 uses the block-Jacobi preconditioner with dm x dm node
+    blocks (fewer iterations than scalar Jacobi for elasticity); 0 keeps the
+    reference's scalar Jacobi (conjugateGradientSolver.py:48-51).
+    """
     n = b.shape[0]
     if max_iters <= 0:
         max_iters = n
-    diag = values[:, diag_idx]
-    minv = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
+    if block_dm > 0:
+        binv = block_jacobi_inverse(values, offsets, block_dm)
+
+        def apply_m(r):
+            return jnp.einsum(
+                "nij,nj->ni", binv, r.reshape(-1, block_dm)
+            ).reshape(-1)
+
+    else:
+        diag = values[:, diag_idx]
+        minv = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
+
+        def apply_m(r):
+            return minv * r
 
     r0 = b
-    d0 = minv * r0
+    d0 = apply_m(r0)
     x0 = jnp.zeros_like(b)
     rmax0 = jnp.max(jnp.abs(r0))
 
     def cond(state):
-        _, r, _, k = state
+        _, r, _, _, k = state
         rmax = jnp.max(jnp.abs(r))
         return (k < max_iters) & (rmax >= eps * rmax0) & (rmax0 > 0.0)
 
     def body(state):
-        x, r, d, k = state
+        x, r, d, rmr, k = state
         Ad = dia_spmv(values, offsets, d)
-        rmr = jnp.dot(r, minv * r)
         alpha = rmr / jnp.dot(d, Ad)
         x = x + alpha * d
         r = r - alpha * Ad
-        rmr_new = jnp.dot(r, minv * r)
-        d = minv * r + (rmr_new / rmr) * d
-        return x, r, d, k + 1
+        z = apply_m(r)
+        rmr_new = jnp.dot(r, z)
+        d = z + (rmr_new / rmr) * d
+        return x, r, d, rmr_new, k + 1
 
-    x, r, _, k = jax.lax.while_loop(cond, body, (x0, r0, d0, jnp.int32(0)))
+    rmr0 = jnp.dot(r0, d0)
+    x, r, _, _, k = jax.lax.while_loop(
+        cond, body, (x0, r0, d0, rmr0, jnp.int32(0))
+    )
     return x, k, jnp.max(jnp.abs(r))

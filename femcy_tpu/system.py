@@ -169,6 +169,8 @@ class FEMSystem:
         if self.dia is not None:
             dia = self.dia
 
+            block_dm = self.mesh.dm if config.preconditioner == "block_jacobi" else 0
+
             def _dia_cg(values, b):
                 return dia_pcg_solve(
                     values,
@@ -177,6 +179,7 @@ class FEMSystem:
                     b,
                     eps=config.cg_eps,
                     max_iters=config.cg_max_iters,
+                    block_dm=block_dm,
                 )
 
             self._jit_dia_cg = jax.jit(_dia_cg)

@@ -77,3 +77,24 @@ def test_cli_failure_exit_code(fixtures_dir, tmp_path):
         ]
     )
     assert rc == 1
+
+
+def test_gif_helper(tmp_path):
+    from femcy_tpu.utils.gif import collect_frames, frames_to_gif
+
+    mesh = rect_tris(3, 2)
+    dof = np.zeros(mesh.n_dof)
+    patch = np.ones((mesh.n_elements, 3))
+    from femcy_tpu.io.export import export_png
+
+    frames = []
+    for i in range(3):
+        f = str(tmp_path / f"f_{i}.png")
+        export_png(mesh, dof, patch * (i + 1), f)
+        frames.append(f)
+    gif = frames_to_gif(frames, str(tmp_path / "out.gif"))
+    import os
+
+    assert os.path.getsize(gif) > 1000
+    found = collect_frames(str(tmp_path), r"f_(\d+)\.png$")
+    assert found == frames

@@ -109,3 +109,27 @@ def test_dia_rejects_wide_offset_sets():
 
     shuffled = FEMesh(mesh.nodes[np.argsort(perm)], perm[mesh.elements], mesh.element)
     assert build_dia_pattern(shuffled, max_offsets=50) is None
+
+
+def test_dia_block_jacobi_matches_scalar(problem):
+    """Block-Jacobi PCG must reach the same solution (in fewer iterations)."""
+    mesh, ell, dia, v_ell, v_dia = problem
+    fixed = np.zeros(dia.n_dof, dtype=bool)
+    left = np.nonzero(mesh.nodes[:, 0] < 1e-9)[0]
+    for d in range(3):
+        fixed[left * 3 + d] = True
+    sval = np.zeros(dia.n_dof)
+    rhs = np.random.default_rng(7).standard_normal(dia.n_dof) * 0.1
+    vd, bd = dia_dirichlet_linear(
+        v_dia, dia.offsets, dia.diag_idx, jnp.asarray(rhs), jnp.asarray(fixed),
+        jnp.asarray(sval),
+    )
+    x_s, it_s, _ = dia_pcg_solve(vd, dia.offsets, dia.diag_idx, bd, eps=1e-10)
+    x_b, it_b, _ = dia_pcg_solve(
+        vd, dia.offsets, dia.diag_idx, bd, eps=1e-10, block_dm=3
+    )
+    scale = np.abs(np.asarray(x_s)).max()
+    np.testing.assert_allclose(
+        np.asarray(x_b) / scale, np.asarray(x_s) / scale, atol=1e-7
+    )
+    assert int(it_b) <= int(it_s)

@@ -15,13 +15,15 @@ No scatter instruction is ever issued; everything is contiguous DMA + dense
 compare + matmul.  f32 only; the host plan comes from the sorted order /
 counts exported by the native pattern builder (femcy_tpu/native/pattern.cpp).
 
-Status: EXPERIMENTAL.  The algorithm is validated in interpreter mode (see
-tests/test_kernels.py); on the current jax/Mosaic version the TPU-compiled
-kernel shows a numerical discrepancy (suspected 1D odd-offset relayout
-miscompile) and measures only ~10%% faster than XLA's scatter once the
-mandatory input gather is counted, so it is NOT wired into production paths
--- the structured dense assembly (structured.py) and the direct segment-sum
-serve those.
+Status: validated correct on real TPU hardware (the earlier numerical
+discrepancy was the MXU defaulting to bf16 multiplication -- fixed with
+Precision.HIGHEST) and in interpreter mode (tests/test_kernels.py).  The
+kernel itself beats XLA's scatter ~3x, but the mandatory gather of the
+contributions into sorted order costs as much as the scatter it replaces, so
+it is not wired into production paths -- the structured dense assembly
+(structured.py) covers the benchmark meshes and the direct segment-sum covers
+unstructured ones.  It remains available for workloads whose data already
+arrives segment-sorted.
 """
 
 from __future__ import annotations
@@ -67,7 +69,12 @@ def _segsum_kernel(starts_ref, lo_ref, hi_ref, data_ref, out_ref, chunk_ref, sem
         )
         mask = ((cg >= lo) & (cg < hi)).astype(jnp.float32)
         slab = chunk_ref[pl.ds(j * _SLAB, _SLAB)].reshape(1, _SLAB)
-        acc = acc + jnp.dot(slab, mask, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(
+            slab,
+            mask,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     out_ref[:] = acc.reshape(s)
 
 

@@ -15,7 +15,6 @@ stiffnessMtrx.py:423-433).
 from __future__ import annotations
 
 import dataclasses
-from functools import cached_property
 
 import numpy as np
 

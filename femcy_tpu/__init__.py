@@ -38,7 +38,9 @@ from femcy_tpu.materials import (  # noqa: E402
     LinearIsotropicPlaneStress,
     LinearIsotropicPlaneStrain,
     NeoHookean,
+    material_from_inp,
 )
+from femcy_tpu import meshgen  # noqa: E402
 
 __all__ = [
     "SolverConfig",
@@ -50,5 +52,7 @@ __all__ = [
     "LinearIsotropicPlaneStress",
     "LinearIsotropicPlaneStrain",
     "NeoHookean",
+    "material_from_inp",
+    "meshgen",
     "__version__",
 ]

@@ -151,7 +151,6 @@ class TiledSegsum:
         )  # length n_slots_pad + 1
 
         # per-slot [lo, hi) contribution ranges, pre-shifted host-side
-        lo = bounds_pad[:-1] if bounds_pad.shape[0] == n_slots_pad + 1 else bounds_pad[:n_slots_pad]
         lo = bounds_pad[:n_slots_pad]
         hi = bounds_pad[1 : n_slots_pad + 1]
         # 1D HBM DMA slices must be 1024-aligned: align starts down and round

@@ -71,9 +71,12 @@ def build_sharded_operands(
     rows_per_dev = n_dof_pad // D
     width = pattern.width
 
-    # pad colidx rows; padding rows are identity rows in spirit (values 0)
+    # pad colidx rows; padded rows point their first slot at THEMSELVES so
+    # the Dirichlet diag write makes them true identity rows (pointing them
+    # at column 0 would add a spurious x[0] coupling when dof 0 is free)
     colidx = np.zeros((n_dof_pad, width), dtype=np.int32)
     colidx[:n_dof] = pattern.colidx
+    colidx[n_dof:, 0] = np.arange(n_dof, n_dof_pad)
 
     # local flat slot of each row's diagonal within its device block
     diag_local = np.zeros(n_dof_pad, dtype=np.int64)

@@ -53,21 +53,22 @@ def pcg_solve(
     rmax0 = jnp.max(jnp.abs(r0))
 
     def cond(state):
-        _, r, _, k = state
+        _, r, _, _, k = state
         rmax = jnp.max(jnp.abs(r))
         return (k < max_iters) & (rmax >= eps * rmax0) & (rmax0 > 0.0)
 
     def body(state):
-        x, r, d, k = state
+        x, r, d, rmr, k = state
         Ad = ell_spmv(values, colidx, d)
-        rmr = jnp.dot(r, minv * r)
         alpha = rmr / jnp.dot(d, Ad)
         x = x + alpha * d
         r = r - alpha * Ad
         rmr_new = jnp.dot(r, minv * r)
-        beta = rmr_new / rmr
-        d = minv * r + beta * d
-        return x, r, d, k + 1
+        d = minv * r + (rmr_new / rmr) * d
+        return x, r, d, rmr_new, k + 1
 
-    x, r, _, k = jax.lax.while_loop(cond, body, (x0, r0, d0, jnp.int32(0)))
+    rmr0 = jnp.dot(r0, minv * r0)
+    x, r, _, _, k = jax.lax.while_loop(
+        cond, body, (x0, r0, d0, rmr0, jnp.int32(0))
+    )
     return x, k, jnp.max(jnp.abs(r))

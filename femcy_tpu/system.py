@@ -155,7 +155,6 @@ class FEMSystem:
         self.timer = Timer(verbose=config.verbose)
 
         # --- jitted steps ---------------------------------------------------
-        self._jit_stiffness = jax.jit(self._stiffness_impl)
         self._jit_linear_system = jax.jit(self._linear_system_impl)
         self._jit_newton_eval = jax.jit(self._newton_eval_impl)
         self._jit_cg = jax.jit(
@@ -228,15 +227,6 @@ class FEMSystem:
         return bc_mod.apply_dirichlet_newton(
             values, a["colidx"], a["diag_slot"], residual, fixed
         )
-
-    def _stiffness_impl(self, a, dof):
-        """K(dof) on the current configuration (updated Lagrangian,
-        ref: stiffnessMtrx.py:132-216)."""
-        coords = a["nodes"] + dof.reshape(-1, self.mesh.dm)
-        dsdx, vol = assembly.gradients_and_volume(
-            coords, a["elements"], a["dN"], a["w"]
-        )
-        return self._assemble_values(a, dsdx, vol), dsdx, vol
 
     def _linear_system_impl(self, a, rhs, fixed, sval):
         """Assemble + Dirichlet-eliminate for the linear path.
@@ -327,17 +317,24 @@ class FEMSystem:
         inp: InpModel,
         user_dirichlet: Optional[Callable] = None,
         on_increment: Optional[Callable] = None,
+        resume: bool = False,
     ) -> SolveReport:
         """Run the full adaptive-load-stepping analysis
-        (ref: stiffnessMtrx.py:647-711)."""
+        (ref: stiffnessMtrx.py:647-711).
+
+        ``resume=True`` continues from the current (dof, time0, dt) state --
+        e.g. right after ``load_checkpoint`` -- instead of restarting at t=0.
+        """
         t_start = _time.time()
         cfg = self.config
         incs = inp.time_incs
         max_time = incs["max_time"]
         min_inc = incs["min_inc"]
         max_inc = incs["max_inc"]
-        self.dt = incs["ini_inc"]
-        self.time0 = self.time1 = 0.0
+        if not resume:
+            self.dt = incs["ini_inc"]
+            self.time0 = self.time1 = 0.0
+            self.dof = jnp.zeros(self.pattern.n_dof)
 
         patterns, tractions = bc_mod.build_neumann_patterns(self.mesh, inp.neumann_bcs)
         patterns_d = jnp.asarray(patterns)
@@ -373,7 +370,7 @@ class FEMSystem:
             if not converged:
                 # cut back (ref: stiffnessMtrx.py:692-701)
                 self.time1 = self.time0
-                self.dt /= 4.0
+                self.dt *= cfg.dt_cutback
                 self.dof = dof_old
                 kinc -= 1
                 records.append(
@@ -543,6 +540,8 @@ class FEMSystem:
 
     # ------------------------------------------------------------------ #
     def _write_checkpoint(self, path: str, kinc: int):
+        if not path.endswith(".npz"):
+            path = path + ".npz"
         np.savez(
             path,
             dof=np.asarray(self.dof),
@@ -552,6 +551,8 @@ class FEMSystem:
         )
 
     def load_checkpoint(self, path: str):
+        if not path.endswith(".npz"):
+            path = path + ".npz"
         data = np.load(path)
         self.dof = jnp.asarray(data["dof"])
         self.time0 = self.time1 = float(data["time0"])

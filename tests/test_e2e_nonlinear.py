@@ -121,3 +121,44 @@ def test_checkpoint_roundtrip(tmp_path, fixtures_dir):
     fresh.load_checkpoint(path)
     np.testing.assert_allclose(np.asarray(fresh.dof), np.asarray(system.dof))
     assert fresh.time0 == 1.0
+
+
+def test_checkpoint_resume_continues(tmp_path, fixtures_dir):
+    """load_checkpoint + solve(resume=True) must continue the analysis from
+    the saved time instead of restarting at t=0."""
+    path = str(tmp_path / "ck")
+    inp = read_inp(fixtures_dir / BEAM_LARGE)
+    mat = material_from_inp(inp.material_type, inp.material_params, inp.element_type)
+
+    def make_system(**cfg):
+        return FEMSystem(
+            FEMesh(inp.nodes, inp.elements, inp.element),
+            mat,
+            inp.geometric_nonlinear,
+            SolverConfig(**cfg),
+        )
+
+    full = make_system()
+    assert full.solve(inp).success
+
+    # run the same schedule but abort after two increments (checkpointing)
+    interrupted = make_system(checkpoint_path=path)
+    stop = {"n": 0}
+
+    def abort_after_two(system, record):
+        stop["n"] += 1
+        if stop["n"] >= 2:
+            system.time0 = system.time1 = 2.0  # force the stepping loop out
+
+    interrupted.solve(read_inp(fixtures_dir / BEAM_LARGE),
+                      on_increment=abort_after_two)
+
+    # restore in a fresh system and continue to completion
+    fresh = make_system()
+    fresh.load_checkpoint(path)
+    assert 0.0 < fresh.time0 < 1.0
+    assert fresh.solve(read_inp(fixtures_dir / BEAM_LARGE), resume=True).success
+    d_full = np.asarray(full.dof)
+    d_res = np.asarray(fresh.dof)
+    scale = np.abs(d_full).max()
+    np.testing.assert_allclose(d_res / scale, d_full / scale, atol=5e-3)

@@ -54,11 +54,40 @@ def test_sharded_matches_direct(mesh, mat, eight_devices):
     values, rhs_bc, _ = system._jit_linear_system(
         system._arrs, jnp.asarray(rhs), jnp.asarray(fixed), jnp.asarray(sval)
     )
-    x_ref = direct_solve(system.pattern, values, rhs_bc)
+    pat = system.dia if system.dia is not None else system.pattern
+    x_ref = np.asarray(direct_solve(pat, values, rhs_bc))
+    assert np.isfinite(x_ref).all()
     scale = np.abs(x_ref).max()
     np.testing.assert_allclose(
-        np.asarray(x) / scale, np.asarray(x_ref) / scale, atol=1e-8
+        np.asarray(x) / scale, x_ref / scale, atol=1e-8
     )
+
+
+def test_sharded_padded_rows_are_inert(eight_devices):
+    """n_dof not divisible by the device count with dof 0 FREE: the padded
+    rows must not couple to column 0 (regression for the identity-row bug)."""
+    mesh = box_tets(3, 3, 3)  # n_dof = 192, 5 devices -> 3 padded rows
+    mat = LinearIsotropic(100.0, 0.3)
+    fixed = np.zeros(mesh.n_dof, dtype=bool)
+    sval = np.zeros(mesh.n_dof)
+    right = np.nonzero(mesh.nodes[:, 0] > mesh.nodes[:, 0].max() - 1e-9)[0]
+    for d in range(3):
+        fixed[right * 3 + d] = True  # node 0 (x=0 corner) stays free
+    sval[right * 3 + 0] = 0.05
+    rhs = np.zeros(mesh.n_dof)
+
+    solver = ShardedLinearSolver(mesh, mat, devices=eight_devices[:5], cg_eps=1e-10)
+    x, _ = solver.solve(rhs, fixed, sval)
+
+    system = FEMSystem(mesh, mat, False, SolverConfig(linear_solver="direct"))
+    values, rhs_bc, _ = system._jit_linear_system(
+        system._arrs, jnp.asarray(rhs), jnp.asarray(fixed), jnp.asarray(sval)
+    )
+    pat = system.dia if system.dia is not None else system.pattern
+    x_ref = np.asarray(direct_solve(pat, values, rhs_bc))
+    assert np.isfinite(x_ref).all()
+    scale = np.abs(x_ref).max()
+    np.testing.assert_allclose(np.asarray(x) / scale, x_ref / scale, atol=1e-7)
 
 
 def test_sharded_device_counts(eight_devices):

@@ -95,3 +95,40 @@ def test_elastic_energy_positive(fixtures_dir):
     assert en > 0
     # external work of a linear system = 2 * elastic energy; sanity bound
     assert en < 1.0
+
+
+def test_elliptic_directional_traction(fixtures_dir):
+    """Directional (non-pressure) *Dsload variant parses and solves sanely."""
+    inp, system = _solve(
+        fixtures_dir,
+        "elliptic_membrane/directional_force/ellip_localVeryFine_directional_force.inp",
+    )
+    assert any(b.direction is not None for b in inp.neumann_bcs)
+    _, stress, mises = system.compute_strain_stress()
+    m = float(np.abs(np.asarray(mises)).max())
+    assert 10.0 < m < 500.0
+
+
+def test_elliptic_load_by_displacement(fixtures_dir):
+    """Dirichlet-driven loading (nonzero prescribed values) over increments."""
+    inp, system = _solve(
+        fixtures_dir, "elliptic_membrane/load_by_disp/ellip_membrane_localFine_dirichlet.inp"
+    )
+    assert any(b.value != 0.0 for b in inp.dirichlet_bcs)
+    dof = np.asarray(system.dof)
+    # the final increment applies the full prescribed displacement
+    prescribed = max(abs(b.value) for b in inp.dirichlet_bcs)
+    np.testing.assert_allclose(np.abs(dof).max(), prescribed, rtol=1e-9)
+
+
+def test_elliptic_3d_matches_2d_plane_stress(fixtures_dir):
+    """The C3D4 3D elliptic model is a thin extrusion of the plane-stress
+    case: its peak sigma_yy must land near the 2D result."""
+    import jax.numpy as jnp
+
+    inp, system = _solve(fixtures_dir, "elliptic_membrane/3D/linearEl/ellip_membrane_3d_linearEl.inp")
+    _, stress, _ = system.compute_strain_stress()
+    syy = np.asarray(stress)[:, :, 1, 1]
+    nodal = np.asarray(system.extrapolate(jnp.asarray(syy)))
+    # coarse 3D tet mesh: same order as the CoFEA 92.7 target
+    assert 60.0 < nodal.max() < 120.0

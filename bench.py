@@ -9,9 +9,14 @@ Prints ONE JSON line:
 (vs_baseline > 1 means faster than the target.)
 
 Environment knobs:
-  BENCH_NX      cells per cube edge (default 55 -> 997,920 tets)
-  BENCH_DTYPE   f32 (default, TPU-native) | f64
-  BENCH_REPS    timed repetitions (default 3)
+  BENCH_NX        cells per cube edge (default 55 -> 997,920 tets)
+  BENCH_DTYPE     f32 (default, TPU-native) | f64
+  BENCH_REPS      timed repetitions (default 3)
+  BENCH_PLATFORM  force a JAX platform (e.g. cpu); needed because the
+                  container sitecustomize pins the TPU backend regardless of
+                  JAX_PLATFORMS
+  BENCH_STRUCTURED  1 (default) uses the dense structured assembly on
+                  structured meshes; 0 forces the general scatter path
 """
 
 from __future__ import annotations
@@ -26,6 +31,10 @@ if os.environ.get("BENCH_DTYPE", "f32") == "f32":
     os.environ["FEMCY_TPU_X64"] = "0"
 
 import jax
+
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 

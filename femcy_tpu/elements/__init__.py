@@ -1,6 +1,7 @@
 from femcy_tpu.elements.base import ElementType
 from femcy_tpu.elements.library import (
     ELEMENT_REGISTRY,
+    HEX8,
     QUAD4,
     QUAD8,
     TET4,
@@ -20,4 +21,5 @@ __all__ = [
     "QUAD8",
     "TET4",
     "TET10",
+    "HEX8",
 ]

@@ -553,6 +553,110 @@ TET10 = ElementType(
 )
 
 
+# --------------------------------------------------------------------------- #
+# Trilinear hexahedron (C3D8) -- BEYOND the reference: FEMcy parses C3D8 but
+# has no element class for it (SURVEY.md: KeyError at inp_info.py:123).
+# Abaqus node order: 1-4 bottom face counterclockwise (r=-1), 5-8 top (r=+1).
+# --------------------------------------------------------------------------- #
+_HEX8_SIGNS = np.array(
+    [
+        [-1, -1, -1],
+        [1, -1, -1],
+        [1, 1, -1],
+        [-1, 1, -1],
+        [-1, -1, 1],
+        [1, -1, 1],
+        [1, 1, 1],
+        [-1, 1, 1],
+    ],
+    dtype=np.float64,
+)
+
+
+def _hex8_shape(nc):
+    s = _HEX8_SIGNS
+    return (
+        (1.0 + s[:, 0] * nc[0])
+        * (1.0 + s[:, 1] * nc[1])
+        * (1.0 + s[:, 2] * nc[2])
+        / 8.0
+    )
+
+
+def _hex8_dshape(nc):
+    s = _HEX8_SIGNS
+    gx = 1.0 + s[:, 0] * nc[0]
+    gy = 1.0 + s[:, 1] * nc[1]
+    gz = 1.0 + s[:, 2] * nc[2]
+    return np.stack(
+        [s[:, 0] * gy * gz, gx * s[:, 1] * gz, gx * gy * s[:, 2]], axis=1
+    ) / 8.0
+
+
+# full 2x2x2 Gauss rule, points ordered like the nodes (corner signs) so the
+# extrapolation matrix is the trilinear functions at sqrt(3)-stretched coords
+_HEX8_GP = _HEX8_SIGNS / _SQRT3
+_HEX8_EXTRAP = np.stack([_hex8_shape(c) for c in _HEX8_SIGNS * _SQRT3])
+
+# Abaqus C3D8 faces S1..S6 (0-based local nodes)
+_HEX8_FACES = [
+    (0, 1, 2, 3),  # S1 bottom
+    (4, 7, 6, 5),  # S2 top
+    (0, 4, 5, 1),  # S3
+    (1, 5, 6, 2),  # S4
+    (2, 6, 7, 3),  # S5
+    (3, 7, 4, 0),  # S6
+]
+#: outward normal of each face in natural coordinates
+_HEX8_FACE_NORMALS = [
+    (0.0, 0.0, -1.0),
+    (0.0, 0.0, 1.0),
+    (0.0, -1.0, 0.0),
+    (1.0, 0.0, 0.0),
+    (0.0, 1.0, 0.0),
+    (-1.0, 0.0, 0.0),
+]
+
+
+def _hex8_face_gps(face):
+    """2x2 Gauss points on a face: corners of the face pulled to +-1/sqrt(3)
+    within the face plane."""
+    corners = _HEX8_SIGNS[list(face)]
+    center = corners.mean(axis=0)
+    return [tuple(center + (c - center) / _SQRT3) for c in corners]
+
+
+_HEX8_FACET_COOS = {}
+_HEX8_FACET_W = {}
+_HEX8_FACET_N = {}
+for _face, _nrm in zip(_HEX8_FACES, _HEX8_FACE_NORMALS):
+    _key = tuple(sorted(_face))
+    _HEX8_FACET_COOS[_key] = _hex8_face_gps(_face)
+    # facet measure is the corner triangle of the 3 lowest-sorted face nodes
+    # (half the parallelogram face): weights sum to 2 to integrate the full
+    # face (same convention as the tet10 faces, element_quadratic_tetrahedral)
+    _HEX8_FACET_W[_key] = [0.5, 0.5, 0.5, 0.5]
+    _HEX8_FACET_N[_key] = [list(_nrm)] * 4
+
+HEX8 = ElementType(
+    name="hex8",
+    dm=3,
+    n_nodes=8,
+    gauss_points=_HEX8_GP,
+    gauss_weights=np.ones(8),
+    shape_fn=_hex8_shape,
+    dshape_fn=_hex8_dshape,
+    facet_natural_coos=_HEX8_FACET_COOS,
+    facet_point_weights=_HEX8_FACET_W,
+    facet_natural_normals=_HEX8_FACET_N,
+    inp_surface_num=tuple((f,) for f in _HEX8_FACES),
+    extrapolation_matrix=_HEX8_EXTRAP,
+    viz_triangles=tuple(
+        tri for (a, b, c, d) in _HEX8_FACES for tri in ((a, b, c), (a, c, d))
+    ),
+)
+
+
 #: Abaqus/CalculiX element-type keyword -> element definition
 #: (ref: reader/inp_info.py:118-123)
 ELEMENT_REGISTRY = {
@@ -566,6 +670,7 @@ ELEMENT_REGISTRY = {
     "CPE8": QUAD8,
     "C3D4": TET4,
     "C3D10": TET10,
+    "C3D8": HEX8,  # beyond the reference (it parses C3D8 but cannot solve it)
 }
 
 

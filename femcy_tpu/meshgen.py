@@ -12,7 +12,7 @@ from typing import Tuple
 
 import numpy as np
 
-from femcy_tpu.elements import QUAD4, TET4, TRI3
+from femcy_tpu.elements import HEX8, QUAD4, TET4, TRI3
 from femcy_tpu.mesh import FEMesh
 
 
@@ -92,6 +92,36 @@ def box_tets(
             "kuhn": kuhn,
         },
     )
+
+
+def box_hexes(
+    nx: int, ny: int, nz: int, lx: float = 1.0, ly: float = 1.0, lz: float = 1.0
+) -> FEMesh:
+    """Structured hex8 mesh of a box (Abaqus C3D8 node order per cell)."""
+    xs = np.linspace(0.0, lx, nx + 1)
+    ys = np.linspace(0.0, ly, ny + 1)
+    zs = np.linspace(0.0, lz, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    nodes = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+    def nid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    i, j, k = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+    hexes = np.stack(
+        [
+            nid(i, j, k),
+            nid(i + 1, j, k),
+            nid(i + 1, j + 1, k),
+            nid(i, j + 1, k),
+            nid(i, j, k + 1),
+            nid(i + 1, j, k + 1),
+            nid(i + 1, j + 1, k + 1),
+            nid(i, j + 1, k + 1),
+        ],
+        axis=-1,
+    ).reshape(-1, 8)
+    return FEMesh(nodes, hexes.astype(np.int32), HEX8)
 
 
 def cantilever_tets(

@@ -4,9 +4,18 @@ consistency, quadrature volumes, facet normals, extrapolation)."""
 import numpy as np
 import pytest
 
-from femcy_tpu.elements import ELEMENT_REGISTRY, QUAD4, QUAD8, TET4, TET10, TRI3, TRI6
+from femcy_tpu.elements import (
+    ELEMENT_REGISTRY,
+    HEX8,
+    QUAD4,
+    QUAD8,
+    TET4,
+    TET10,
+    TRI3,
+    TRI6,
+)
 
-ALL = [TRI3, TRI6, QUAD4, QUAD8, TET4, TET10]
+ALL = [TRI3, TRI6, QUAD4, QUAD8, TET4, TET10, HEX8]
 
 #: natural-coordinate probes inside each element's parameter domain
 _PROBES = {
@@ -19,6 +28,8 @@ _PROBES_QUAD = [[-0.5, 0.3], [0.9, -0.9], [0.0, 0.0]]
 def _probes(elem):
     if elem.name.startswith("quad"):
         return _PROBES_QUAD
+    if elem.name.startswith("hex"):
+        return [[-0.5, 0.3, 0.2], [0.9, -0.9, 0.1], [0.0, 0.0, 0.0]]
     return _PROBES[elem.dm]
 
 
@@ -54,8 +65,9 @@ def test_dshape_matches_finite_difference(elem):
 
 @pytest.mark.parametrize("elem", ALL, ids=lambda e: e.name)
 def test_quadrature_weights_volume(elem):
-    # reference-element volume: unit triangle 1/2, unit quad 4, unit tet 1/6
-    expected = {"tri": 0.5, "qua": 4.0, "tet": 1.0 / 6.0}[elem.name[:3]]
+    # reference-element volume: unit triangle 1/2, unit quad 4, unit tet 1/6,
+    # unit hex 8
+    expected = {"tri": 0.5, "qua": 4.0, "tet": 1.0 / 6.0, "hex": 8.0}[elem.name[:3]]
     np.testing.assert_allclose(elem.gauss_weights.sum(), expected, atol=1e-12)
 
 
@@ -108,10 +120,18 @@ def test_facet_normals_unit_and_outward(elem):
         nodes = np.array(
             [[0, 0, 1], [1, 0, 0], [0, 0, 0], [0, 1, 0]], dtype=float
         )
-    else:  # tet10
+    elif elem.name == "tet10":
         corners = np.array([[0, 0, 1], [1, 0, 0], [0, 0, 0], [0, 1, 0]], dtype=float)
         mids = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 1), (2, 3)]
         nodes = np.vstack([corners] + [(corners[a] + corners[b]) / 2 for a, b in mids])
+    else:  # hex8
+        nodes = np.array(
+            [
+                [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+                [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+            ],
+            dtype=float,
+        )
     centroid = nodes.mean(axis=0)
     for facet in elem.facet_natural_coos:
         normals, aw, shape_vals = elem.facet_quadrature(nodes, list(facet))
@@ -139,4 +159,5 @@ def test_registry_names():
         "CPE8",
         "C3D4",
         "C3D10",
+        "C3D8",  # beyond the reference
     }

@@ -53,6 +53,7 @@ class ShardedOperands:
     elements: np.ndarray  # (D, E_s, n) padded element shards
     ele_weight: np.ndarray  # (D, E_s) 1 for real elements, 0 for padding
     scatter_targets: np.ndarray  # (D, E_s*edof*edof) into n_dof_pad*width
+    force_targets: np.ndarray  # (D, E_s*edof) global dof per force entry
     colidx: np.ndarray  # (n_dof_pad, W) global columns (row-sharded at run)
     diag_local: np.ndarray  # (n_dof_pad,) flat local slot of each row's diagonal
     nodes: np.ndarray  # (N, dm) replicated
@@ -102,9 +103,11 @@ def build_sharded_operands(
 
     # per-shard scatter maps into the PADDED flat slot space
     targets_sh = np.zeros((D, E_s * edof * edof), dtype=np.int64)
+    force_sh = np.zeros((D, E_s * edof), dtype=np.int32)
     for d in range(D):
         ele = elements_sh[d].astype(np.int64)
         edofs = (ele[:, :, None] * dm + np.arange(dm)).reshape(E_s, edof)
+        force_sh[d] = edofs.reshape(-1)
         rows = np.broadcast_to(edofs[:, :, None], (E_s, edof, edof)).reshape(-1)
         cols = np.broadcast_to(edofs[:, None, :], (E_s, edof, edof)).reshape(-1)
         # vectorised per-entry slot lookup in each row's column list
@@ -124,6 +127,7 @@ def build_sharded_operands(
         elements=elements_sh,
         ele_weight=weight_sh,
         scatter_targets=targets_sh,
+        force_targets=force_sh,
         colidx=colidx,
         diag_local=diag_local,
         nodes=mesh.nodes,
@@ -190,14 +194,23 @@ def _shard_step(
     diag_vals = jnp.where(fixed_local, 1.0, flat[diag_local])
     values_local = flat.at[diag_local].set(diag_vals).reshape(values_local.shape)
 
-    # ---- row-parallel Jacobi-PCG, all inside while_loop ------------------
+    x, k = _row_parallel_pcg(
+        values_local, colidx_local, diag_local, rhs_local, cg_eps, cg_iters
+    )
+    return jax.lax.all_gather(x, AXIS, tiled=True), k
+
+
+def _row_parallel_pcg(values_local, colidx_local, diag_local, b_local,
+                      cg_eps, cg_iters):
+    """Row-parallel Jacobi-PCG: local rows, all_gather'd direction, psum dots;
+    the whole iteration inside one while_loop (collectives ride the ICI)."""
     diag = values_local.reshape(-1)[diag_local]
     minv = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
 
     def spmv_local(d_full):
         return jnp.sum(values_local * d_full[colidx_local], axis=1)
 
-    r0 = rhs_local
+    r0 = b_local
     d0 = minv * r0
     x0 = jnp.zeros_like(r0)
     rmax0 = jax.lax.pmax(jnp.max(jnp.abs(r0)), AXIS)
@@ -222,7 +235,7 @@ def _shard_step(
         return x, r, d, k + 1, rmax
 
     x, r, _, k, _ = jax.lax.while_loop(cond, body, (x0, r0, d0, jnp.int32(0), rmax0))
-    return jax.lax.all_gather(x, AXIS, tiled=True), k
+    return x, k
 
 
 def _local_rows(rows_per_dev: int):
@@ -340,3 +353,206 @@ class ShardedLinearSolver:
             dof_p,
         )
         return x[: ops.n_dof], int(iters)
+
+
+# --------------------------------------------------------------------------- #
+# Sharded geometric-nonlinear Newton step
+# --------------------------------------------------------------------------- #
+def _shard_newton_step(
+    elements,
+    ele_weight,
+    scatter_targets,
+    force_targets,
+    colidx_local,
+    diag_local,
+    rhs_local,
+    fixed_local,
+    sval_full,
+    fixed_full,
+    nodes,
+    dshape_gp,
+    weights_gp,
+    C,
+    dof_full,
+    *,
+    material,
+    n_dof: int,
+    n_dof_pad: int,
+    width: int,
+    rows_per_dev: int,
+    cg_eps: float,
+    cg_iters: int,
+):
+    """One full Newton step, element-data-parallel + row-parallel.
+
+    Per device: pin Dirichlet dofs; deformation gradients, Cauchy stress and
+    internal force on the local element shard; secant+geometric tangent;
+    one psum_scatter each for the force and the matrix rows; Newton-BC the
+    local row block; row-parallel CG; return (dof - du, rms residual).
+    """
+    elements = elements[0]
+    ele_weight = ele_weight[0]
+    scatter_targets = scatter_targets[0]
+    force_targets = force_targets[0]
+
+    dof_full = jnp.where(fixed_full, sval_full, dof_full)
+    u = dof_full[:n_dof].reshape(nodes.shape)
+
+    # deformation gradient w.r.t. the initial configuration
+    dsdX, _ = assembly.gradients_and_volume(nodes, elements, dshape_gp, weights_gp)
+    F = jnp.einsum("enU,egnX->egUX", u[elements], dsdX) + jnp.eye(
+        nodes.shape[1], dtype=dof_full.dtype
+    )
+    sigma = assembly.gp_stress(F, material, large=True)
+
+    # current configuration
+    coords = nodes + u
+    dsdx, vol = assembly.gradients_and_volume(coords, elements, dshape_gp, weights_gp)
+    vol = vol * ele_weight[:, None]
+
+    # internal force -> row-sharded
+    f_elem = jnp.einsum("egaj,egji,eg->eai", dsdx, sigma, vol)
+    f_partial = jax.ops.segment_sum(
+        f_elem.reshape(-1), force_targets, num_segments=n_dof_pad
+    )
+    f_local = jax.lax.psum_scatter(
+        f_partial.reshape(-1, 1), AXIS, scatter_dimension=0, tiled=True
+    ).reshape(-1)
+
+    # tangent (secant + geometric stress stiffening) -> row-sharded
+    Ke = assembly.element_stiffness(dsdx, vol, C)
+    Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
+    partial_flat = jax.ops.segment_sum(
+        Ke.reshape(-1), scatter_targets, num_segments=n_dof_pad * width
+    )
+    values_local = jax.lax.psum_scatter(
+        partial_flat.reshape(n_dof_pad, width), AXIS, scatter_dimension=0, tiled=True
+    )
+
+    # Newton Dirichlet treatment on the local rows
+    residual_local = f_local - rhs_local
+    residual_local = jnp.where(fixed_local, 0.0, residual_local)
+    col_fixed = fixed_full[colidx_local]
+    values_local = jnp.where(col_fixed | fixed_local[:, None], 0.0, values_local)
+    flat = values_local.reshape(-1)
+    diag_vals = jnp.where(fixed_local, 1.0, flat[diag_local])
+    values_local = flat.at[diag_local].set(diag_vals).reshape(values_local.shape)
+
+    rms = jnp.sqrt(
+        jax.lax.psum(jnp.sum(residual_local**2), AXIS) / n_dof
+    )
+
+    du_local, k = _row_parallel_pcg(
+        values_local, colidx_local, diag_local, residual_local, cg_eps, cg_iters
+    )
+    du_full = jax.lax.all_gather(du_local, AXIS, tiled=True)
+    return dof_full - du_full, rms, k
+
+
+class ShardedNewtonStep:
+    """The full geometric-nonlinear Newton step as ONE sharded XLA program.
+
+    Elements are data-parallel across the device mesh, matrix/force rows are
+    sharded after a psum_scatter reduction, and the CG runs row-parallel --
+    the FEM analogue of a sharded training step.
+    """
+
+    def __init__(
+        self,
+        fe_mesh: FEMesh,
+        material: Material,
+        devices: Optional[list] = None,
+        cg_eps: float = 1.0e-3,
+        cg_iters: int = 0,
+    ):
+        devices = devices if devices is not None else jax.devices()
+        self.device_mesh = Mesh(np.asarray(devices), (AXIS,))
+        D = len(devices)
+        ops = build_sharded_operands(fe_mesh, material, D)
+        self.ops = ops
+        self.material = material
+        if cg_iters <= 0:
+            cg_iters = ops.n_dof
+
+        shard = NamedSharding(self.device_mesh, P(AXIS))
+        repl = NamedSharding(self.device_mesh, P())
+
+        def put(x, sharding):
+            return jax.device_put(jnp.asarray(x), sharding)
+
+        self._elements = put(ops.elements, shard)
+        self._ele_weight = put(ops.ele_weight, shard)
+        self._targets = put(ops.scatter_targets, shard)
+        self._force_targets = put(ops.force_targets, shard)
+        self._colidx = put(ops.colidx, shard)
+        self._diag_local = put(ops.diag_local, shard)
+        self._nodes = put(ops.nodes, repl)
+        self._dN = put(ops.dshape_gp, repl)
+        self._w = put(ops.weights_gp, repl)
+        self._C = put(ops.C, repl)
+
+        from jax import shard_map
+
+        fn = partial(
+            _shard_newton_step,
+            material=material,
+            n_dof=ops.n_dof,
+            n_dof_pad=ops.n_dof_pad,
+            width=ops.width,
+            rows_per_dev=ops.rows_per_dev,
+            cg_eps=cg_eps,
+            cg_iters=cg_iters,
+        )
+        self._step = jax.jit(
+            shard_map(
+                fn,
+                mesh=self.device_mesh,
+                in_specs=(
+                    P(AXIS),  # elements
+                    P(AXIS),  # ele_weight
+                    P(AXIS),  # stiffness scatter targets
+                    P(AXIS),  # force targets
+                    P(AXIS, None),  # colidx rows
+                    P(AXIS),  # diag_local
+                    P(AXIS),  # rhs rows
+                    P(AXIS),  # fixed rows
+                    P(),  # sval full
+                    P(),  # fixed full
+                    P(),  # nodes
+                    P(),  # dN
+                    P(),  # w
+                    P(),  # C
+                    P(),  # dof full
+                ),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+        )
+
+    def step(self, dof, rhs, fixed, sval):
+        """dof -> (dof - K^-1 r, rms residual, CG iterations), padded I/O
+        handled internally."""
+        ops = self.ops
+        pad = ops.n_dof_pad - ops.n_dof
+        dof_p = jnp.concatenate([jnp.asarray(dof), jnp.zeros(pad)])
+        rhs_p = jnp.concatenate([jnp.asarray(rhs), jnp.zeros(pad)])
+        fixed_p = jnp.concatenate([jnp.asarray(fixed), jnp.ones(pad, dtype=bool)])
+        sval_p = jnp.concatenate([jnp.asarray(sval), jnp.zeros(pad)])
+        new_dof, rms, k = self._step(
+            self._elements,
+            self._ele_weight,
+            self._targets,
+            self._force_targets,
+            self._colidx,
+            self._diag_local,
+            rhs_p,
+            fixed_p,
+            sval_p,
+            fixed_p,
+            self._nodes,
+            self._dN,
+            self._w,
+            self._C,
+            dof_p,
+        )
+        return new_dof[: ops.n_dof], rms, int(k)

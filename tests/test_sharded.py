@@ -121,3 +121,50 @@ def test_graft_entry_contract(eight_devices):
     assert np.abs(new_dof).max() > 0
 
     mod.dryrun_multichip(8)
+
+
+def test_sharded_newton_step_matches_single_device(eight_devices):
+    """One sharded Newton step must match FEMSystem's single-device step."""
+    from femcy_tpu.parallel.sharded import ShardedNewtonStep
+    from femcy_tpu.solvers.cg import pcg_solve
+
+    mesh = box_tets(3, 3, 3)
+    mat = LinearIsotropic(100.0, 0.3)
+    fixed = np.zeros(mesh.n_dof, dtype=bool)
+    sval = np.zeros(mesh.n_dof)
+    left = np.nonzero(mesh.nodes[:, 0] < 1e-9)[0]
+    for d in range(3):
+        fixed[left * 3 + d] = True
+    right = np.nonzero(mesh.nodes[:, 0] > mesh.nodes[:, 0].max() - 1e-9)[0]
+    rhs = np.zeros(mesh.n_dof)
+    rhs[right * 3 + 1] = 0.2
+    rng = np.random.default_rng(0)
+    dof0 = 0.01 * rng.standard_normal(mesh.n_dof)
+
+    # single-device reference (forced ELL to use the plain eval path)
+    system = FEMSystem(
+        mesh, mat, geometric_nonlinear=True,
+        config=SolverConfig(sparse_format="ell", cg_eps=1e-10),
+    )
+    dof_p, values, residual, rms_ref, _ = system._jit_newton_eval(
+        system._arrs, jnp.asarray(dof0), jnp.asarray(rhs), jnp.asarray(fixed),
+        jnp.asarray(sval),
+    )
+    du, _, _ = pcg_solve(
+        values,
+        system._arrs["colidx"],
+        system._arrs["diag_slot"],
+        residual,
+        eps=1e-10,
+    )
+    dof_ref = np.asarray(dof_p - du)
+
+    # sharded step on 5 devices (includes row padding)
+    stepper = ShardedNewtonStep(mesh, mat, devices=eight_devices[:5], cg_eps=1e-10)
+    dof_new, rms, k = stepper.step(dof0, rhs, fixed, sval)
+    assert k > 0
+    np.testing.assert_allclose(float(rms), float(rms_ref), rtol=1e-9)
+    scale = np.abs(dof_ref).max()
+    np.testing.assert_allclose(
+        np.asarray(dof_new) / scale, dof_ref / scale, atol=1e-8
+    )

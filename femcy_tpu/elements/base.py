@@ -57,6 +57,12 @@ class ElementType:
     #: local-node triples triangulating each element's surface for viz
     #: (ref: per-element `getMesh`, e.g. element_quadratic_tetrahedral.py:258-274)
     viz_triangles: Tuple[Tuple[int, int, int], ...]
+    #: facet -> the two in-plane natural axes of that facet.  When present,
+    #: facet areas are integrated per-GP from the face Jacobian tangents
+    #: (exact for planar quad faces); when None the reference's constant
+    #: corner-triangle measure x weights is used (exact for simplex facets
+    #: and for the half-edge 2D facets)
+    facet_axes: Dict[FacetKey, Tuple[int, int]] = None
 
     # ------------------------------------------------------------------ #
     @property
@@ -115,14 +121,22 @@ class ElementType:
 
         normals = np.zeros((coos.shape[0], self.dm))
         shape_vals = np.zeros((coos.shape[0], self.n_nodes))
-        measure = self._facet_measure(nodes, facet)
+        axes = self.facet_axes.get(facet) if self.facet_axes else None
+        aw = np.zeros(coos.shape[0])
+        measure = None if axes is not None else self._facet_measure(nodes, facet)
         for q in range(coos.shape[0]):
             dsdn = self.dshape_fn(coos[q])
             dxdn = nodes.T @ dsdn
             g = nat_normals[q] @ np.linalg.inv(dxdn)
             normals[q] = g / (np.linalg.norm(g) + 1.0e-30)
             shape_vals[q] = self.shape_fn(coos[q])
-        return normals, measure * weights, shape_vals
+            if axes is not None:
+                # per-GP area element from the face Jacobian tangents
+                t1, t2 = dxdn[:, axes[0]], dxdn[:, axes[1]]
+                aw[q] = np.linalg.norm(np.cross(t1, t2)) * weights[q]
+            else:
+                aw[q] = measure * weights[q]
+        return normals, aw, shape_vals
 
     def _facet_measure(self, nodes: np.ndarray, facet: FacetKey) -> float:
         """Length (2D) / corner-triangle area (3D) of a facet.

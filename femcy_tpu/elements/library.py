@@ -629,14 +629,17 @@ def _hex8_face_gps(face):
 _HEX8_FACET_COOS = {}
 _HEX8_FACET_W = {}
 _HEX8_FACET_N = {}
+_HEX8_FACET_AXES = {}
 for _face, _nrm in zip(_HEX8_FACES, _HEX8_FACE_NORMALS):
     _key = tuple(sorted(_face))
     _HEX8_FACET_COOS[_key] = _hex8_face_gps(_face)
-    # facet measure is the corner triangle of the 3 lowest-sorted face nodes
-    # (half the parallelogram face): weights sum to 2 to integrate the full
-    # face (same convention as the tet10 faces, element_quadratic_tetrahedral)
-    _HEX8_FACET_W[_key] = [0.5, 0.5, 0.5, 0.5]
+    # per-GP Jacobian-based area integration (facet_axes below): the 2x2 rule
+    # over the face's [-1,1]^2 parameter square has unit weights and is exact
+    # for planar (even non-parallelogram) quad faces
+    _HEX8_FACET_W[_key] = [1.0, 1.0, 1.0, 1.0]
     _HEX8_FACET_N[_key] = [list(_nrm)] * 4
+    _normal_axis = int(np.argmax(np.abs(_nrm)))
+    _HEX8_FACET_AXES[_key] = tuple(a for a in range(3) if a != _normal_axis)
 
 HEX8 = ElementType(
     name="hex8",
@@ -654,6 +657,7 @@ HEX8 = ElementType(
     viz_triangles=tuple(
         tri for (a, b, c, d) in _HEX8_FACES for tri in ((a, b, c), (a, c, d))
     ),
+    facet_axes=_HEX8_FACET_AXES,
 )
 
 

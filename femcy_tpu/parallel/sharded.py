@@ -189,10 +189,9 @@ def _shard_step(
         jnp.where(col_fixed, values_local * sval_full[colidx_local], 0.0), axis=1
     )
     rhs_local = jnp.where(fixed_local, sval_full[_local_rows(rows_per_dev)], rhs_local)
-    values_local = jnp.where(col_fixed | fixed_local[:, None], 0.0, values_local)
-    flat = values_local.reshape(-1)
-    diag_vals = jnp.where(fixed_local, 1.0, flat[diag_local])
-    values_local = flat.at[diag_local].set(diag_vals).reshape(values_local.shape)
+    values_local = _zero_one_local(
+        values_local, colidx_local, diag_local, fixed_local, fixed_full
+    )
 
     x, k = _row_parallel_pcg(
         values_local, colidx_local, diag_local, rhs_local, cg_eps, cg_iters
@@ -238,10 +237,43 @@ def _row_parallel_pcg(values_local, colidx_local, diag_local, b_local,
     return x, k
 
 
+def _zero_one_local(values_local, colidx_local, diag_local, fixed_local,
+                    fixed_full):
+    """Zero fixed rows and columns of the local row block, unit diagonal."""
+    col_fixed = fixed_full[colidx_local]
+    values_local = jnp.where(col_fixed | fixed_local[:, None], 0.0, values_local)
+    flat = values_local.reshape(-1)
+    diag_vals = jnp.where(fixed_local, 1.0, flat[diag_local])
+    return flat.at[diag_local].set(diag_vals).reshape(values_local.shape)
+
+
 def _local_rows(rows_per_dev: int):
     """Global row ids of this device's block."""
     base = jax.lax.axis_index(AXIS) * rows_per_dev
     return base + jnp.arange(rows_per_dev)
+
+
+def _put_operands(device_mesh, ops):
+    """device_put the stacked/replicated operand arrays with their shardings;
+    shared by the linear solver and the Newton stepper."""
+    shard = NamedSharding(device_mesh, P(AXIS))
+    repl = NamedSharding(device_mesh, P())
+
+    def put(x, sharding):
+        return jax.device_put(jnp.asarray(x), sharding)
+
+    return {
+        "elements": put(ops.elements, shard),
+        "ele_weight": put(ops.ele_weight, shard),
+        "targets": put(ops.scatter_targets, shard),
+        "force_targets": put(ops.force_targets, shard),
+        "colidx": put(ops.colidx, shard),
+        "diag_local": put(ops.diag_local, shard),
+        "nodes": put(ops.nodes, repl),
+        "dN": put(ops.dshape_gp, repl),
+        "w": put(ops.weights_gp, repl),
+        "C": put(ops.C, repl),
+    }
 
 
 class ShardedLinearSolver:
@@ -267,24 +299,16 @@ class ShardedLinearSolver:
         if cg_iters <= 0:
             cg_iters = ops.n_dof
 
-        shard = NamedSharding(self.device_mesh, P(AXIS))
-        repl = NamedSharding(self.device_mesh, P())
-
-        def put(x, sharding):
-            return jax.device_put(jnp.asarray(x), sharding)
-
-        # stacked per-device arrays -> shard on leading axis
-        self._elements = put(ops.elements, shard)
-        self._ele_weight = put(ops.ele_weight, shard)
-        self._targets = put(ops.scatter_targets, shard)
-        # row-sharded arrays
-        self._colidx = put(ops.colidx, shard)
-        self._diag_local = put(ops.diag_local, shard)
-        # replicated
-        self._nodes = put(ops.nodes, repl)
-        self._dN = put(ops.dshape_gp, repl)
-        self._w = put(ops.weights_gp, repl)
-        self._C = put(ops.C, repl)
+        d = _put_operands(self.device_mesh, ops)
+        self._elements = d["elements"]
+        self._ele_weight = d["ele_weight"]
+        self._targets = d["targets"]
+        self._colidx = d["colidx"]
+        self._diag_local = d["diag_local"]
+        self._nodes = d["nodes"]
+        self._dN = d["dN"]
+        self._w = d["w"]
+        self._C = d["C"]
 
         from jax import shard_map
 
@@ -363,6 +387,7 @@ def _shard_newton_step(
     ele_weight,
     scatter_targets,
     force_targets,
+    dsdX0,
     colidx_local,
     diag_local,
     rhs_local,
@@ -395,11 +420,11 @@ def _shard_newton_step(
     scatter_targets = scatter_targets[0]
     force_targets = force_targets[0]
 
+    dsdX = dsdX0[0]
     dof_full = jnp.where(fixed_full, sval_full, dof_full)
     u = dof_full[:n_dof].reshape(nodes.shape)
 
-    # deformation gradient w.r.t. the initial configuration
-    dsdX, _ = assembly.gradients_and_volume(nodes, elements, dshape_gp, weights_gp)
+    # deformation gradient w.r.t. the initial configuration (precomputed)
     F = jnp.einsum("enU,egnX->egUX", u[elements], dsdX) + jnp.eye(
         nodes.shape[1], dtype=dof_full.dtype
     )
@@ -430,13 +455,10 @@ def _shard_newton_step(
     )
 
     # Newton Dirichlet treatment on the local rows
-    residual_local = f_local - rhs_local
-    residual_local = jnp.where(fixed_local, 0.0, residual_local)
-    col_fixed = fixed_full[colidx_local]
-    values_local = jnp.where(col_fixed | fixed_local[:, None], 0.0, values_local)
-    flat = values_local.reshape(-1)
-    diag_vals = jnp.where(fixed_local, 1.0, flat[diag_local])
-    values_local = flat.at[diag_local].set(diag_vals).reshape(values_local.shape)
+    residual_local = jnp.where(fixed_local, 0.0, f_local - rhs_local)
+    values_local = _zero_one_local(
+        values_local, colidx_local, diag_local, fixed_local, fixed_full
+    )
 
     rms = jnp.sqrt(
         jax.lax.psum(jnp.sum(residual_local**2), AXIS) / n_dof
@@ -474,22 +496,28 @@ class ShardedNewtonStep:
         if cg_iters <= 0:
             cg_iters = ops.n_dof
 
+        d = _put_operands(self.device_mesh, ops)
+        self._elements = d["elements"]
+        self._ele_weight = d["ele_weight"]
+        self._targets = d["targets"]
+        self._force_targets = d["force_targets"]
+        self._colidx = d["colidx"]
+        self._diag_local = d["diag_local"]
+        self._nodes = d["nodes"]
+        self._dN = d["dN"]
+        self._w = d["w"]
+        self._C = d["C"]
+        # initial-configuration gradients per element shard, computed once
+        dsdX0, _ = assembly.gradients_and_volume(
+            d["nodes"], jnp.asarray(ops.elements.reshape(-1, ops.elements.shape[-1])),
+            d["dN"], d["w"],
+        )
         shard = NamedSharding(self.device_mesh, P(AXIS))
-        repl = NamedSharding(self.device_mesh, P())
-
-        def put(x, sharding):
-            return jax.device_put(jnp.asarray(x), sharding)
-
-        self._elements = put(ops.elements, shard)
-        self._ele_weight = put(ops.ele_weight, shard)
-        self._targets = put(ops.scatter_targets, shard)
-        self._force_targets = put(ops.force_targets, shard)
-        self._colidx = put(ops.colidx, shard)
-        self._diag_local = put(ops.diag_local, shard)
-        self._nodes = put(ops.nodes, repl)
-        self._dN = put(ops.dshape_gp, repl)
-        self._w = put(ops.weights_gp, repl)
-        self._C = put(ops.C, repl)
+        self._dsdX0 = jax.device_put(
+            np.asarray(dsdX0).reshape(ops.elements.shape[0],
+                                      ops.elements.shape[1], *dsdX0.shape[1:]),
+            shard,
+        )
 
         from jax import shard_map
 
@@ -512,6 +540,7 @@ class ShardedNewtonStep:
                     P(AXIS),  # ele_weight
                     P(AXIS),  # stiffness scatter targets
                     P(AXIS),  # force targets
+                    P(AXIS),  # dsdX0 per element shard
                     P(AXIS, None),  # colidx rows
                     P(AXIS),  # diag_local
                     P(AXIS),  # rhs rows
@@ -543,6 +572,7 @@ class ShardedNewtonStep:
             self._ele_weight,
             self._targets,
             self._force_targets,
+            self._dsdX0,
             self._colidx,
             self._diag_local,
             rhs_p,

@@ -125,3 +125,18 @@ def test_c3d8_inp_roundtrip(tmp_path):
     assert dof[top, 2].mean() > 0
     # roughly uniform uniaxial state: uz_top ~ sigma/E * h = 2/1000
     np.testing.assert_allclose(dof[top, 2].mean(), 2.0 / 1000.0, rtol=0.2)
+
+
+def test_hex8_distorted_face_area_exact():
+    """Facet quadrature must integrate planar non-parallelogram faces exactly
+    (regression: the corner-triangle measure under-integrated by 33%)."""
+    nodes = np.array(
+        [
+            [0, 0, 0], [1, 0, 0], [2, 1, 0], [0, 1, 0],
+            [0, 0, 1], [1, 0, 1], [2, 1, 1], [0, 1, 1],
+        ],
+        dtype=float,
+    )
+    normals, aw, _ = HEX8.facet_quadrature(nodes, [4, 7, 6, 5])  # top face S2
+    np.testing.assert_allclose(aw.sum(), 1.5, rtol=1e-12)  # true area
+    np.testing.assert_allclose(normals, [[0.0, 0.0, 1.0]] * 4, atol=1e-12)

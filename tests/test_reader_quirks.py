@@ -79,23 +79,25 @@ def test_static_ini_clamped_to_max(tmp_path):
 
 
 def test_unsupported_but_recognized_type(tmp_path):
-    src = (tmp_path / "c3d8.inp")
+    """C3D6 wedges parse (recognized keyword) but have no element class --
+    same boundary as the reference, but with a clear error instead of a
+    KeyError deep in a dict lookup.  (C3D8 used to be here too; femcy-tpu now
+    supports it, see tests/test_hex8.py.)"""
+    src = tmp_path / "c3d6.inp"
     src.write_text(
         """*Node
 1, 0., 0., 0.
 2, 1., 0., 0.
 3, 0., 1., 0.
 4, 0., 0., 1.
-5, 1., 1., 0.
-6, 1., 0., 1.
-7, 0., 1., 1.
-8, 1., 1., 1.
-*Element, type=C3D8
-1, 1, 2, 5, 3, 4, 6, 8, 7
+5, 1., 0., 1.
+6, 0., 1., 1.
+*Element, type=C3D6
+1, 1, 2, 3, 4, 5, 6
 *Material, name=m
 *Elastic
 100., 0.3
 """
     )
-    with pytest.raises(KeyError, match="C3D8"):
+    with pytest.raises(KeyError, match="C3D6"):
         read_inp(str(src))

@@ -98,3 +98,36 @@ def test_gif_helper(tmp_path):
     assert os.path.getsize(gif) > 1000
     found = collect_frames(str(tmp_path), r"f_(\d+)\.png$")
     assert found == frames
+
+
+def test_cli_f32_mode(fixtures_dir):
+    """The framework must run in TPU-native f32 (FEMCY_TPU_X64=0)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, FEMCY_TPU_X64="0")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "femcy_tpu.cli",
+            str(fixtures_dir / ELLIP),
+            "--platform",
+            "cpu",
+            "--stress",
+            "1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    syy = float(
+        [l for l in out.stdout.splitlines() if "max nodal stress[11]" in l][0]
+        .split("=")[1]
+    )
+    # f32 keeps the elliptic anchor within 0.1%
+    assert abs(syy - 93.45) / 93.45 < 1e-3

@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="assemble the per-increment frames into a GIF here",
     )
     p.add_argument("--save-vtk", default=None, help="write a VTK result file here")
+    p.add_argument(
+        "--cmap",
+        default="turbo",
+        help="matplotlib colormap for PNG export (the reference's colorBar.py "
+        "offers selectable ramps; any matplotlib name works here, e.g. "
+        "rainbow, viridis, jet)",
+    )
     p.add_argument("--checkpoint", default=None, help="write .npz checkpoints here")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -120,6 +127,7 @@ def main(argv=None) -> int:
             nodal_f,
             fname,
             title=f"t={record.time:.4f}",
+            cmap=args.cmap,
         )
         frames.append(fname)
 
@@ -161,7 +169,7 @@ def main(argv=None) -> int:
     if args.save_png:
         from femcy_tpu.io.export import export_png
 
-        export_png(mesh, dof, nodal_mises, args.save_png, title="Mises stress")
+        export_png(mesh, dof, nodal_mises, args.save_png, title="Mises stress", cmap=args.cmap)
         print(f"wrote {args.save_png}")
     if args.save_vtk:
         from femcy_tpu.io.export import average_nodal_field, export_vtk

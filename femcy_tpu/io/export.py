@@ -21,6 +21,7 @@ _VTK_CELL = {
     "tri6": 22,
     "quad8": 23,
     "tet10": 24,
+    "hex8": 12,
 }
 
 
@@ -49,6 +50,7 @@ def export_png(
     path: str,
     title: str = "",
     deform_scale: float = 1.0,
+    cmap: str = "turbo",
 ):
     """Render the (deformed) surface mesh colored by a nodal field to PNG.
 
@@ -72,7 +74,7 @@ def export_png(
             coords[:, 1],
             tris,
             facecolors=face_vals,
-            cmap="turbo",
+            cmap=cmap,
             edgecolors="none",
         )
         edges = mesh.surface_edges
@@ -87,7 +89,7 @@ def export_png(
         ax = fig.add_subplot(projection="3d")
         polys = coords[tris]
         norm = plt.Normalize(face_vals.min(), face_vals.max() + 1e-30)
-        colors = plt.get_cmap("turbo")(norm(face_vals))
+        colors = plt.get_cmap(cmap)(norm(face_vals))
         coll = Poly3DCollection(polys, facecolors=colors, edgecolors="k", linewidths=0.1)
         ax.add_collection3d(coll)
         lo, hi = coords.min(axis=0), coords.max(axis=0)
@@ -95,7 +97,7 @@ def export_png(
         ax.set_xlim(c[0] - r, c[0] + r)
         ax.set_ylim(c[1] - r, c[1] + r)
         ax.set_zlim(c[2] - r, c[2] + r)
-        fig.colorbar(plt.cm.ScalarMappable(norm=norm, cmap="turbo"), ax=ax, shrink=0.6)
+        fig.colorbar(plt.cm.ScalarMappable(norm=norm, cmap=cmap), ax=ax, shrink=0.6)
     if title:
         ax.set_title(title)
     fig.savefig(path, dpi=150, bbox_inches="tight")

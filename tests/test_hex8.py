@@ -140,3 +140,13 @@ def test_hex8_distorted_face_area_exact():
     normals, aw, _ = HEX8.facet_quadrature(nodes, [4, 7, 6, 5])  # top face S2
     np.testing.assert_allclose(aw.sum(), 1.5, rtol=1e-12)  # true area
     np.testing.assert_allclose(normals, [[0.0, 0.0, 1.0]] * 4, atol=1e-12)
+
+
+def test_hex8_vtk_export(tmp_path):
+    from femcy_tpu.io.export import export_vtk
+
+    mesh = box_hexes(2, 2, 2)
+    path = export_vtk(mesh, str(tmp_path / "h.vtk"), dof=np.zeros(mesh.n_dof))
+    text = open(path).read()
+    assert "CELL_TYPES 8" in text
+    assert "\n12\n" in text  # VTK_HEXAHEDRON

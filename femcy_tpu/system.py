@@ -317,6 +317,7 @@ class FEMSystem:
         inp: InpModel,
         user_dirichlet: Optional[Callable] = None,
         on_increment: Optional[Callable] = None,
+        on_newton: Optional[Callable] = None,
         resume: bool = False,
     ) -> SolveReport:
         """Run the full adaptive-load-stepping analysis
@@ -324,6 +325,9 @@ class FEMSystem:
 
         ``resume=True`` continues from the current (dof, time0, dt) state --
         e.g. right after ``load_checkpoint`` -- instead of restarting at t=0.
+        ``on_newton(system, newton_loop, residual)`` is called after every
+        Newton evaluation (the reference's ``show_newton_steps`` hook,
+        stiffnessMtrx.py:663-666, 788-790).
         """
         t_start = _time.time()
         cfg = self.config
@@ -365,7 +369,9 @@ class FEMSystem:
             else:
                 rhs = jnp.zeros(self.pattern.n_dof)
 
-            converged, newton_loops, res = self._advance_inc(rhs, fixed_d, sval_d)
+            converged, newton_loops, res = self._advance_inc(
+                rhs, fixed_d, sval_d, on_newton
+            )
 
             if not converged:
                 # cut back (ref: stiffnessMtrx.py:692-701)
@@ -407,7 +413,7 @@ class FEMSystem:
         )
 
     # ------------------------------------------------------------------ #
-    def _advance_inc(self, rhs, fixed, sval):
+    def _advance_inc(self, rhs, fixed, sval, on_newton=None):
         """One load increment (ref: stiffnessMtrx.py:714-822).
 
         Returns (converged, newton_loops, final residual).
@@ -424,12 +430,18 @@ class FEMSystem:
             return True, 0, 0.0
 
         # --- Newton-Raphson with boost/relax line search --------------------
+        newton_count = {"n": -1}
+
         def evaluate(dof):
             with self.timer.section("newton_eval"):
                 dof, values, residual, res, vol = self._jit_newton_eval(
                     self._arrs, dof, rhs, fixed, sval
                 )
             self._last_vol = vol
+            newton_count["n"] += 1
+            if on_newton is not None:
+                self.dof = dof  # expose current state to the callback
+                on_newton(self, newton_count["n"], float(res))
             return dof, values, residual, float(res)
 
         dof, values, residual, pre_residual = evaluate(self.dof)

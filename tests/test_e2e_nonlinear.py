@@ -162,3 +162,20 @@ def test_checkpoint_resume_continues(tmp_path, fixtures_dir):
     d_res = np.asarray(fresh.dof)
     scale = np.abs(d_full).max()
     np.testing.assert_allclose(d_res / scale, d_full / scale, atol=5e-3)
+
+
+def test_on_newton_callback(fixtures_dir):
+    """Per-Newton-evaluation hook (parity with the reference's
+    show_newton_steps path)."""
+    inp = read_inp(fixtures_dir / BEAM_LARGE)
+    inp.time_incs = dict(inp.time_incs, max_time=inp.time_incs["ini_inc"])
+    mat = material_from_inp(inp.material_type, inp.material_params, inp.element_type)
+    system = FEMSystem(
+        FEMesh(inp.nodes, inp.elements, inp.element), mat, inp.geometric_nonlinear
+    )
+    calls = []
+    report = system.solve(inp, on_newton=lambda s, k, r: calls.append((k, r)))
+    assert report.success
+    assert len(calls) > 2
+    assert calls[0][0] == 0
+    assert all(np.isfinite(r) for _, r in calls)

@@ -1,0 +1,261 @@
+"""Geometric multigrid preconditioner for structured box_tets meshes.
+
+A V-cycle over dyadically coarsened box grids, used as the preconditioner of
+the CG solve.  Everything is gather-free, matching the structured fast path:
+
+* prolongation = separable linear interpolation on the (n+1)^3 node grid
+  (static slice assignments per axis), restriction = its exact transpose;
+* each level's operator is the rediscretized DIA matrix from the same
+  structured dense assembly, with the same Dirichlet zero-one elimination
+  (faces coarsen onto faces, so the fixed masks stay consistent);
+* damped-Jacobi smoothing (fixed sweep counts) keeps the cycle a fixed
+  symmetric linear operator, valid inside plain PCG;
+* the coarsest level is solved exactly with a precomputed dense inverse.
+
+The reference has nothing comparable (its only solver is Jacobi-PCG,
+conjugateGradientSolver.py); this is a beyond-parity scalability feature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from femcy_tpu import assembly
+from femcy_tpu.materials import Material
+from femcy_tpu.mesh import FEMesh
+from femcy_tpu.meshgen import box_tets
+from femcy_tpu.solvers.dia import (
+    DIAPattern,
+    build_dia_pattern,
+    dia_dirichlet_linear,
+    dia_spmv,
+)
+from femcy_tpu.structured import build_structured_plan, structured_assemble
+from femcy_tpu.topology import build_pattern
+
+
+def _interp_axis(u, axis: int):
+    """Linear interpolation n+1 -> 2n+1 along one axis (even: copy, odd: mean)."""
+    n1 = u.shape[axis]
+    out_shape = list(u.shape)
+    out_shape[axis] = 2 * n1 - 1
+    out = jnp.zeros(out_shape, dtype=u.dtype)
+
+    def sl(start, stop, step):
+        idx = [slice(None)] * u.ndim
+        idx[axis] = slice(start, stop, step)
+        return tuple(idx)
+
+    out = out.at[sl(0, None, 2)].set(u)
+    lo = u[sl(0, -1, 1)]
+    hi = u[sl(1, None, 1)]
+    return out.at[sl(1, None, 2)].set(0.5 * (lo + hi))
+
+
+def _restrict_axis(r, axis: int):
+    """Exact transpose of _interp_axis: 2n+1 -> n+1 along one axis."""
+
+    def sl(start, stop, step):
+        idx = [slice(None)] * r.ndim
+        idx[axis] = slice(start, stop, step)
+        return tuple(idx)
+
+    even = r[sl(0, None, 2)]
+    odd = r[sl(1, None, 2)]
+    pad = [(0, 0)] * r.ndim
+    pad_lo = list(pad)
+    pad_lo[axis] = (1, 0)
+    pad_hi = list(pad)
+    pad_hi[axis] = (0, 1)
+    return even + 0.5 * (jnp.pad(odd, pad_lo) + jnp.pad(odd, pad_hi))
+
+
+def prolong(u_coarse, grid_coarse: Tuple[int, int, int]):
+    """(prod(nc+1)*3,) coarse dofs -> fine dofs on the doubled grid."""
+    ncx, ncy, ncz = grid_coarse
+    u = u_coarse.reshape(ncx + 1, ncy + 1, ncz + 1, 3)
+    for axis in range(3):
+        u = _interp_axis(u, axis)
+    return u.reshape(-1)
+
+
+def restrict(r_fine, grid_fine: Tuple[int, int, int]):
+    """Transpose of prolong: fine dofs -> coarse dofs on the halved grid."""
+    nfx, nfy, nfz = grid_fine
+    r = r_fine.reshape(nfx + 1, nfy + 1, nfz + 1, 3)
+    for axis in range(3):
+        r = _restrict_axis(r, axis)
+    return r.reshape(-1)
+
+
+@dataclasses.dataclass
+class _Level:
+    grid: Tuple[int, int, int]
+    dia: DIAPattern
+    values: jax.Array  # BC-eliminated DIA operator
+    inv_diag: jax.Array
+    fixed: jax.Array  # bool per dof
+
+
+class StructuredMultigrid:
+    """V-cycle preconditioner over dyadically coarsened box_tets grids.
+
+    Built for a specific (mesh, material, fixed-dof mask); the resulting
+    ``precondition``/``solve`` operate on BC-eliminated residuals.
+    """
+
+    def __init__(
+        self,
+        mesh: FEMesh,
+        material: Material,
+        fixed: np.ndarray,
+        n_levels: int = 0,
+        omega: float = 0.7,
+        smooth_steps: int = 2,
+        coarsest_max_dof: int = 3000,
+    ):
+        info = mesh.structure
+        assert info is not None and info["kind"] == "box_tets"
+        nx, ny, nz = info["nx"], info["ny"], info["nz"]
+        lx = mesh.nodes[:, 0].max()
+        ly = mesh.nodes[:, 1].max()
+        lz = mesh.nodes[:, 2].max()
+        self.omega = omega
+        self.smooth_steps = smooth_steps
+
+        # level grids, fine -> coarse: keep halving while the coarsest level
+        # is still too large for a dense solve and every dim stays even
+        grids = [(nx, ny, nz)]
+        while (
+            all(d % 2 == 0 and d >= 4 for d in grids[-1])
+            and 3 * int(np.prod([d + 1 for d in grids[-1]])) > coarsest_max_dof
+            and (n_levels <= 0 or len(grids) < n_levels)
+        ):
+            grids.append(tuple(d // 2 for d in grids[-1]))
+        self.grids = grids
+        coarsest_dof = 3 * int(np.prod([d + 1 for d in grids[-1]]))
+        if coarsest_dof > 4 * coarsest_max_dof:
+            raise ValueError(
+                f"cannot coarsen below {grids[-1]} ({coarsest_dof} dofs): "
+                "grid dims should contain enough factors of 2 for multigrid"
+            )
+
+        # assemble + BC-eliminate the operator on every level
+        self.levels: List[_Level] = []
+        fixed_l = np.asarray(fixed, dtype=bool)
+        mesh_l = mesh
+        for li, g in enumerate(grids):
+            if li > 0:
+                mesh_l = box_tets(*g, lx, ly, lz)
+                # coarsen the mask: coarse grid nodes are the even-index fine
+                # nodes; a coarse dof is fixed iff its fine image is fixed
+                fixed_l = self._coarsen_mask(fixed_l, grids[li - 1])
+            ell = build_pattern(mesh_l)
+            dia = build_dia_pattern(mesh_l, ell=ell)
+            plan = build_structured_plan(mesh_l, dia)
+            dsdx, vol = assembly.gradients_and_volume(
+                jnp.asarray(mesh_l.nodes),
+                jnp.asarray(mesh_l.elements),
+                jnp.asarray(mesh_l.element.dshape_at_gp),
+                jnp.asarray(mesh_l.element.gauss_weights),
+            )
+            values = structured_assemble(dsdx, vol, jnp.asarray(material.C), plan)
+            values, _ = dia_dirichlet_linear(
+                values,
+                dia.offsets,
+                dia.diag_idx,
+                jnp.zeros(dia.n_dof),
+                jnp.asarray(fixed_l),
+                jnp.zeros(dia.n_dof),
+            )
+            diag = values[:, dia.diag_idx]
+            self.levels.append(
+                _Level(
+                    grid=g,
+                    dia=dia,
+                    values=values,
+                    inv_diag=jnp.where(diag != 0.0, 1.0 / diag, 0.0),
+                    fixed=jnp.asarray(fixed_l),
+                )
+            )
+
+        # coarsest: dense inverse (host, once)
+        last = self.levels[-1]
+        dense = last.dia.to_scipy(np.asarray(last.values)).toarray()
+        self._coarse_inv = jnp.asarray(np.linalg.inv(dense))
+
+    @staticmethod
+    def _coarsen_mask(fixed_fine: np.ndarray, grid_fine) -> np.ndarray:
+        nfx, nfy, nfz = grid_fine
+        m = fixed_fine.reshape(nfx + 1, nfy + 1, nfz + 1, 3)
+        return np.ascontiguousarray(m[::2, ::2, ::2, :]).reshape(-1)
+
+    # ------------------------------------------------------------------ #
+    def _smooth(self, level: _Level, x, b, steps: int):
+        for _ in range(steps):
+            r = b - dia_spmv(level.values, level.dia.offsets, x)
+            x = x + self.omega * level.inv_diag * r
+        return x
+
+    def _vcycle(self, li: int, b):
+        level = self.levels[li]
+        if li == len(self.levels) - 1:
+            return self._coarse_inv @ b
+        x = self._smooth(level, jnp.zeros_like(b), b, self.smooth_steps)
+        r = b - dia_spmv(level.values, level.dia.offsets, x)
+        # keep transfers out of the fixed dofs so BC rows stay exact
+        rc = restrict(jnp.where(level.fixed, 0.0, r), level.grid)
+        next_level = self.levels[li + 1]
+        rc = jnp.where(next_level.fixed, 0.0, rc)
+        ec = self._vcycle(li + 1, rc)
+        e = prolong(jnp.where(next_level.fixed, 0.0, ec), next_level.grid)
+        x = x + jnp.where(level.fixed, 0.0, e)
+        return self._smooth(level, x, b, self.smooth_steps)
+
+    def precondition(self, r):
+        """Apply one V-cycle: a fixed symmetric-ish linear operator M^-1 r."""
+        return self._vcycle(0, r)
+
+    # ------------------------------------------------------------------ #
+    def pcg_solve(self, values, b, eps: float = 1.0e-3, max_iters: int = 200):
+        """PCG on the fine DIA operator with the V-cycle preconditioner.
+
+        ``values`` must be the SAME BC-eliminated fine operator the cycle was
+        built with (pass self.levels[0].values for the canonical use).
+        """
+        dia = self.levels[0].dia
+
+        def apply_m(r):
+            return self.precondition(r)
+
+        r0 = b
+        d0 = apply_m(r0)
+        x0 = jnp.zeros_like(b)
+        rmax0 = jnp.max(jnp.abs(r0))
+
+        def cond(state):
+            _, r, _, _, k = state
+            rmax = jnp.max(jnp.abs(r))
+            return (k < max_iters) & (rmax >= eps * rmax0) & (rmax0 > 0.0)
+
+        def body(state):
+            x, r, d, rmr, k = state
+            Ad = dia_spmv(values, dia.offsets, d)
+            alpha = rmr / jnp.dot(d, Ad)
+            x = x + alpha * d
+            r = r - alpha * Ad
+            z = apply_m(r)
+            rmr_new = jnp.dot(r, z)
+            d = z + (rmr_new / rmr) * d
+            return x, r, d, rmr_new, k + 1
+
+        rmr0 = jnp.dot(r0, d0)
+        x, r, _, _, k = jax.lax.while_loop(
+            cond, body, (x0, r0, d0, rmr0, jnp.int32(0))
+        )
+        return x, k, jnp.max(jnp.abs(r))

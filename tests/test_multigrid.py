@@ -1,0 +1,104 @@
+"""Geometric multigrid preconditioner (structured meshes, beyond-parity)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from femcy_tpu import assembly
+from femcy_tpu.materials import LinearIsotropic
+from femcy_tpu.meshgen import box_tets
+from femcy_tpu.solvers.dia import (
+    build_dia_pattern,
+    dia_dirichlet_linear,
+    dia_pcg_solve,
+)
+from femcy_tpu.solvers.multigrid import (
+    StructuredMultigrid,
+    prolong,
+    restrict,
+)
+from femcy_tpu.structured import build_structured_plan, structured_assemble
+from femcy_tpu.topology import build_pattern
+
+
+def _problem(nx):
+    mesh = box_tets(nx, nx, nx)
+    mat = LinearIsotropic(1000.0, 0.3)
+    fixed = np.zeros(mesh.n_dof, bool)
+    bottom = np.nonzero(mesh.nodes[:, 2] < 1e-12)[0]
+    top = np.nonzero(mesh.nodes[:, 2] > 1 - 1e-12)[0]
+    for d in range(3):
+        fixed[bottom * 3 + d] = True
+    rhs = np.zeros(mesh.n_dof)
+    rhs[top * 3] = 1.0
+
+    ell = build_pattern(mesh)
+    dia = build_dia_pattern(mesh, ell=ell)
+    plan = build_structured_plan(mesh, dia)
+    dsdx, vol = assembly.gradients_and_volume(
+        jnp.asarray(mesh.nodes),
+        jnp.asarray(mesh.elements),
+        jnp.asarray(mesh.element.dshape_at_gp),
+        jnp.asarray(mesh.element.gauss_weights),
+    )
+    values = structured_assemble(dsdx, vol, jnp.asarray(mat.C), plan)
+    values_bc, b = dia_dirichlet_linear(
+        values, dia.offsets, dia.diag_idx, jnp.asarray(rhs), jnp.asarray(fixed),
+        jnp.zeros(mesh.n_dof),
+    )
+    return mesh, mat, fixed, dia, values_bc, b
+
+
+def test_prolong_restrict_are_transposes():
+    """<P u_c, v_f> == <u_c, R v_f> for random vectors (R = P^T exactly)."""
+    rng = np.random.default_rng(0)
+    gc = (4, 2, 6)
+    gf = tuple(2 * d for d in gc)
+    nc = 3 * np.prod([d + 1 for d in gc])
+    nf = 3 * np.prod([d + 1 for d in gf])
+    u = jnp.asarray(rng.standard_normal(nc))
+    v = jnp.asarray(rng.standard_normal(nf))
+    lhs = float(jnp.dot(prolong(u, gc), v))
+    rhs = float(jnp.dot(u, restrict(v, gf)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_prolong_preserves_constants_in_interior():
+    gc = (4, 4, 4)
+    u = jnp.ones(3 * 5 * 5 * 5)
+    uf = prolong(u, gc)
+    np.testing.assert_allclose(np.asarray(uf), 1.0, atol=1e-12)
+
+
+def test_mg_pcg_matches_jacobi_and_is_fast():
+    mesh, mat, fixed, dia, values_bc, b = _problem(16)
+    x_j, it_j, _ = dia_pcg_solve(values_bc, dia.offsets, dia.diag_idx, b, eps=1e-8)
+    mg = StructuredMultigrid(mesh, mat, fixed)
+    assert len(mg.levels) >= 2
+    x_m, it_m, _ = mg.pcg_solve(values_bc, b, eps=1e-8)
+    scale = np.abs(np.asarray(x_j)).max()
+    np.testing.assert_allclose(
+        np.asarray(x_m) / scale, np.asarray(x_j) / scale, atol=1e-6
+    )
+    # textbook multigrid: ~order-of-magnitude fewer iterations than Jacobi
+    assert int(it_m) < int(it_j) / 5
+
+
+def test_mg_iteration_count_mesh_independent():
+    its = []
+    for nx in (16, 32):
+        mesh, mat, fixed, dia, values_bc, b = _problem(nx)
+        mg = StructuredMultigrid(mesh, mat, fixed)
+        _, it, _ = mg.pcg_solve(values_bc, b, eps=1e-8)
+        its.append(int(it))
+    # 8x the elements, essentially constant iterations (measured 13 -> 14),
+    # unlike Jacobi-PCG which roughly doubles (357 -> 691)
+    assert its[1] <= its[0] + 6
+
+
+def test_mg_rejects_odd_grids():
+    mesh = box_tets(7, 7, 7)
+    mat = LinearIsotropic(1000.0, 0.3)
+    with pytest.raises(ValueError):
+        StructuredMultigrid(mesh, mat, np.zeros(mesh.n_dof, bool),
+                            coarsest_max_dof=100)

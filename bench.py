@@ -9,7 +9,8 @@ Prints ONE JSON line:
 (vs_baseline > 1 means faster than the target.)
 
 Environment knobs:
-  BENCH_NX        cells per cube edge (default 55 -> 997,920 tets)
+  BENCH_NX        cells per cube edge (default 56 -> 1,053,696 tets; even
+                  dims enable the multigrid preconditioner)
   BENCH_DTYPE     f32 (default, TPU-native) | f64
   BENCH_REPS      timed repetitions (default 3)
   BENCH_PLATFORM  force a JAX platform (e.g. cpu); needed because the
@@ -17,6 +18,8 @@ Environment knobs:
                   JAX_PLATFORMS
   BENCH_STRUCTURED  1 (default) uses the dense structured assembly on
                   structured meshes; 0 forces the general scatter path
+  BENCH_MG        1 (default) preconditions the CG with the geometric
+                  V-cycle when the grid supports it; 0 = scalar Jacobi
 """
 
 from __future__ import annotations
@@ -50,6 +53,7 @@ from femcy_tpu.solvers.dia import (
     dia_pcg_solve,
     dia_scatter,
 )
+from femcy_tpu.solvers.multigrid import StructuredMultigrid
 from femcy_tpu.structured import build_structured_plan, structured_assemble
 from femcy_tpu.topology import build_pattern
 
@@ -65,7 +69,7 @@ def log(*a):
 
 
 def main():
-    nx = int(os.environ.get("BENCH_NX", "55"))
+    nx = int(os.environ.get("BENCH_NX", "56"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     dtype = jnp.float64 if os.environ.get("BENCH_DTYPE", "f32") == "f64" else jnp.float32
 
@@ -120,6 +124,7 @@ def main():
         rhs=rhs, fixed=fixed_d, sval=sval_d,
     )
     plan = None
+    mg = None
     if use_dia:
         offsets, diag_idx, n_off = dia.offsets, dia.diag_idx, dia.n_offsets
         if mesh.structure is not None and os.environ.get("BENCH_STRUCTURED", "1") == "1":
@@ -127,6 +132,18 @@ def main():
             log("using the dense structured (scatter-free) assembly path")
         else:
             arrs["targets"] = jnp.asarray(dia.scatter_targets)
+        if (
+            plan is not None
+            and os.environ.get("BENCH_MG", "1") == "1"
+            and nx % 2 == 0
+        ):
+            t0 = time.time()
+            mg = StructuredMultigrid(mesh, material, fixed)
+            arrs["mg_ops"] = mg.operands()
+            log(
+                f"multigrid preconditioner: levels {[l.grid for l in mg.levels]} "
+                f"({time.time() - t0:.0f}s setup)"
+            )
     else:
         arrs["targets"] = jnp.asarray(pattern.scatter_targets)
         arrs["colidx"] = colidx
@@ -152,6 +169,8 @@ def main():
             values, b = dia_dirichlet_linear(
                 values, offsets, diag_idx, a["rhs"], a["fixed"], a["sval"]
             )
+            if mg is not None:
+                return mg.pcg_solve(values, b, eps=1.0e-3, ops=a["mg_ops"])
             block_dm = 3 if os.environ.get("BENCH_PRECOND", "scalar") == "block" else 0
             return dia_pcg_solve(
                 values, offsets, diag_idx, b, eps=1.0e-3, block_dm=block_dm

@@ -196,42 +196,58 @@ class StructuredMultigrid:
         return np.ascontiguousarray(m[::2, ::2, ::2, :]).reshape(-1)
 
     # ------------------------------------------------------------------ #
-    def _smooth(self, level: _Level, x, b, steps: int):
+    def operands(self):
+        """The per-level device arrays as a pytree, to be passed as jit
+        ARGUMENTS (closure-captured arrays would be baked into the compiled
+        module as constants -- fatal with remote TPU compilation at scale)."""
+        return {
+            "values": [lv.values for lv in self.levels],
+            "inv_diag": [lv.inv_diag for lv in self.levels],
+            "fixed": [lv.fixed for lv in self.levels],
+            "coarse_inv": self._coarse_inv,
+        }
+
+    def _smooth(self, ops, li: int, x, b, steps: int):
+        level = self.levels[li]
         for _ in range(steps):
-            r = b - dia_spmv(level.values, level.dia.offsets, x)
-            x = x + self.omega * level.inv_diag * r
+            r = b - dia_spmv(ops["values"][li], level.dia.offsets, x)
+            x = x + self.omega * ops["inv_diag"][li] * r
         return x
 
-    def _vcycle(self, li: int, b):
+    def _vcycle(self, ops, li: int, b):
         level = self.levels[li]
         if li == len(self.levels) - 1:
-            return self._coarse_inv @ b
-        x = self._smooth(level, jnp.zeros_like(b), b, self.smooth_steps)
-        r = b - dia_spmv(level.values, level.dia.offsets, x)
+            return ops["coarse_inv"] @ b
+        x = self._smooth(ops, li, jnp.zeros_like(b), b, self.smooth_steps)
+        r = b - dia_spmv(ops["values"][li], level.dia.offsets, x)
         # keep transfers out of the fixed dofs so BC rows stay exact
-        rc = restrict(jnp.where(level.fixed, 0.0, r), level.grid)
-        next_level = self.levels[li + 1]
-        rc = jnp.where(next_level.fixed, 0.0, rc)
-        ec = self._vcycle(li + 1, rc)
-        e = prolong(jnp.where(next_level.fixed, 0.0, ec), next_level.grid)
-        x = x + jnp.where(level.fixed, 0.0, e)
-        return self._smooth(level, x, b, self.smooth_steps)
+        rc = restrict(jnp.where(ops["fixed"][li], 0.0, r), level.grid)
+        rc = jnp.where(ops["fixed"][li + 1], 0.0, rc)
+        ec = self._vcycle(ops, li + 1, rc)
+        next_grid = self.levels[li + 1].grid
+        e = prolong(jnp.where(ops["fixed"][li + 1], 0.0, ec), next_grid)
+        x = x + jnp.where(ops["fixed"][li], 0.0, e)
+        return self._smooth(ops, li, x, b, self.smooth_steps)
 
-    def precondition(self, r):
+    def precondition(self, ops, r):
         """Apply one V-cycle: a fixed symmetric-ish linear operator M^-1 r."""
-        return self._vcycle(0, r)
+        return self._vcycle(ops, 0, r)
 
     # ------------------------------------------------------------------ #
-    def pcg_solve(self, values, b, eps: float = 1.0e-3, max_iters: int = 200):
+    def pcg_solve(self, values, b, eps: float = 1.0e-3, max_iters: int = 200,
+                  ops=None):
         """PCG on the fine DIA operator with the V-cycle preconditioner.
 
         ``values`` must be the SAME BC-eliminated fine operator the cycle was
-        built with (pass self.levels[0].values for the canonical use).
+        built with.  Pass ``ops=self.operands()`` explicitly when calling
+        under an outer jit so the level arrays are traced arguments.
         """
         dia = self.levels[0].dia
+        if ops is None:
+            ops = self.operands()
 
         def apply_m(r):
-            return self.precondition(r)
+            return self.precondition(ops, r)
 
         r0 = b
         d0 = apply_m(r0)

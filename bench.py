@@ -138,7 +138,7 @@ def main():
             and nx % 2 == 0
         ):
             t0 = time.time()
-            mg = StructuredMultigrid(mesh, material, fixed)
+            mg = StructuredMultigrid(mesh, material, fixed, dia=dia)
             arrs["mg_ops"] = mg.operands()
             log(
                 f"multigrid preconditioner: levels {[l.grid for l in mg.levels]} "

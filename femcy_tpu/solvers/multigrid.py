@@ -97,8 +97,8 @@ def restrict(r_fine, grid_fine: Tuple[int, int, int]):
 class _Level:
     grid: Tuple[int, int, int]
     dia: DIAPattern
-    values: jax.Array  # BC-eliminated DIA operator
-    inv_diag: jax.Array
+    values: Optional[jax.Array]  # BC-eliminated DIA operator (None at level 0:
+    inv_diag: Optional[jax.Array]  # the fine operator is the caller's)
     fixed: jax.Array  # bool per dof
 
 
@@ -118,6 +118,7 @@ class StructuredMultigrid:
         omega: float = 0.7,
         smooth_steps: int = 2,
         coarsest_max_dof: int = 3000,
+        dia: Optional[DIAPattern] = None,
     ):
         info = mesh.structure
         assert info is not None and info["kind"] == "box_tets"
@@ -145,49 +146,94 @@ class StructuredMultigrid:
                 "grid dims should contain enough factors of 2 for multigrid"
             )
 
-        # assemble + BC-eliminate the operator on every level
+        # Build the level hierarchy.  The FINE operator (level 0) is NOT
+        # assembled here -- the cycle smooths level 0 with the exact operator
+        # the caller hands to pcg_solve/precondition, so setup cost is only
+        # the coarse grids.  Coarse operators are rediscretized + eliminated
+        # on the CPU backend: they are tiny, and compiling them through the
+        # (possibly remote) accelerator backend costs minutes of setup.
         self.levels: List[_Level] = []
         fixed_l = np.asarray(fixed, dtype=bool)
-        mesh_l = mesh
+        cpu = jax.devices("cpu")[0]
         for li, g in enumerate(grids):
-            if li > 0:
-                mesh_l = box_tets(*g, lx, ly, lz)
-                # coarsen the mask: coarse grid nodes are the even-index fine
-                # nodes; a coarse dof is fixed iff its fine image is fixed
-                fixed_l = self._coarsen_mask(fixed_l, grids[li - 1])
+            if li == 0:
+                dia0 = dia if dia is not None else build_dia_pattern(
+                    mesh, ell=build_pattern(mesh)
+                )
+                self.levels.append(
+                    _Level(grid=g, dia=dia0, values=None, inv_diag=None,
+                           fixed=jnp.asarray(fixed_l))
+                )
+                continue
+            mesh_l = box_tets(*g, lx, ly, lz)
+            # coarsen the mask: coarse grid nodes are the even-index fine
+            # nodes; a coarse dof is fixed iff its fine image is fixed
+            fixed_l = self._coarsen_mask(fixed_l, grids[li - 1])
             ell = build_pattern(mesh_l)
-            dia = build_dia_pattern(mesh_l, ell=ell)
-            plan = build_structured_plan(mesh_l, dia)
-            dsdx, vol = assembly.gradients_and_volume(
-                jnp.asarray(mesh_l.nodes),
-                jnp.asarray(mesh_l.elements),
-                jnp.asarray(mesh_l.element.dshape_at_gp),
-                jnp.asarray(mesh_l.element.gauss_weights),
-            )
-            values = structured_assemble(dsdx, vol, jnp.asarray(material.C), plan)
-            values, _ = dia_dirichlet_linear(
-                values,
-                dia.offsets,
-                dia.diag_idx,
-                jnp.zeros(dia.n_dof),
-                jnp.asarray(fixed_l),
-                jnp.zeros(dia.n_dof),
-            )
-            diag = values[:, dia.diag_idx]
+            dia_l = build_dia_pattern(mesh_l, ell=ell)
+            plan = build_structured_plan(mesh_l, dia_l)
+            with jax.default_device(cpu):
+                dsdx, vol = assembly.gradients_and_volume(
+                    jnp.asarray(mesh_l.nodes),
+                    jnp.asarray(mesh_l.elements),
+                    jnp.asarray(mesh_l.element.dshape_at_gp),
+                    jnp.asarray(mesh_l.element.gauss_weights),
+                )
+                values = structured_assemble(
+                    dsdx, vol, jnp.asarray(material.C), plan
+                )
+                values, _ = dia_dirichlet_linear(
+                    values,
+                    dia_l.offsets,
+                    dia_l.diag_idx,
+                    jnp.zeros(dia_l.n_dof),
+                    jnp.asarray(fixed_l),
+                    jnp.zeros(dia_l.n_dof),
+                )
+            values = np.asarray(values)
+            diag = values[:, dia_l.diag_idx]
             self.levels.append(
                 _Level(
                     grid=g,
-                    dia=dia,
-                    values=values,
-                    inv_diag=jnp.where(diag != 0.0, 1.0 / diag, 0.0),
+                    dia=dia_l,
+                    values=jnp.asarray(values),
+                    inv_diag=jnp.asarray(
+                        np.where(diag != 0.0, 1.0 / diag, 0.0)
+                    ),
                     fixed=jnp.asarray(fixed_l),
                 )
             )
 
-        # coarsest: dense inverse (host, once)
+        # coarsest: dense inverse (host, once).  With a single level the
+        # cycle degenerates to a direct solve of the fine operator, which we
+        # then do have to assemble (it is <= coarsest_max_dof by construction
+        # of the ValueError guard above, so this stays cheap).
         last = self.levels[-1]
+        if last.values is None:
+            last = dataclasses.replace(
+                last, values=self._assemble_fine_cpu(mesh, material, fixed)
+            )
+            self.levels[-1] = last
         dense = last.dia.to_scipy(np.asarray(last.values)).toarray()
         self._coarse_inv = jnp.asarray(np.linalg.inv(dense))
+
+    def _assemble_fine_cpu(self, mesh: FEMesh, material: Material, fixed):
+        dia = self.levels[0].dia
+        plan = build_structured_plan(mesh, dia)
+        with jax.default_device(jax.devices("cpu")[0]):
+            dsdx, vol = assembly.gradients_and_volume(
+                jnp.asarray(mesh.nodes),
+                jnp.asarray(mesh.elements),
+                jnp.asarray(mesh.element.dshape_at_gp),
+                jnp.asarray(mesh.element.gauss_weights),
+            )
+            values = structured_assemble(dsdx, vol, jnp.asarray(material.C), plan)
+            values, _ = dia_dirichlet_linear(
+                values, dia.offsets, dia.diag_idx, jnp.zeros(dia.n_dof),
+                jnp.asarray(np.asarray(fixed, dtype=bool)),
+                jnp.zeros(dia.n_dof),
+            )
+        return jnp.asarray(np.asarray(values))
 
     @staticmethod
     def _coarsen_mask(fixed_fine: np.ndarray, grid_fine) -> np.ndarray:
@@ -199,12 +245,27 @@ class StructuredMultigrid:
     def operands(self):
         """The per-level device arrays as a pytree, to be passed as jit
         ARGUMENTS (closure-captured arrays would be baked into the compiled
-        module as constants -- fatal with remote TPU compilation at scale)."""
+        module as constants -- fatal with remote TPU compilation at scale).
+
+        Level 0 slots are None placeholders: the fine operator is supplied
+        per-solve (``pcg_solve(values, ...)``) and its Jacobi diagonal is
+        derived inside the jitted program (``_full_ops``)."""
         return {
-            "values": [lv.values for lv in self.levels],
-            "inv_diag": [lv.inv_diag for lv in self.levels],
+            "values": [lv.values for lv in self.levels[1:]],
+            "inv_diag": [lv.inv_diag for lv in self.levels[1:]],
             "fixed": [lv.fixed for lv in self.levels],
             "coarse_inv": self._coarse_inv,
+        }
+
+    def _full_ops(self, values, ops):
+        """Splice the caller's fine operator into the coarse-level operands."""
+        diag = values[:, self.levels[0].dia.diag_idx]
+        inv0 = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
+        return {
+            "values": [values] + list(ops["values"]),
+            "inv_diag": [inv0] + list(ops["inv_diag"]),
+            "fixed": list(ops["fixed"]),
+            "coarse_inv": ops["coarse_inv"],
         }
 
     def _smooth(self, ops, li: int, x, b, steps: int):
@@ -229,25 +290,31 @@ class StructuredMultigrid:
         x = x + jnp.where(ops["fixed"][li], 0.0, e)
         return self._smooth(ops, li, x, b, self.smooth_steps)
 
-    def precondition(self, ops, r):
-        """Apply one V-cycle: a fixed symmetric-ish linear operator M^-1 r."""
-        return self._vcycle(ops, 0, r)
+    def precondition(self, values, r, ops=None):
+        """Apply one V-cycle: a fixed symmetric-ish linear operator M^-1 r.
+
+        ``values`` is the BC-eliminated fine DIA operator (smoothed against
+        directly -- the hierarchy never stores a fine-level copy)."""
+        if ops is None:
+            ops = self.operands()
+        return self._vcycle(self._full_ops(values, ops), 0, r)
 
     # ------------------------------------------------------------------ #
     def pcg_solve(self, values, b, eps: float = 1.0e-3, max_iters: int = 200,
                   ops=None):
         """PCG on the fine DIA operator with the V-cycle preconditioner.
 
-        ``values`` must be the SAME BC-eliminated fine operator the cycle was
-        built with.  Pass ``ops=self.operands()`` explicitly when calling
+        ``values`` must be BC-eliminated with the same fixed mask the cycle
+        was built with.  Pass ``ops=self.operands()`` explicitly when calling
         under an outer jit so the level arrays are traced arguments.
         """
         dia = self.levels[0].dia
         if ops is None:
             ops = self.operands()
+        full = self._full_ops(values, ops)
 
         def apply_m(r):
-            return self.precondition(ops, r)
+            return self._vcycle(full, 0, r)
 
         r0 = b
         d0 = apply_m(r0)

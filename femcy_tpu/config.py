@@ -39,8 +39,11 @@ class SolverConfig:
     #: max distinct column offsets for the DIA layout to be considered
     dia_max_offsets: int = 1024
     #: CG preconditioner: "jacobi" (reference parity,
-    #: conjugateGradientSolver.py:48-51) or "block_jacobi" (dm x dm node
-    #: blocks; fewer iterations for elasticity; DIA layout only)
+    #: conjugateGradientSolver.py:48-51), "block_jacobi" (dm x dm node
+    #: blocks; fewer iterations for elasticity; DIA layout only) or
+    #: "multigrid" (geometric V-cycle; structured box_tets meshes with
+    #: dyadically coarsenable dims only; mesh-independent iteration counts).
+    #: Applies to the CG path -- the direct solver ignores it.
     preconditioner: str = "jacobi"
 
     # --- Newton-Raphson (geometric nonlinearity) -------------------------

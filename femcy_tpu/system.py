@@ -183,6 +183,18 @@ class FEMSystem:
 
             self._jit_dia_cg = jax.jit(_dia_cg)
 
+        # geometric multigrid preconditioner (lazy: needs the fixed-dof mask,
+        # known only at solve time)
+        self._mg = None
+        self._mg_fixed_key: Optional[bytes] = None
+        self._jit_mg_cg = None
+        if config.preconditioner == "multigrid":
+            if self._structured_plan is None:
+                raise ValueError(
+                    "preconditioner='multigrid' needs a structured box_tets "
+                    "mesh with the DIA layout (e.g. meshgen.box_tets)"
+                )
+
     # ------------------------------------------------------------------ #
     # jitted implementations (pure functions of device state)
     # ------------------------------------------------------------------ #
@@ -291,7 +303,7 @@ class FEMSystem:
     # ------------------------------------------------------------------ #
     # linear solve dispatch (ref: stiffnessMtrx.py:272-276)
     # ------------------------------------------------------------------ #
-    def _solve_linear_system(self, values, b):
+    def _solve_linear_system(self, values, b, fixed=None):
         cfg = self.config
         use_direct = cfg.linear_solver == "direct" or (
             cfg.linear_solver == "auto" and self.pattern.n_dof < cfg.direct_solve_max_dof
@@ -299,6 +311,14 @@ class FEMSystem:
         if use_direct:
             pat = self.dia if self.dia is not None else self.pattern
             return jnp.asarray(direct_solve(pat, values, b))
+        if cfg.preconditioner == "multigrid" and fixed is not None:
+            self._ensure_multigrid(fixed)
+            x, iters, rmax = self._jit_mg_cg(values, b, self._mg_ops)
+            if cfg.verbose:
+                logger.info(
+                    "MG-CG: %d iters, ||r||_inf=%.3e", int(iters), float(rmax)
+                )
+            return x
         if self.dia is not None:
             x, iters, rmax = self._jit_dia_cg(values, b)
         else:
@@ -308,6 +328,32 @@ class FEMSystem:
         if cfg.verbose:
             logger.info("CG: %d iters, ||r||_inf=%.3e", int(iters), float(rmax))
         return x
+
+    def _ensure_multigrid(self, fixed):
+        """Build (or rebuild, if the fixed-dof mask changed) the V-cycle
+        hierarchy and its jitted PCG.  Setup is host/CPU-side and cheap
+        relative to one fine-level compile; the hierarchy is reused across
+        increments and Newton iterations."""
+        key = np.asarray(fixed).tobytes()
+        if self._mg is not None and self._mg_fixed_key == key:
+            return
+        from femcy_tpu.solvers.multigrid import StructuredMultigrid
+
+        self._mg = StructuredMultigrid(
+            self.mesh, self.material, np.asarray(fixed), dia=self.dia
+        )
+        self._mg_fixed_key = key
+        self._mg_ops = self._mg.operands()
+        mg = self._mg
+        cfg = self.config
+        max_iters = cfg.cg_max_iters if cfg.cg_max_iters > 0 else 200
+
+        def _mg_cg(values, b, ops):
+            return mg.pcg_solve(
+                values, b, eps=cfg.cg_eps, max_iters=max_iters, ops=ops
+            )
+
+        self._jit_mg_cg = jax.jit(_mg_cg)
 
     # ------------------------------------------------------------------ #
     # public API
@@ -425,7 +471,7 @@ class FEMSystem:
                     self._arrs, rhs, fixed, sval
                 )
             with self.timer.section("linear_solve"):
-                self.dof = self._solve_linear_system(values, rhs_bc)
+                self.dof = self._solve_linear_system(values, rhs_bc, fixed)
             self._last_vol = vol
             return True, 0, 0.0
 
@@ -470,7 +516,7 @@ class FEMSystem:
                     return False, newton_loop, pre_residual
 
                 with self.timer.section("linear_solve"):
-                    du = self._solve_linear_system(values, residual)
+                    du = self._solve_linear_system(values, residual, fixed)
                 dof = dof - du
                 dof, values, residual, residual_val = evaluate(dof)
                 if np.isnan(residual_val):

@@ -102,3 +102,60 @@ def test_mg_rejects_odd_grids():
     with pytest.raises(ValueError):
         StructuredMultigrid(mesh, mat, np.zeros(mesh.n_dof, bool),
                             coarsest_max_dof=100)
+
+
+def test_system_multigrid_preconditioner_matches_direct():
+    """FEMSystem with preconditioner='multigrid' solves through the V-cycle
+    CG and agrees with the direct solver."""
+    import jax.numpy as jnp
+
+    from femcy_tpu import FEMSystem, SolverConfig
+
+    mesh = box_tets(8, 8, 8)
+    mat = LinearIsotropic(1000.0, 0.3)
+    fixed = np.zeros(mesh.n_dof, bool)
+    bottom = np.nonzero(mesh.nodes[:, 2] < 1e-12)[0]
+    for d in range(3):
+        fixed[bottom * 3 + d] = True
+    rhs = np.zeros(mesh.n_dof)
+    top = np.nonzero(mesh.nodes[:, 2] > 1 - 1e-12)[0]
+    rhs[top * 3] = 1.0
+    sval = np.zeros(mesh.n_dof)
+
+    sys_mg = FEMSystem(
+        mesh, mat, geometric_nonlinear=False,
+        config=SolverConfig(
+            preconditioner="multigrid", linear_solver="cg", cg_eps=1e-8
+        ),
+    )
+    sys_mg._advance_inc(jnp.asarray(rhs), jnp.asarray(fixed), jnp.asarray(sval))
+    assert sys_mg._mg is not None  # the lazy hierarchy was built
+    x_mg = np.asarray(sys_mg.dof)
+
+    sys_d = FEMSystem(
+        mesh, mat, geometric_nonlinear=False,
+        config=SolverConfig(linear_solver="direct"),
+    )
+    sys_d._advance_inc(jnp.asarray(rhs), jnp.asarray(fixed), jnp.asarray(sval))
+    x_d = np.asarray(sys_d.dof)
+
+    scale = np.abs(x_d).max()
+    np.testing.assert_allclose(x_mg / scale, x_d / scale, atol=1e-6)
+
+    # the hierarchy is keyed by the fixed mask: same mask -> no rebuild
+    mg_before = sys_mg._mg
+    sys_mg._advance_inc(jnp.asarray(rhs), jnp.asarray(fixed), jnp.asarray(sval))
+    assert sys_mg._mg is mg_before
+
+
+def test_system_multigrid_requires_structured_mesh():
+    from femcy_tpu import FEMesh, FEMSystem, SolverConfig
+    from femcy_tpu.meshgen import cantilever_tets
+
+    mesh, _, _ = cantilever_tets(4, 2)
+    mesh = FEMesh(mesh.nodes, mesh.elements, mesh.element)  # strips structure
+    with pytest.raises(ValueError, match="multigrid"):
+        FEMSystem(
+            mesh, LinearIsotropic(1000.0, 0.3), geometric_nonlinear=False,
+            config=SolverConfig(preconditioner="multigrid"),
+        )

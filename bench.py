@@ -49,6 +49,7 @@ from femcy_tpu.meshgen import box_tets
 from femcy_tpu.solvers.cg import pcg_solve
 from femcy_tpu.solvers.dia import (
     build_dia_pattern,
+    build_structured_dia_pattern,
     dia_dirichlet_linear,
     dia_pcg_solve,
     dia_scatter,
@@ -82,13 +83,26 @@ def main():
     )
 
     t0 = time.time()
-    pattern = build_pattern(mesh)
-    dia = build_dia_pattern(mesh, ell=pattern)
-    log(
-        f"pattern: width={pattern.width}, nnz={pattern.nnz}, "
-        f"dia offsets={dia.n_offsets if dia else None} "
-        f"({time.time() - t0:.1f}s host setup)"
+    structured = (
+        mesh.structure is not None
+        and os.environ.get("BENCH_STRUCTURED", "1") == "1"
     )
+    if structured:
+        # analytic pattern: no ELL build, no scatter maps (~1s, not ~2min)
+        pattern = None
+        dia = build_structured_dia_pattern(mesh)
+        log(
+            f"structured DIA pattern: offsets={dia.n_offsets} "
+            f"({time.time() - t0:.1f}s host setup)"
+        )
+    else:
+        pattern = build_pattern(mesh)
+        dia = build_dia_pattern(mesh, ell=pattern)
+        log(
+            f"pattern: width={pattern.width}, nnz={pattern.nnz}, "
+            f"dia offsets={dia.n_offsets if dia else None} "
+            f"({time.time() - t0:.1f}s host setup)"
+        )
 
     material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
 
@@ -108,13 +122,12 @@ def main():
     dN = jnp.asarray(mesh.element.dshape_at_gp, dtype=dtype)
     w = jnp.asarray(mesh.element.gauss_weights, dtype=dtype)
     C = jnp.asarray(material.C, dtype=dtype)
-    colidx = jnp.asarray(pattern.colidx)
-    diag_slot = jnp.asarray(pattern.diag_slot)
     rhs = jnp.asarray(rhs_np, dtype=dtype)
     fixed_d = jnp.asarray(fixed)
     sval_d = jnp.asarray(sval, dtype=dtype)
 
-    n_dof, width = pattern.n_dof, pattern.width
+    n_dof = mesh.n_dof
+    width = pattern.width if pattern is not None else 0
 
     # all large arrays are jit ARGUMENTS (closure capture would bake them
     # into the compiled module as constants -- fatal with remote compile)
@@ -127,7 +140,7 @@ def main():
     mg = None
     if use_dia:
         offsets, diag_idx, n_off = dia.offsets, dia.diag_idx, dia.n_offsets
-        if mesh.structure is not None and os.environ.get("BENCH_STRUCTURED", "1") == "1":
+        if structured:
             plan = build_structured_plan(mesh, dia)
             log("using the dense structured (scatter-free) assembly path")
         else:
@@ -146,8 +159,8 @@ def main():
             )
     else:
         arrs["targets"] = jnp.asarray(pattern.scatter_targets)
-        arrs["colidx"] = colidx
-        arrs["diag_slot"] = diag_slot
+        arrs["colidx"] = jnp.asarray(pattern.colidx)
+        arrs["diag_slot"] = jnp.asarray(pattern.diag_slot)
 
     @jax.jit
     def assemble(a):

@@ -41,13 +41,10 @@ class DIAPattern:
     offsets: Tuple[int, ...]
     #: index of offset 0 (the diagonal) in ``offsets``
     diag_idx: int
-    #: scatter map: contribution (Ke layout order) -> flat (row * K + k) slot
-    scatter_targets: np.ndarray
-    #: CSR mirror: flat DIA slots in CSR order (shares indptr/indices with the
-    #: ELL pattern it was built from)
-    csr_slots: np.ndarray
-    csr_indptr: np.ndarray
-    csr_indices: np.ndarray
+    #: scatter map: contribution (Ke layout order) -> flat (row * K + k) slot.
+    #: None for analytically built structured patterns (the dense structured
+    #: assembly writes by offset and never scatters).
+    scatter_targets: Optional[np.ndarray] = None
 
     @property
     def n_offsets(self) -> int:
@@ -62,12 +59,24 @@ class DIAPattern:
         return max(0, max(self.offsets))
 
     def to_scipy(self, values: np.ndarray):
+        """DIA values -> scipy CSR, via scipy's native dia_matrix.
+
+        scipy stores diagonal k by COLUMN (data[k, c] = A[c - off_k, c]);
+        ours is by row (values[r, k] = A[r, r + off_k]), so each diagonal is
+        one shifted copy -- no index arrays needed at all.
+        """
         import scipy.sparse as sp
 
-        data = np.asarray(values).reshape(-1)[self.csr_slots]
+        vals = np.asarray(values)
+        n = self.n_dof
+        data = np.zeros((self.n_offsets, n), dtype=vals.dtype)
+        for k, off in enumerate(self.offsets):
+            if off >= 0:
+                data[k, off:] = vals[: n - off, k]
+            else:
+                data[k, : n + off] = vals[-off:, k]
         return sp.csr_matrix(
-            (data, self.csr_indices, self.csr_indptr),
-            shape=(self.n_dof, self.n_dof),
+            sp.dia_matrix((data, np.asarray(self.offsets)), shape=(n, n))
         )
 
 
@@ -98,9 +107,47 @@ def build_dia_pattern(
         offsets=tuple(int(o) for o in offsets),
         diag_idx=diag_idx,
         scatter_targets=targets.astype(seg_dtype),
-        csr_slots=(rows * K + offidx).astype(np.int64),
-        csr_indptr=ell.csr_indptr,
-        csr_indices=ell.csr_indices,
+    )
+
+
+def build_structured_dia_pattern(mesh: FEMesh) -> DIAPattern:
+    """Analytic DIA pattern for a structured box_tets mesh: O(E) numpy with
+    no ELL pattern, no 152M-entry scatter maps, no sorting -- the whole
+    24M-nnz pattern at 1M elements costs ~1s instead of ~2min.
+
+    The offset SET equals the generic ``build_dia_pattern`` result because
+    every node-coordinate delta the Kuhn subdivision produces occurs at some
+    interior node (grids >= 2 cells per axis).  The structured dense
+    assembly writes by offset, so no scatter map is needed.
+    """
+    info = mesh.structure
+    assert info is not None and info["kind"] == "box_tets"
+    ny, nz = info["ny"], info["nz"]
+    dm = mesh.dm
+    sx, sy = (ny + 1) * (nz + 1), nz + 1
+
+    # distinct node-coordinate deltas, straight from the repeating Kuhn
+    # stencil (every element is one of 6 orientations of the same cube
+    # subdivision, so O(1) work instead of a pass over all elements)
+    corner = np.asarray(info["corner_delta"])  # (8, 3)
+    deltas = []
+    for corners in info["kuhn"]:
+        d = corner[list(corners)]  # (4, 3)
+        deltas.append((d[None, :, :] - d[:, None, :]).reshape(-1, 3))
+    node_deltas = np.unique(np.concatenate(deltas), axis=0)
+
+    node_off = node_deltas[:, 0] * sx + node_deltas[:, 1] * sy + node_deltas[:, 2]
+    comp = np.arange(dm)
+    offsets = np.unique(
+        (node_off[:, None, None] * dm + (comp[None, None, :] - comp[None, :, None]))
+    )
+    diag_idx = int(np.searchsorted(offsets, 0))
+    assert offsets[diag_idx] == 0
+    return DIAPattern(
+        n_dof=mesh.n_dof,
+        offsets=tuple(int(o) for o in offsets),
+        diag_idx=diag_idx,
+        scatter_targets=None,
     )
 
 

@@ -31,12 +31,11 @@ from femcy_tpu.mesh import FEMesh
 from femcy_tpu.meshgen import box_tets
 from femcy_tpu.solvers.dia import (
     DIAPattern,
-    build_dia_pattern,
+    build_structured_dia_pattern,
     dia_dirichlet_linear,
     dia_spmv,
 )
 from femcy_tpu.structured import build_structured_plan, structured_assemble
-from femcy_tpu.topology import build_pattern
 
 
 def _interp_axis(u, axis: int):
@@ -157,9 +156,7 @@ class StructuredMultigrid:
         cpu = jax.devices("cpu")[0]
         for li, g in enumerate(grids):
             if li == 0:
-                dia0 = dia if dia is not None else build_dia_pattern(
-                    mesh, ell=build_pattern(mesh)
-                )
+                dia0 = dia if dia is not None else build_structured_dia_pattern(mesh)
                 self.levels.append(
                     _Level(grid=g, dia=dia0, values=None, inv_diag=None,
                            fixed=jnp.asarray(fixed_l))
@@ -169,8 +166,7 @@ class StructuredMultigrid:
             # coarsen the mask: coarse grid nodes are the even-index fine
             # nodes; a coarse dof is fixed iff its fine image is fixed
             fixed_l = self._coarsen_mask(fixed_l, grids[li - 1])
-            ell = build_pattern(mesh_l)
-            dia_l = build_dia_pattern(mesh_l, ell=ell)
+            dia_l = build_structured_dia_pattern(mesh_l)
             plan = build_structured_plan(mesh_l, dia_l)
             with jax.default_device(cpu):
                 dsdx, vol = assembly.gradients_and_volume(

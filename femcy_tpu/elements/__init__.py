@@ -8,6 +8,7 @@ from femcy_tpu.elements.library import (
     TET10,
     TRI3,
     TRI6,
+    WEDGE6,
     get_element,
 )
 
@@ -22,4 +23,5 @@ __all__ = [
     "TET4",
     "TET10",
     "HEX8",
+    "WEDGE6",
 ]

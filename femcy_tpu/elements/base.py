@@ -131,8 +131,16 @@ class ElementType:
             normals[q] = g / (np.linalg.norm(g) + 1.0e-30)
             shape_vals[q] = self.shape_fn(coos[q])
             if axes is not None:
-                # per-GP area element from the face Jacobian tangents
-                t1, t2 = dxdn[:, axes[0]], dxdn[:, axes[1]]
+                # per-GP area element from the face Jacobian tangents; an
+                # axes entry is either two natural-axis indices or a (2, dm)
+                # array of natural tangent directions (needed for faces not
+                # aligned with a coordinate plane, e.g. the slanted quad
+                # face of a wedge)
+                ax = np.asarray(axes)
+                if ax.ndim == 2:
+                    t1, t2 = dxdn @ ax[0], dxdn @ ax[1]
+                else:
+                    t1, t2 = dxdn[:, axes[0]], dxdn[:, axes[1]]
                 aw[q] = np.linalg.norm(np.cross(t1, t2)) * weights[q]
             else:
                 aw[q] = measure * weights[q]

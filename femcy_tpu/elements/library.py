@@ -661,6 +661,125 @@ HEX8 = ElementType(
 )
 
 
+# --------------------------------------------------------------------------- #
+# Linear wedge / triangular prism (C3D6) -- BEYOND the reference: FEMcy
+# parses C3D6 but has no element class for it (SURVEY.md: KeyError at
+# inp_info.py:123).  Abaqus node order: 1-3 bottom triangle (r=-1), 4-6 top
+# (r=+1).  Natural coordinates (g, h, r): triangle barycentric pair (g, h)
+# with r in [-1, 1] along the prism axis.
+# --------------------------------------------------------------------------- #
+_WEDGE6_NODE_NAT = np.array(
+    [
+        [0.0, 0.0, -1.0],
+        [1.0, 0.0, -1.0],
+        [0.0, 1.0, -1.0],
+        [0.0, 0.0, 1.0],
+        [1.0, 0.0, 1.0],
+        [0.0, 1.0, 1.0],
+    ]
+)
+
+
+def _wedge6_shape(nc):
+    g, h, r = nc[0], nc[1], nc[2]
+    b = np.array([1.0 - g - h, g, h])
+    return np.concatenate([b * (1.0 - r) / 2.0, b * (1.0 + r) / 2.0])
+
+
+def _wedge6_dshape(nc):
+    g, h, r = nc[0], nc[1], nc[2]
+    b = np.array([1.0 - g - h, g, h])
+    dg = np.array([-1.0, 1.0, 0.0])
+    dh = np.array([-1.0, 0.0, 1.0])
+    lo, hi = (1.0 - r) / 2.0, (1.0 + r) / 2.0
+    return np.block(
+        [
+            [dg[:, None] * lo, dh[:, None] * lo, -b[:, None] / 2.0],
+            [dg[:, None] * hi, dh[:, None] * hi, b[:, None] / 2.0],
+        ]
+    )
+
+
+# 3x2 rule: degree-2 triangle points x 2-point Gauss along the axis (exact
+# for the linear-wedge stiffness, which the 2-point centroid rule Abaqus
+# uses for C3D6 is not); ordered bottom-then-top like the nodes so the
+# extrapolation matrix is the wedge shape functions in GP-wedge coordinates
+_WEDGE6_TRI_PTS = np.array([[1 / 6, 1 / 6], [2 / 3, 1 / 6], [1 / 6, 2 / 3]])
+_WEDGE6_GP = np.vstack(
+    [
+        np.column_stack([_WEDGE6_TRI_PTS, np.full(3, s / _SQRT3)])
+        for s in (-1.0, 1.0)
+    ]
+)
+# the GPs form a smaller wedge: tri coords scale by 1/2 about the centroid
+# (1/3, 1/3), the axis by 1/sqrt(3) -- invert that map and evaluate
+_WEDGE6_EXTRAP = np.stack(
+    [
+        _wedge6_shape([2.0 * g - 1.0 / 3.0, 2.0 * h - 1.0 / 3.0, _SQRT3 * r])
+        for (g, h, r) in _WEDGE6_NODE_NAT
+    ]
+)
+
+# Abaqus C3D6 faces S1..S5 (0-based local nodes): two triangles, three quads
+_WEDGE6_FACES = [
+    (0, 1, 2),  # S1 bottom
+    (3, 4, 5),  # S2 top
+    (0, 1, 4, 3),  # S3 (h = 0)
+    (1, 2, 5, 4),  # S4 (g + h = 1)
+    (2, 0, 3, 5),  # S5 (g = 0)
+]
+_WEDGE6_FACET_COOS = {}
+_WEDGE6_FACET_W = {}
+_WEDGE6_FACET_N = {}
+_WEDGE6_FACET_AXES = {}
+
+# triangle faces: centroid point, unit weight; the corner-triangle measure
+# fallback is exact (same treatment as TET4 facets)
+_WEDGE6_FACET_COOS[(0, 1, 2)] = [(1 / 3, 1 / 3, -1.0)]
+_WEDGE6_FACET_COOS[(3, 4, 5)] = [(1 / 3, 1 / 3, 1.0)]
+for _key, _nrm in (((0, 1, 2), (0.0, 0.0, -1.0)), ((3, 4, 5), (0.0, 0.0, 1.0))):
+    _WEDGE6_FACET_W[_key] = [1.0]
+    _WEDGE6_FACET_N[_key] = [list(_nrm)]
+
+# quad faces: 2x2 Gauss over the (edge in [0,1]) x (r in [-1,1]) parameter
+# rectangle (weight 1/2 each), per-GP Jacobian area via natural tangents
+_g2 = [0.5 - 0.5 / _SQRT3, 0.5 + 0.5 / _SQRT3]
+_r2 = [-1.0 / _SQRT3, 1.0 / _SQRT3]
+for _face, _nrm, _param, _tans in [
+    ((0, 1, 4, 3), (0.0, -1.0, 0.0),
+     lambda s, r: (s, 0.0, r), [(1.0, 0.0, 0.0), (0.0, 0.0, 1.0)]),
+    ((1, 2, 5, 4), (1.0, 1.0, 0.0),
+     lambda s, r: (1.0 - s, s, r), [(-1.0, 1.0, 0.0), (0.0, 0.0, 1.0)]),
+    ((2, 0, 3, 5), (-1.0, 0.0, 0.0),
+     lambda s, r: (0.0, s, r), [(0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]),
+]:
+    _key = tuple(sorted(_face))
+    _WEDGE6_FACET_COOS[_key] = [_param(s, r) for s in _g2 for r in _r2]
+    _WEDGE6_FACET_W[_key] = [0.5] * 4
+    _WEDGE6_FACET_N[_key] = [list(_nrm)] * 4
+    _WEDGE6_FACET_AXES[_key] = np.asarray(_tans)
+
+WEDGE6 = ElementType(
+    name="wedge6",
+    dm=3,
+    n_nodes=6,
+    gauss_points=_WEDGE6_GP,
+    gauss_weights=np.full(6, 1.0 / 6.0),
+    shape_fn=_wedge6_shape,
+    dshape_fn=_wedge6_dshape,
+    facet_natural_coos=_WEDGE6_FACET_COOS,
+    facet_point_weights=_WEDGE6_FACET_W,
+    facet_natural_normals=_WEDGE6_FACET_N,
+    inp_surface_num=tuple((tuple(sorted(f)),) for f in _WEDGE6_FACES),
+    extrapolation_matrix=_WEDGE6_EXTRAP,
+    viz_triangles=(
+        (0, 1, 2), (3, 4, 5),
+        (0, 1, 4), (0, 4, 3), (1, 2, 5), (1, 5, 4), (2, 0, 3), (2, 3, 5),
+    ),
+    facet_axes=_WEDGE6_FACET_AXES,
+)
+
+
 #: Abaqus/CalculiX element-type keyword -> element definition
 #: (ref: reader/inp_info.py:118-123)
 ELEMENT_REGISTRY = {
@@ -675,6 +794,7 @@ ELEMENT_REGISTRY = {
     "C3D4": TET4,
     "C3D10": TET10,
     "C3D8": HEX8,  # beyond the reference (it parses C3D8 but cannot solve it)
+    "C3D6": WEDGE6,  # beyond the reference (parses but cannot solve)
 }
 
 

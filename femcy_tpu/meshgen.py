@@ -12,7 +12,7 @@ from typing import Tuple
 
 import numpy as np
 
-from femcy_tpu.elements import HEX8, QUAD4, TET4, TRI3
+from femcy_tpu.elements import HEX8, QUAD4, TET4, TRI3, WEDGE6
 from femcy_tpu.mesh import FEMesh
 
 
@@ -122,6 +122,40 @@ def box_hexes(
         axis=-1,
     ).reshape(-1, 8)
     return FEMesh(nodes, hexes.astype(np.int32), HEX8)
+
+
+def box_wedges(
+    nx: int, ny: int, nz: int, lx: float = 1.0, ly: float = 1.0, lz: float = 1.0
+) -> FEMesh:
+    """Structured wedge6 (C3D6) mesh of a box: each cell split into two
+    z-axis prisms along the xy diagonal (Abaqus C3D6 node order)."""
+    xs = np.linspace(0.0, lx, nx + 1)
+    ys = np.linspace(0.0, ly, ny + 1)
+    zs = np.linspace(0.0, lz, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    nodes = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+    def nid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    i, j, k = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+    # bottom triangles (r axis = z): (i,j) (i+1,j) (i,j+1) and the mirror
+    w1 = np.stack(
+        [
+            nid(i, j, k), nid(i + 1, j, k), nid(i, j + 1, k),
+            nid(i, j, k + 1), nid(i + 1, j, k + 1), nid(i, j + 1, k + 1),
+        ],
+        axis=-1,
+    ).reshape(-1, 6)
+    w2 = np.stack(
+        [
+            nid(i + 1, j + 1, k), nid(i, j + 1, k), nid(i + 1, j, k),
+            nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1), nid(i + 1, j, k + 1),
+        ],
+        axis=-1,
+    ).reshape(-1, 6)
+    wedges = np.concatenate([w1, w2], axis=0)
+    return FEMesh(nodes, wedges.astype(np.int32), WEDGE6)
 
 
 def cantilever_tets(

@@ -160,4 +160,5 @@ def test_registry_names():
         "C3D4",
         "C3D10",
         "C3D8",  # beyond the reference
+        "C3D6",  # beyond the reference
     }

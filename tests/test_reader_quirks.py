@@ -79,25 +79,23 @@ def test_static_ini_clamped_to_max(tmp_path):
 
 
 def test_unsupported_but_recognized_type(tmp_path):
-    """C3D6 wedges parse (recognized keyword) but have no element class --
+    """C3D20 hexes parse (recognized keyword) but have no element class --
     same boundary as the reference, but with a clear error instead of a
-    KeyError deep in a dict lookup.  (C3D8 used to be here too; femcy-tpu now
-    supports it, see tests/test_hex8.py.)"""
-    src = tmp_path / "c3d6.inp"
+    KeyError deep in a dict lookup.  (C3D8 and C3D6 used to be here too;
+    femcy-tpu now supports them, see tests/test_hex8.py / test_wedge6.py.)"""
+    src = tmp_path / "c3d20.inp"
+    nodes = "\n".join(
+        f"{i+1}, {i % 3}., {(i // 3) % 3}., {i // 9}." for i in range(20)
+    )
     src.write_text(
-        """*Node
-1, 0., 0., 0.
-2, 1., 0., 0.
-3, 0., 1., 0.
-4, 0., 0., 1.
-5, 1., 0., 1.
-6, 0., 1., 1.
-*Element, type=C3D6
-1, 1, 2, 3, 4, 5, 6
+        f"""*Node
+{nodes}
+*Element, type=C3D20
+1, {", ".join(str(i + 1) for i in range(20))}
 *Material, name=m
 *Elastic
 100., 0.3
 """
     )
-    with pytest.raises(KeyError, match="C3D6"):
+    with pytest.raises(KeyError, match="C3D20"):
         read_inp(str(src))

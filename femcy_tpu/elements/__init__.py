@@ -2,6 +2,7 @@ from femcy_tpu.elements.base import ElementType
 from femcy_tpu.elements.library import (
     ELEMENT_REGISTRY,
     HEX8,
+    HEX20,
     QUAD4,
     QUAD8,
     TET4,
@@ -23,5 +24,6 @@ __all__ = [
     "TET4",
     "TET10",
     "HEX8",
+    "HEX20",
     "WEDGE6",
 ]

@@ -780,6 +780,162 @@ WEDGE6 = ElementType(
 )
 
 
+# --------------------------------------------------------------------------- #
+# Quadratic serendipity hexahedron (C3D20) -- BEYOND the reference: FEMcy
+# parses C3D20 (keeping only the 8 corner nodes, inp_info.py:85-113) but has
+# no element class.  Abaqus node order: 1-8 corners (C3D8 order), 9-12 bottom
+# edge midpoints (1-2, 2-3, 3-4, 4-1), 13-16 top edge midpoints (5-6 ... 8-5),
+# 17-20 vertical edge midpoints (1-5, 2-6, 3-7, 4-8).  Full 3x3x3 Gauss.
+# --------------------------------------------------------------------------- #
+_HEX20_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 0),
+    (4, 5), (5, 6), (6, 7), (7, 4),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+]
+_HEX20_NAT = np.vstack(
+    [_HEX8_SIGNS] + [(_HEX8_SIGNS[a] + _HEX8_SIGNS[b]) / 2.0 for a, b in _HEX20_EDGES]
+)
+
+
+def _hex20_shape(nc):
+    g, h, r = float(nc[0]), float(nc[1]), float(nc[2])
+    x = np.array([g, h, r])
+    N = np.zeros(20)
+    for i, p in enumerate(_HEX20_NAT):
+        if i < 8:
+            t = p @ x
+            N[i] = (1 + p[0] * g) * (1 + p[1] * h) * (1 + p[2] * r) * (t - 2) / 8
+        else:
+            z = int(np.nonzero(p == 0)[0][0])
+            o = [a for a in range(3) if a != z]
+            N[i] = (
+                (1 - x[z] ** 2)
+                * (1 + p[o[0]] * x[o[0]])
+                * (1 + p[o[1]] * x[o[1]])
+                / 4
+            )
+    return N
+
+
+def _hex20_dshape(nc):
+    g, h, r = float(nc[0]), float(nc[1]), float(nc[2])
+    x = np.array([g, h, r])
+    dN = np.zeros((20, 3))
+    for i, p in enumerate(_HEX20_NAT):
+        if i < 8:
+            t = p @ x
+            # d/dx_a [prod_b (1 + p_b x_b) * (t - 2)] with dt/dx_a = p_a:
+            # = p_a * (others product) * (t - 2 + (1 + p_a x_a))
+            for a in range(3):
+                others = np.prod([1 + p[b] * x[b] for b in range(3) if b != a])
+                dN[i, a] = p[a] * others * (t - 1 + p[a] * x[a]) / 8
+        else:
+            z = int(np.nonzero(p == 0)[0][0])
+            o = [a for a in range(3) if a != z]
+            f0, f1 = 1 + p[o[0]] * x[o[0]], 1 + p[o[1]] * x[o[1]]
+            dN[i, z] = -2 * x[z] * f0 * f1 / 4
+            dN[i, o[0]] = (1 - x[z] ** 2) * p[o[0]] * f1 / 4
+            dN[i, o[1]] = (1 - x[z] ** 2) * f0 * p[o[1]] / 4
+    return dN
+
+
+# full 3x3x3 Gauss
+_G3 = np.sqrt(0.6)
+_W3 = np.array([5.0, 8.0, 5.0]) / 9.0
+_HEX20_GP = np.array(
+    [(a, b, c) for a in (-_G3, 0.0, _G3) for b in (-_G3, 0.0, _G3) for c in (-_G3, 0.0, _G3)]
+)
+_HEX20_W = np.array(
+    [wa * wb * wc for wa in _W3 for wb in _W3 for wc in _W3]
+)
+
+
+def _lagrange3(xi):
+    """Quadratic Lagrange basis on the 3-point Gauss grid (-g3, 0, g3)."""
+    return np.array(
+        [
+            xi * (xi - _G3) / (2 * _G3**2),
+            1.0 - xi**2 / _G3**2,
+            xi * (xi + _G3) / (2 * _G3**2),
+        ]
+    )
+
+
+# GP -> node extrapolation: triquadratic Lagrange interpolation on the
+# 3x3x3 GP grid, evaluated at the node coordinates (same construction as
+# the reference's GP-element extrapolation matrices)
+_HEX20_EXTRAP = np.stack(
+    [
+        np.einsum(
+            "a,b,c->abc", _lagrange3(p[0]), _lagrange3(p[1]), _lagrange3(p[2])
+        ).reshape(-1)
+        for p in _HEX20_NAT
+    ]
+)
+
+# Abaqus C3D20 faces S1..S6: the C3D8 corner cycles + their edge midpoints
+_HEX20_EDGE_IDX = {
+    tuple(sorted(e)): 8 + i for i, e in enumerate(_HEX20_EDGES)
+}
+_HEX20_FACES = []
+for _f8 in _HEX8_FACES:
+    mids = [
+        _HEX20_EDGE_IDX[tuple(sorted((_f8[a], _f8[(a + 1) % 4])))]
+        for a in range(4)
+    ]
+    _HEX20_FACES.append(tuple(_f8) + tuple(mids))
+
+_HEX20_FACET_COOS = {}
+_HEX20_FACET_W = {}
+_HEX20_FACET_N = {}
+_HEX20_FACET_AXES = {}
+for _face, _nrm in zip(_HEX20_FACES, _HEX8_FACE_NORMALS):
+    _key = tuple(sorted(_face))
+    _axis = int(np.argmax(np.abs(_nrm)))
+    _o = [a for a in range(3) if a != _axis]
+    _coos = []
+    for a in (-_G3, 0.0, _G3):
+        for b in (-_G3, 0.0, _G3):
+            p = [0.0, 0.0, 0.0]
+            p[_axis] = float(np.sign(_nrm[_axis]))
+            p[_o[0]], p[_o[1]] = a, b
+            _coos.append(tuple(p))
+    _HEX20_FACET_COOS[_key] = _coos
+    _HEX20_FACET_W[_key] = [wa * wb for wa in _W3 for wb in _W3]
+    _HEX20_FACET_N[_key] = [list(_nrm)] * 9
+    _HEX20_FACET_AXES[_key] = tuple(_o)
+
+
+def _hex20_face_triangles(face):
+    c = face[:4]
+    m = face[4:]
+    tris = []
+    for a in range(4):
+        tris.append((c[a], m[a], m[(a - 1) % 4]))
+    tris += [(m[0], m[1], m[2]), (m[0], m[2], m[3])]
+    return tris
+
+
+HEX20 = ElementType(
+    name="hex20",
+    dm=3,
+    n_nodes=20,
+    gauss_points=_HEX20_GP,
+    gauss_weights=_HEX20_W,
+    shape_fn=_hex20_shape,
+    dshape_fn=_hex20_dshape,
+    facet_natural_coos=_HEX20_FACET_COOS,
+    facet_point_weights=_HEX20_FACET_W,
+    facet_natural_normals=_HEX20_FACET_N,
+    inp_surface_num=tuple((f,) for f in _HEX20_FACES),
+    extrapolation_matrix=_HEX20_EXTRAP,
+    viz_triangles=tuple(
+        tri for f in _HEX20_FACES for tri in _hex20_face_triangles(f)
+    ),
+    facet_axes=_HEX20_FACET_AXES,
+)
+
+
 #: Abaqus/CalculiX element-type keyword -> element definition
 #: (ref: reader/inp_info.py:118-123)
 ELEMENT_REGISTRY = {
@@ -795,6 +951,7 @@ ELEMENT_REGISTRY = {
     "C3D10": TET10,
     "C3D8": HEX8,  # beyond the reference (it parses C3D8 but cannot solve it)
     "C3D6": WEDGE6,  # beyond the reference (parses but cannot solve)
+    "C3D20": HEX20,  # beyond the reference (parses but cannot solve)
 }
 
 

@@ -31,10 +31,12 @@ import numpy as np
 from femcy_tpu.elements import ElementType, get_element
 
 #: element keyword -> ints per data row in the connectivity block
-#: (ref: inp_info.py:85-113; C3D20 keeps only the first 8 corner nodes)
+#: (ref: inp_info.py:85-113; unlike the reference -- which keeps only the 8
+#: corner nodes of a C3D20 it can never solve -- all 20 nodes are kept here
+#: because the HEX20 element class exists)
 _ROW_WIDTHS = {
     "C3D8": (9, 8),
-    "C3D20": (21, 8),
+    "C3D20": (21, 20),
     "C3D4": (5, 4),
     "CPE4": (5, 4),
     "CPS4": (5, 4),

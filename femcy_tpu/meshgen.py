@@ -12,7 +12,7 @@ from typing import Tuple
 
 import numpy as np
 
-from femcy_tpu.elements import HEX8, QUAD4, TET4, TRI3, WEDGE6
+from femcy_tpu.elements import HEX8, HEX20, QUAD4, TET4, TRI3, WEDGE6
 from femcy_tpu.mesh import FEMesh
 
 
@@ -122,6 +122,55 @@ def box_hexes(
         axis=-1,
     ).reshape(-1, 8)
     return FEMesh(nodes, hexes.astype(np.int32), HEX8)
+
+
+def box_hexes20(
+    nx: int, ny: int, nz: int, lx: float = 1.0, ly: float = 1.0, lz: float = 1.0
+) -> FEMesh:
+    """Structured hex20 (C3D20) mesh of a box: corner grid plus unique
+    mid-edge nodes, Abaqus C3D20 node order per cell."""
+    xs = np.linspace(0.0, lx, nx + 1)
+    ys = np.linspace(0.0, ly, ny + 1)
+    zs = np.linspace(0.0, lz, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    corners = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    n_c = corners.shape[0]
+
+    xm = (xs[:-1] + xs[1:]) / 2.0
+    ym = (ys[:-1] + ys[1:]) / 2.0
+    zm = (zs[:-1] + zs[1:]) / 2.0
+    ex = np.stack(np.meshgrid(xm, ys, zs, indexing="ij"), -1).reshape(-1, 3)
+    ey = np.stack(np.meshgrid(xs, ym, zs, indexing="ij"), -1).reshape(-1, 3)
+    ez = np.stack(np.meshgrid(xs, ys, zm, indexing="ij"), -1).reshape(-1, 3)
+    nodes = np.concatenate([corners, ex, ey, ez])
+    n_ex, n_ey = ex.shape[0], ey.shape[0]
+
+    def nid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    def xid(i, j, k):  # midpoint of the x-edge starting at (i, j, k)
+        return n_c + (i * (ny + 1) + j) * (nz + 1) + k
+
+    def yid(i, j, k):
+        return n_c + n_ex + (i * ny + j) * (nz + 1) + k
+
+    def zid(i, j, k):
+        return n_c + n_ex + n_ey + (i * (ny + 1) + j) * nz + k
+
+    i, j, k = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+    hexes = np.stack(
+        [
+            nid(i, j, k), nid(i + 1, j, k), nid(i + 1, j + 1, k), nid(i, j + 1, k),
+            nid(i, j, k + 1), nid(i + 1, j, k + 1),
+            nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1),
+            xid(i, j, k), yid(i + 1, j, k), xid(i, j + 1, k), yid(i, j, k),
+            xid(i, j, k + 1), yid(i + 1, j, k + 1),
+            xid(i, j + 1, k + 1), yid(i, j, k + 1),
+            zid(i, j, k), zid(i + 1, j, k), zid(i + 1, j + 1, k), zid(i, j + 1, k),
+        ],
+        axis=-1,
+    ).reshape(-1, 20)
+    return FEMesh(nodes, hexes.astype(np.int32), HEX20)
 
 
 def box_wedges(

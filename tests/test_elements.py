@@ -161,4 +161,5 @@ def test_registry_names():
         "C3D10",
         "C3D8",  # beyond the reference
         "C3D6",  # beyond the reference
+        "C3D20",  # beyond the reference
     }

@@ -79,23 +79,22 @@ def test_static_ini_clamped_to_max(tmp_path):
 
 
 def test_unsupported_but_recognized_type(tmp_path):
-    """C3D20 hexes parse (recognized keyword) but have no element class --
+    """B31 beams parse (recognized keyword) but have no element class --
     same boundary as the reference, but with a clear error instead of a
-    KeyError deep in a dict lookup.  (C3D8 and C3D6 used to be here too;
-    femcy-tpu now supports them, see tests/test_hex8.py / test_wedge6.py.)"""
-    src = tmp_path / "c3d20.inp"
-    nodes = "\n".join(
-        f"{i+1}, {i % 3}., {(i // 3) % 3}., {i // 9}." for i in range(20)
-    )
+    KeyError deep in a dict lookup.  (C3D8/C3D6/C3D20 used to be here too;
+    femcy-tpu now supports all three, see tests/test_hex8.py /
+    test_wedge6.py / test_hex20.py.)"""
+    src = tmp_path / "b31.inp"
     src.write_text(
-        f"""*Node
-{nodes}
-*Element, type=C3D20
-1, {", ".join(str(i + 1) for i in range(20))}
+        """*Node
+1, 0., 0., 0.
+2, 1., 0., 0.
+*Element, type=B31
+1, 1, 2
 *Material, name=m
 *Elastic
 100., 0.3
 """
     )
-    with pytest.raises(KeyError, match="C3D20"):
+    with pytest.raises(KeyError, match="B31"):
         read_inp(str(src))

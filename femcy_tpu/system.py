@@ -87,36 +87,42 @@ class FEMSystem:
         self.material = material
         self.geometric_nonlinear = bool(geometric_nonlinear)
         self.config = config
-        self.pattern: ELLPattern = build_pattern(mesh)
 
-        # gather-free DIA layout when the offset structure allows it
-        self.dia = None
-        if config.sparse_format in ("auto", "dia"):
-            dia = build_dia_pattern(
-                mesh, max_offsets=config.dia_max_offsets, ell=self.pattern
-            )
-            dense_enough = (
-                dia is not None
-                and dia.n_offsets * self.pattern.n_dof <= 4 * self.pattern.nnz
-            )
-            if dia is not None and (config.sparse_format == "dia" or dense_enough):
-                self.dia = dia
-            elif config.sparse_format == "dia":
-                raise ValueError(
-                    "sparse_format='dia' but the mesh has no bounded offset "
-                    "structure (try a bandwidth-reducing node ordering)"
-                )
-
-        # dense scatter-free assembly for structured box meshes
-        self._structured_plan = None
-        if (
-            self.dia is not None
+        structured = (
+            config.sparse_format in ("auto", "dia")
             and mesh.structure is not None
             and mesh.structure.get("kind") == "box_tets"
-        ):
+        )
+        self.pattern: Optional[ELLPattern] = None
+        self.dia = None
+        self._structured_plan = None
+        if structured:
+            # analytic pattern + dense scatter-free assembly: no ELL pattern
+            # or scatter maps at all (O(1) host setup instead of minutes at
+            # the 1M-element scale)
+            from femcy_tpu.solvers.dia import build_structured_dia_pattern
             from femcy_tpu.structured import build_structured_plan
 
+            self.dia = build_structured_dia_pattern(mesh)
             self._structured_plan = build_structured_plan(mesh, self.dia)
+        else:
+            self.pattern = build_pattern(mesh)
+            # gather-free DIA layout when the offset structure allows it
+            if config.sparse_format in ("auto", "dia"):
+                dia = build_dia_pattern(
+                    mesh, max_offsets=config.dia_max_offsets, ell=self.pattern
+                )
+                dense_enough = (
+                    dia is not None
+                    and dia.n_offsets * self.pattern.n_dof <= 4 * self.pattern.nnz
+                )
+                if dia is not None and (config.sparse_format == "dia" or dense_enough):
+                    self.dia = dia
+                elif config.sparse_format == "dia":
+                    raise ValueError(
+                        "sparse_format='dia' but the mesh has no bounded offset "
+                        "structure (try a bandwidth-reducing node ordering)"
+                    )
 
         elem = mesh.element
         # --- static device arrays, passed as jit ARGUMENTS ------------------
@@ -130,13 +136,16 @@ class FEMSystem:
             "dN": jnp.asarray(elem.dshape_at_gp),
             "w": jnp.asarray(elem.gauss_weights),
             "C": jnp.asarray(material.C),
-            "colidx": jnp.asarray(p.colidx),
-            "diag_slot": jnp.asarray(p.diag_slot),
-            "scatter_targets": jnp.asarray(
-                self.dia.scatter_targets if self.dia else p.scatter_targets
-            ),
-            "force_targets": jnp.asarray(p.force_targets),
         }
+        if p is not None:
+            # the structured path writes by diagonal offset and never
+            # gathers/scatters, so these (large) maps exist only otherwise
+            arrs["colidx"] = jnp.asarray(p.colidx)
+            arrs["diag_slot"] = jnp.asarray(p.diag_slot)
+            arrs["scatter_targets"] = jnp.asarray(
+                self.dia.scatter_targets if self.dia else p.scatter_targets
+            )
+            arrs["force_targets"] = jnp.asarray(p.force_targets)
         # initial-configuration gradients are constant: precompute once
         dsdX0, vol0 = assembly.gradients_and_volume(
             arrs["nodes"], arrs["elements"], arrs["dN"], arrs["w"]
@@ -306,7 +315,7 @@ class FEMSystem:
     def _solve_linear_system(self, values, b, fixed=None):
         cfg = self.config
         use_direct = cfg.linear_solver == "direct" or (
-            cfg.linear_solver == "auto" and self.pattern.n_dof < cfg.direct_solve_max_dof
+            cfg.linear_solver == "auto" and self.mesh.n_dof < cfg.direct_solve_max_dof
         )
         if use_direct:
             pat = self.dia if self.dia is not None else self.pattern
@@ -384,7 +393,7 @@ class FEMSystem:
         if not resume:
             self.dt = incs["ini_inc"]
             self.time0 = self.time1 = 0.0
-            self.dof = jnp.zeros(self.pattern.n_dof)
+            self.dof = jnp.zeros(self.mesh.n_dof)
 
         patterns, tractions = bc_mod.build_neumann_patterns(self.mesh, inp.neumann_bcs)
         patterns_d = jnp.asarray(patterns)
@@ -413,7 +422,7 @@ class FEMSystem:
             if patterns.shape[0]:
                 rhs = jnp.einsum("b,bn->n", tractions_d * load_ratio, patterns_d)
             else:
-                rhs = jnp.zeros(self.pattern.n_dof)
+                rhs = jnp.zeros(self.mesh.n_dof)
 
             converged, newton_loops, res = self._advance_inc(
                 rhs, fixed_d, sval_d, on_newton

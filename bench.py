@@ -9,8 +9,9 @@ Prints ONE JSON line:
 (vs_baseline > 1 means faster than the target.)
 
 Environment knobs:
-  BENCH_NX        cells per cube edge (default 56 -> 1,053,696 tets; even
-                  dims enable the multigrid preconditioner)
+  BENCH_NX        cells per cube edge (default 56 -> 1,053,696 tets;
+                  dyadically coarsenable dims enable the multigrid
+                  preconditioner, others fall back to Jacobi)
   BENCH_DTYPE     f32 (default, TPU-native) | f64
   BENCH_REPS      timed repetitions (default 3)
   BENCH_PLATFORM  force a JAX platform (e.g. cpu); needed because the
@@ -145,18 +146,20 @@ def main():
             log("using the dense structured (scatter-free) assembly path")
         else:
             arrs["targets"] = jnp.asarray(dia.scatter_targets)
-        if (
-            plan is not None
-            and os.environ.get("BENCH_MG", "1") == "1"
-            and nx % 2 == 0
-        ):
+        if plan is not None and os.environ.get("BENCH_MG", "1") == "1":
             t0 = time.time()
-            mg = StructuredMultigrid(mesh, material, fixed, dia=dia)
-            arrs["mg_ops"] = mg.operands()
-            log(
-                f"multigrid preconditioner: levels {[l.grid for l in mg.levels]} "
-                f"({time.time() - t0:.0f}s setup)"
-            )
+            try:
+                mg = StructuredMultigrid(mesh, material, fixed, dia=dia)
+            except ValueError as e:
+                # grid not dyadically coarsenable (e.g. NX=58) -> Jacobi
+                log(f"multigrid unavailable ({e}); using Jacobi")
+            else:
+                arrs["mg_ops"] = mg.operands()
+                log(
+                    f"multigrid preconditioner: levels "
+                    f"{[l.grid for l in mg.levels]} "
+                    f"({time.time() - t0:.0f}s setup)"
+                )
     else:
         arrs["targets"] = jnp.asarray(pattern.scatter_targets)
         arrs["colidx"] = jnp.asarray(pattern.colidx)

@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--cg-eps", type=float, default=1.0e-3)
     p.add_argument(
+        "--preconditioner",
+        default="jacobi",
+        choices=["jacobi", "block_jacobi", "multigrid"],
+        help="CG preconditioner (multigrid needs a structured box_tets mesh, "
+        "so it applies to generated meshes, not .inp models)",
+    )
+    p.add_argument(
         "--stress",
         type=int,
         default=None,
@@ -97,6 +104,7 @@ def main(argv=None) -> int:
     config = SolverConfig(
         linear_solver=args.solver,
         cg_eps=args.cg_eps,
+        preconditioner=args.preconditioner,
         tangent=args.tangent,
         verbose=args.verbose,
         checkpoint_path=args.checkpoint,

@@ -101,6 +101,31 @@ class _Level:
     fixed: jax.Array  # bool per dof
 
 
+def coarsen_grids(
+    grid: Tuple[int, int, int],
+    coarsest_max_dof: int = 3000,
+    n_levels: int = 0,
+) -> List[Tuple[int, int, int]]:
+    """Dyadic level grids fine -> coarse, or raise ValueError when the grid
+    cannot be halved down to a dense-solvable coarsest level.  Callers that
+    want to validate multigrid feasibility BEFORE paying for setup (e.g. at
+    FEMSystem construction) call this directly."""
+    grids = [tuple(int(d) for d in grid)]
+    while (
+        all(d % 2 == 0 and d >= 4 for d in grids[-1])
+        and 3 * int(np.prod([d + 1 for d in grids[-1]])) > coarsest_max_dof
+        and (n_levels <= 0 or len(grids) < n_levels)
+    ):
+        grids.append(tuple(d // 2 for d in grids[-1]))
+    coarsest_dof = 3 * int(np.prod([d + 1 for d in grids[-1]]))
+    if coarsest_dof > 4 * coarsest_max_dof:
+        raise ValueError(
+            f"cannot coarsen below {grids[-1]} ({coarsest_dof} dofs): "
+            "grid dims should contain enough factors of 2 for multigrid"
+        )
+    return grids
+
+
 class StructuredMultigrid:
     """V-cycle preconditioner over dyadically coarsened box_tets grids.
 
@@ -127,23 +152,10 @@ class StructuredMultigrid:
         lz = mesh.nodes[:, 2].max()
         self.omega = omega
         self.smooth_steps = smooth_steps
+        self.material = material
 
-        # level grids, fine -> coarse: keep halving while the coarsest level
-        # is still too large for a dense solve and every dim stays even
-        grids = [(nx, ny, nz)]
-        while (
-            all(d % 2 == 0 and d >= 4 for d in grids[-1])
-            and 3 * int(np.prod([d + 1 for d in grids[-1]])) > coarsest_max_dof
-            and (n_levels <= 0 or len(grids) < n_levels)
-        ):
-            grids.append(tuple(d // 2 for d in grids[-1]))
+        grids = coarsen_grids((nx, ny, nz), coarsest_max_dof, n_levels)
         self.grids = grids
-        coarsest_dof = 3 * int(np.prod([d + 1 for d in grids[-1]]))
-        if coarsest_dof > 4 * coarsest_max_dof:
-            raise ValueError(
-                f"cannot coarsen below {grids[-1]} ({coarsest_dof} dofs): "
-                "grid dims should contain enough factors of 2 for multigrid"
-            )
 
         # Build the level hierarchy.  The FINE operator (level 0) is NOT
         # assembled here -- the cycle smooths level 0 with the exact operator
@@ -153,7 +165,6 @@ class StructuredMultigrid:
         # (possibly remote) accelerator backend costs minutes of setup.
         self.levels: List[_Level] = []
         fixed_l = np.asarray(fixed, dtype=bool)
-        cpu = jax.devices("cpu")[0]
         for li, g in enumerate(grids):
             if li == 0:
                 dia0 = dia if dia is not None else build_structured_dia_pattern(mesh)
@@ -167,26 +178,7 @@ class StructuredMultigrid:
             # nodes; a coarse dof is fixed iff its fine image is fixed
             fixed_l = self._coarsen_mask(fixed_l, grids[li - 1])
             dia_l = build_structured_dia_pattern(mesh_l)
-            plan = build_structured_plan(mesh_l, dia_l)
-            with jax.default_device(cpu):
-                dsdx, vol = assembly.gradients_and_volume(
-                    jnp.asarray(mesh_l.nodes),
-                    jnp.asarray(mesh_l.elements),
-                    jnp.asarray(mesh_l.element.dshape_at_gp),
-                    jnp.asarray(mesh_l.element.gauss_weights),
-                )
-                values = structured_assemble(
-                    dsdx, vol, jnp.asarray(material.C), plan
-                )
-                values, _ = dia_dirichlet_linear(
-                    values,
-                    dia_l.offsets,
-                    dia_l.diag_idx,
-                    jnp.zeros(dia_l.n_dof),
-                    jnp.asarray(fixed_l),
-                    jnp.zeros(dia_l.n_dof),
-                )
-            values = np.asarray(values)
+            values = np.asarray(self._assemble_level_cpu(mesh_l, dia_l, fixed_l))
             diag = values[:, dia_l.diag_idx]
             self.levels.append(
                 _Level(
@@ -206,30 +198,38 @@ class StructuredMultigrid:
         # of the ValueError guard above, so this stays cheap).
         last = self.levels[-1]
         if last.values is None:
-            last = dataclasses.replace(
-                last, values=self._assemble_fine_cpu(mesh, material, fixed)
+            fine_values = jnp.asarray(
+                np.asarray(self._assemble_level_cpu(mesh, last.dia, fixed))
             )
+            last = dataclasses.replace(last, values=fine_values)
             self.levels[-1] = last
         dense = last.dia.to_scipy(np.asarray(last.values)).toarray()
         self._coarse_inv = jnp.asarray(np.linalg.inv(dense))
 
-    def _assemble_fine_cpu(self, mesh: FEMesh, material: Material, fixed):
-        dia = self.levels[0].dia
-        plan = build_structured_plan(mesh, dia)
+    def _assemble_level_cpu(self, mesh_l: FEMesh, dia_l: DIAPattern, fixed_l):
+        """Rediscretize + BC-eliminate one level's operator on the CPU
+        backend (tiny arrays; compiling through a remote accelerator backend
+        would cost minutes of setup per level)."""
+        plan = build_structured_plan(mesh_l, dia_l)
         with jax.default_device(jax.devices("cpu")[0]):
             dsdx, vol = assembly.gradients_and_volume(
-                jnp.asarray(mesh.nodes),
-                jnp.asarray(mesh.elements),
-                jnp.asarray(mesh.element.dshape_at_gp),
-                jnp.asarray(mesh.element.gauss_weights),
+                jnp.asarray(mesh_l.nodes),
+                jnp.asarray(mesh_l.elements),
+                jnp.asarray(mesh_l.element.dshape_at_gp),
+                jnp.asarray(mesh_l.element.gauss_weights),
             )
-            values = structured_assemble(dsdx, vol, jnp.asarray(material.C), plan)
+            values = structured_assemble(
+                dsdx, vol, jnp.asarray(self.material.C), plan
+            )
             values, _ = dia_dirichlet_linear(
-                values, dia.offsets, dia.diag_idx, jnp.zeros(dia.n_dof),
-                jnp.asarray(np.asarray(fixed, dtype=bool)),
-                jnp.zeros(dia.n_dof),
+                values,
+                dia_l.offsets,
+                dia_l.diag_idx,
+                jnp.zeros(dia_l.n_dof),
+                jnp.asarray(np.asarray(fixed_l, dtype=bool)),
+                jnp.zeros(dia_l.n_dof),
             )
-        return jnp.asarray(np.asarray(values))
+            return values
 
     @staticmethod
     def _coarsen_mask(fixed_fine: np.ndarray, grid_fine) -> np.ndarray:

@@ -196,6 +196,7 @@ class FEMSystem:
         # known only at solve time)
         self._mg = None
         self._mg_fixed_key: Optional[bytes] = None
+        self._mg_fixed_obj = None
         self._jit_mg_cg = None
         if config.preconditioner == "multigrid":
             if self._structured_plan is None:
@@ -203,6 +204,12 @@ class FEMSystem:
                     "preconditioner='multigrid' needs a structured box_tets "
                     "mesh with the DIA layout (e.g. meshgen.box_tets)"
                 )
+            # fail fast (before any compile time is spent) if the grid
+            # cannot be dyadically coarsened
+            from femcy_tpu.solvers.multigrid import coarsen_grids
+
+            info = mesh.structure
+            coarsen_grids((info["nx"], info["ny"], info["nz"]))
 
     # ------------------------------------------------------------------ #
     # jitted implementations (pure functions of device state)
@@ -343,8 +350,14 @@ class FEMSystem:
         hierarchy and its jitted PCG.  Setup is host/CPU-side and cheap
         relative to one fine-level compile; the hierarchy is reused across
         increments and Newton iterations."""
+        # fast path: within one increment the SAME mask object is passed to
+        # every Newton iteration -- avoid a device-to-host copy + hash per
+        # linear solve
+        if self._mg is not None and fixed is self._mg_fixed_obj:
+            return
         key = np.asarray(fixed).tobytes()
         if self._mg is not None and self._mg_fixed_key == key:
+            self._mg_fixed_obj = fixed
             return
         from femcy_tpu.solvers.multigrid import StructuredMultigrid
 
@@ -352,10 +365,13 @@ class FEMSystem:
             self.mesh, self.material, np.asarray(fixed), dia=self.dia
         )
         self._mg_fixed_key = key
+        self._mg_fixed_obj = fixed
         self._mg_ops = self._mg.operands()
         mg = self._mg
         cfg = self.config
-        max_iters = cfg.cg_max_iters if cfg.cg_max_iters > 0 else 200
+        # <=0 means "up to n_dof", like the reference's CG cap and the
+        # Jacobi paths (conjugateGradientSolver.py:109)
+        max_iters = cfg.cg_max_iters if cfg.cg_max_iters > 0 else self.mesh.n_dof
 
         def _mg_cg(values, b, ops):
             return mg.pcg_solve(

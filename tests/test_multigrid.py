@@ -159,3 +159,53 @@ def test_system_multigrid_requires_structured_mesh():
             mesh, LinearIsotropic(1000.0, 0.3), geometric_nonlinear=False,
             config=SolverConfig(preconditioner="multigrid"),
         )
+
+
+def test_system_multigrid_fails_fast_on_uncoarsenable_grid():
+    """A structured grid whose dyadic coarsening stalls above the dense-solve
+    limit must be rejected at FEMSystem CONSTRUCTION, not mid-solve."""
+    from femcy_tpu import FEMSystem, SolverConfig
+
+    mesh = box_tets(17, 17, 17)  # odd: no halving; 3*18^3 dofs >> dense limit
+    with pytest.raises(ValueError, match="factors of 2"):
+        FEMSystem(
+            mesh, LinearIsotropic(1000.0, 0.3), geometric_nonlinear=False,
+            config=SolverConfig(preconditioner="multigrid"),
+        )
+
+
+def test_system_multigrid_in_newton_path():
+    """The V-cycle (built from the small-strain operator) preconditions the
+    Newton tangent solves too: same converged state as Jacobi-CG."""
+    import jax.numpy as jnp
+
+    from femcy_tpu import FEMSystem, SolverConfig
+
+    mesh = box_tets(8, 8, 8)
+    mat = LinearIsotropic(1000.0, 0.3)
+    fixed = np.zeros(mesh.n_dof, bool)
+    bottom = np.nonzero(mesh.nodes[:, 2] < 1e-12)[0]
+    for d in range(3):
+        fixed[bottom * 3 + d] = True
+    rhs = np.zeros(mesh.n_dof)
+    top = np.nonzero(mesh.nodes[:, 2] > 1 - 1e-12)[0]
+    rhs[top * 3] = 0.05
+    sval = np.zeros(mesh.n_dof)
+
+    def run(precond):
+        system = FEMSystem(
+            mesh, mat, geometric_nonlinear=True,
+            config=SolverConfig(
+                preconditioner=precond, linear_solver="cg", cg_eps=1e-8
+            ),
+        )
+        ok, iters, res = system._advance_inc(
+            jnp.asarray(rhs), jnp.asarray(fixed), jnp.asarray(sval)
+        )
+        assert ok, (precond, res)
+        return np.asarray(system.dof)
+
+    x_mg = run("multigrid")
+    x_j = run("jacobi")
+    scale = np.abs(x_j).max()
+    np.testing.assert_allclose(x_mg / scale, x_j / scale, atol=1e-4)

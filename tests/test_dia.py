@@ -11,6 +11,7 @@ from femcy_tpu.meshgen import box_tets
 from femcy_tpu.solvers.cg import pcg_solve
 from femcy_tpu.solvers.dia import (
     build_dia_pattern,
+    build_structured_dia_pattern,
     dia_dirichlet_linear,
     dia_pcg_solve,
     dia_scatter,
@@ -133,3 +134,40 @@ def test_dia_block_jacobi_matches_scalar(problem):
         np.asarray(x_b) / scale, np.asarray(x_s) / scale, atol=1e-7
     )
     assert int(it_b) <= int(it_s)
+
+
+@pytest.mark.parametrize("grid", [(2, 2, 2), (4, 3, 5), (3, 6, 2)])
+def test_analytic_structured_pattern_matches_generic(grid):
+    """The O(1) Kuhn-stencil DIA pattern equals the one derived from the
+    full ELL pattern, on anisotropic grids (different strides per axis)."""
+    mesh = box_tets(*grid)
+    gen = build_dia_pattern(mesh, ell=build_pattern(mesh))
+    ana = build_structured_dia_pattern(mesh)
+    assert gen.offsets == ana.offsets
+    assert gen.diag_idx == ana.diag_idx
+    assert gen.n_dof == ana.n_dof
+
+
+def test_dia_to_scipy_shifted_copy():
+    """to_scipy (scipy dia_matrix shifted-copy construction) reproduces the
+    assembled operator exactly: A_scipy @ x == dia_spmv(values) @ x."""
+    mesh = box_tets(3, 4, 2)
+    dia = build_structured_dia_pattern(mesh)
+    from femcy_tpu.structured import build_structured_plan, structured_assemble
+
+    plan = build_structured_plan(mesh, dia)
+    dsdx, vol = assembly.gradients_and_volume(
+        jnp.asarray(mesh.nodes),
+        jnp.asarray(mesh.elements),
+        jnp.asarray(mesh.element.dshape_at_gp),
+        jnp.asarray(mesh.element.gauss_weights),
+    )
+    mat = LinearIsotropic(1000.0, 0.3)
+    values = structured_assemble(dsdx, vol, jnp.asarray(mat.C), plan)
+    A = dia.to_scipy(np.asarray(values))
+    x = np.random.default_rng(3).standard_normal(dia.n_dof)
+    y_scipy = A @ x
+    y_dia = np.asarray(dia_spmv(values, dia.offsets, jnp.asarray(x)))
+    np.testing.assert_allclose(y_scipy, y_dia, rtol=1e-12, atol=1e-12)
+    # and it is symmetric, as an assembled stiffness must be
+    assert abs(A - A.T).max() < 1e-9

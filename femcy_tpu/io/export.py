@@ -22,6 +22,8 @@ _VTK_CELL = {
     "quad8": 23,
     "tet10": 24,
     "hex8": 12,
+    "wedge6": 13,
+    "hex20": 25,
 }
 
 
@@ -33,13 +35,12 @@ def _patch_vertex_values(mesh: FEMesh, nodal_vals: np.ndarray):
     so discontinuities between patches stay visible.
     """
     tris, owners = mesh.surface_triangles
-    vals = np.zeros(tris.shape)
-    elements = mesh.elements
-    for t in range(tris.shape[0]):
-        ele = owners[t]
-        conn = list(elements[ele])
-        for c in range(3):
-            vals[t, c] = nodal_vals[ele, conn.index(tris[t, c])]
+    # local index of each triangle corner inside its owner element's
+    # connectivity, fully vectorized (a per-triangle Python loop takes
+    # minutes at the 1M-element scale on a weak host)
+    conn = mesh.elements[owners]  # (T, npe)
+    local = np.argmax(conn[:, :, None] == tris[:, None, :], axis=1)  # (T, 3)
+    vals = np.asarray(nodal_vals)[owners[:, None], local]
     return tris, vals
 
 

@@ -631,6 +631,12 @@ class FEMSystem:
             time0=self.time0,
             dt=self.dt,
             kinc=kinc,
+            # nan when unset; restored so newton_residual_ref='global' gates
+            # identically across a resume (the reference's cache is
+            # process-lifetime, stiffnessMtrx.py:760-762)
+            ini_residual=(
+                np.nan if self._ini_residual is None else self._ini_residual
+            ),
         )
 
     def load_checkpoint(self, path: str):
@@ -640,6 +646,9 @@ class FEMSystem:
         self.dof = jnp.asarray(data["dof"])
         self.time0 = self.time1 = float(data["time0"])
         self.dt = float(data["dt"])
+        if "ini_residual" in data:
+            ini = float(data["ini_residual"])
+            self._ini_residual = None if np.isnan(ini) else ini
 
 
 def mises_stress(stress, material: Material):

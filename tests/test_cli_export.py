@@ -131,3 +131,32 @@ def test_cli_f32_mode(fixtures_dir):
     )
     # f32 keeps the elliptic anchor within 0.1%
     assert abs(syy - 93.45) / 93.45 < 1e-3
+
+
+def test_export_vtk_wedge6_hex20(tmp_path):
+    """C3D6/C3D20 are solvable, so --save-vtk must emit their cell types
+    (VTK 13 wedge, 25 quadratic hexahedron) instead of KeyError."""
+    from femcy_tpu.meshgen import box_hexes20, box_wedges
+
+    for mesh, ct in ((box_wedges(2, 2, 2), 13), (box_hexes20(2, 2, 2), 25)):
+        path = export_vtk(mesh, str(tmp_path / f"{mesh.element.name}.vtk"))
+        text = open(path).read()
+        assert f"CELL_TYPES {mesh.n_elements}" in text
+        types = text.split("CELL_TYPES")[1].split("\n")[1 : 1 + mesh.n_elements]
+        assert all(int(t) == ct for t in types)
+
+
+def test_patch_vertex_values_vectorized():
+    """The vectorized owner-patch lookup matches a straightforward loop."""
+    from femcy_tpu.io.export import _patch_vertex_values
+    from femcy_tpu.meshgen import box_tets
+
+    mesh = box_tets(2, 3, 2)
+    rng = np.random.default_rng(1)
+    nodal_vals = rng.random((mesh.n_elements, mesh.element.n_nodes))
+    tris, vals = _patch_vertex_values(mesh, nodal_vals)
+    owners = mesh.surface_triangles[1]
+    for t in range(tris.shape[0]):
+        conn = list(mesh.elements[owners[t]])
+        for c in range(3):
+            assert vals[t, c] == nodal_vals[owners[t], conn.index(tris[t, c])]

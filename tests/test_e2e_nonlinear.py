@@ -121,6 +121,10 @@ def test_checkpoint_roundtrip(tmp_path, fixtures_dir):
     fresh.load_checkpoint(path)
     np.testing.assert_allclose(np.asarray(fresh.dof), np.asarray(system.dof))
     assert fresh.time0 == 1.0
+    # the global-mode residual reference survives the round-trip, so a
+    # resumed newton_residual_ref='global' run gates identically
+    assert system._ini_residual is not None
+    assert fresh._ini_residual == system._ini_residual
 
 
 def test_checkpoint_resume_continues(tmp_path, fixtures_dir):
@@ -179,3 +183,22 @@ def test_on_newton_callback(fixtures_dir):
     assert len(calls) > 2
     assert calls[0][0] == 0
     assert all(np.isfinite(r) for _, r in calls)
+
+
+def test_strict_parity_mode_regression(fixtures_dir):
+    """The reference algorithm (secant stiffness only, process-lifetime
+    residual reference -- stiffnessMtrx.py:760-762 and README.md:93) stays
+    reproducible while the improved defaults evolve: pinned increment
+    schedule, Newton counts, and converged deflection on beam load-800."""
+    _, system, report = _solve(
+        fixtures_dir,
+        BEAM_LARGE,
+        SolverConfig(geometric_stiffness=False, newton_residual_ref="global"),
+    )
+    assert report.success
+    assert [r.time for r in report.increments] == [0.25, 0.5, 0.75, 1.0]
+    # pinned on the CPU/f64 test backend; a drift here means the strict
+    # parity path changed behaviour, not just performance
+    assert [r.newton_iters for r in report.increments] == [11, 14, 8, 15]
+    d = float(np.abs(np.asarray(system.dof)).max())
+    assert abs(d - 30.5644) < 0.05

@@ -25,17 +25,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from femcy_tpu import assembly
 from femcy_tpu.materials import Material
 from femcy_tpu.mesh import FEMesh
 from femcy_tpu.meshgen import box_tets
 from femcy_tpu.solvers.dia import (
     DIAPattern,
     build_structured_dia_pattern,
-    dia_dirichlet_linear,
     dia_spmv,
 )
-from femcy_tpu.structured import build_structured_plan, structured_assemble
+from femcy_tpu.structured import (
+    analytic_structured_dia_values,
+    dia_dirichlet_linear_numpy,
+)
 
 
 def _interp_axis(u, axis: int):
@@ -160,9 +161,12 @@ class StructuredMultigrid:
         # Build the level hierarchy.  The FINE operator (level 0) is NOT
         # assembled here -- the cycle smooths level 0 with the exact operator
         # the caller hands to pcg_solve/precondition, so setup cost is only
-        # the coarse grids.  Coarse operators are rediscretized + eliminated
-        # on the CPU backend: they are tiny, and compiling them through the
-        # (possibly remote) accelerator backend costs minutes of setup.
+        # the coarse grids.  Coarse operators are built analytically: the
+        # uniform-grid operator is translation invariant, so each level is
+        # one cell's stiffness broadcast through corner-existence masks
+        # (analytic_structured_dia_values) -- O(n_dof * K) numpy, no device
+        # work at all (rediscretizing through a backend measured ~8 min of
+        # setup at the 1M-element scale).
         self.levels: List[_Level] = []
         fixed_l = np.asarray(fixed, dtype=bool)
         for li, g in enumerate(grids):
@@ -178,7 +182,7 @@ class StructuredMultigrid:
             # nodes; a coarse dof is fixed iff its fine image is fixed
             fixed_l = self._coarsen_mask(fixed_l, grids[li - 1])
             dia_l = build_structured_dia_pattern(mesh_l)
-            values = np.asarray(self._assemble_level_cpu(mesh_l, dia_l, fixed_l))
+            values = self._assemble_level_host(mesh_l, dia_l, fixed_l)
             diag = values[:, dia_l.diag_idx]
             self.levels.append(
                 _Level(
@@ -199,37 +203,24 @@ class StructuredMultigrid:
         last = self.levels[-1]
         if last.values is None:
             fine_values = jnp.asarray(
-                np.asarray(self._assemble_level_cpu(mesh, last.dia, fixed))
+                self._assemble_level_host(mesh, last.dia, fixed)
             )
             last = dataclasses.replace(last, values=fine_values)
             self.levels[-1] = last
         dense = last.dia.to_scipy(np.asarray(last.values)).toarray()
         self._coarse_inv = jnp.asarray(np.linalg.inv(dense))
 
-    def _assemble_level_cpu(self, mesh_l: FEMesh, dia_l: DIAPattern, fixed_l):
-        """Rediscretize + BC-eliminate one level's operator on the CPU
-        backend (tiny arrays; compiling through a remote accelerator backend
-        would cost minutes of setup per level)."""
-        plan = build_structured_plan(mesh_l, dia_l)
-        with jax.default_device(jax.devices("cpu")[0]):
-            dsdx, vol = assembly.gradients_and_volume(
-                jnp.asarray(mesh_l.nodes),
-                jnp.asarray(mesh_l.elements),
-                jnp.asarray(mesh_l.element.dshape_at_gp),
-                jnp.asarray(mesh_l.element.gauss_weights),
-            )
-            values = structured_assemble(
-                dsdx, vol, jnp.asarray(self.material.C), plan
-            )
-            values, _ = dia_dirichlet_linear(
-                values,
-                dia_l.offsets,
-                dia_l.diag_idx,
-                jnp.zeros(dia_l.n_dof),
-                jnp.asarray(np.asarray(fixed_l, dtype=bool)),
-                jnp.zeros(dia_l.n_dof),
-            )
-            return values
+    def _assemble_level_host(
+        self, mesh_l: FEMesh, dia_l: DIAPattern, fixed_l
+    ) -> np.ndarray:
+        """One level's BC-eliminated operator, closed-form on the host."""
+        values = analytic_structured_dia_values(
+            mesh_l, np.asarray(self.material.C), dia_l
+        )
+        return dia_dirichlet_linear_numpy(
+            values, dia_l.offsets, dia_l.diag_idx,
+            np.asarray(fixed_l, dtype=bool),
+        )
 
     @staticmethod
     def _coarsen_mask(fixed_fine: np.ndarray, grid_fine) -> np.ndarray:

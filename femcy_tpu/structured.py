@@ -168,3 +168,106 @@ def structured_force_scatter(f_elem, plan: StructuredPlan, mesh: FEMesh):
                 fg[:, :, :, o, a, :]
             )
     return out.reshape(-1)
+
+
+def analytic_structured_dia_values(
+    mesh: FEMesh, C: np.ndarray, dia: DIAPattern
+) -> np.ndarray:
+    """DIA values of the assembled operator on a uniform box_tets grid with a
+    constant material tangent, built in O(n_dof * K) numpy from ONE cell.
+
+    The operator is translation invariant: every cell contributes the same
+    6-tet stiffness, so a node's row is the sum over the <= 8 adjacent cells
+    of a constant per-corner-shift tensor c[s][3, K], masked by cell
+    existence (the only thing that varies near the boundary).  This replaces
+    rediscretizing whole coarse grids through the CPU backend in the
+    multigrid setup (eager per-op dispatch measured ~8 minutes at the
+    1M-element scale) with a closed-form broadcast.
+    """
+    info = mesh.structure
+    assert info is not None and info["kind"] == "box_tets"
+    nx, ny, nz = info["nx"], info["ny"], info["nz"]
+    kuhn = info["kuhn"]
+    delta = np.asarray(info["corner_delta"])
+    spacing = np.array(
+        [
+            mesh.nodes[:, 0].max() / nx,
+            mesh.nodes[:, 1].max() / ny,
+            mesh.nodes[:, 2].max() / nz,
+        ]
+    )
+    elem = mesh.element
+    dN = np.asarray(elem.dshape_at_gp)  # (G, n, 3)
+    w = np.asarray(elem.gauss_weights)
+    C = np.asarray(C)
+
+    # one cell's per-orientation element stiffness, plain numpy (same math as
+    # assembly.element_stiffness; 6 tiny matrices)
+    corner_x = delta * spacing  # (8, 3) physical corner coords
+    Ke = np.zeros((6, 12, 12))
+    for o, corners in enumerate(kuhn):
+        x = corner_x[list(corners)]  # (4, 3)
+        dxdn = np.einsum("nD,gnd->gDd", x, dN)  # (G, 3, 3)
+        dsdx = np.einsum("gnd,gdD->gnD", dN, np.linalg.inv(dxdn))
+        vol = np.linalg.det(dxdn) * w  # (G,)
+        G, n = dsdx.shape[0], dsdx.shape[1]
+        B = np.zeros((G, 6, 3 * n))
+        Nx, Ny, Nz = dsdx[..., 0], dsdx[..., 1], dsdx[..., 2]
+        B[:, 0, 0::3], B[:, 1, 1::3], B[:, 2, 2::3] = Nx, Ny, Nz
+        B[:, 3, 0::3], B[:, 3, 1::3] = Ny, Nx
+        B[:, 4, 0::3], B[:, 4, 2::3] = Nz, Nx
+        B[:, 5, 1::3], B[:, 5, 2::3] = Nz, Ny
+        Ke[o] = np.einsum("gai,ab,gbj,g->ij", B, C, B, vol)
+
+    # per-corner-shift constant row tensor c[sx, sy, sz, i, k]
+    offsets = np.asarray(dia.offsets)
+    K = dia.n_offsets
+    stride = np.array([(ny + 1) * (nz + 1), nz + 1, 1])
+    c = np.zeros((2, 2, 2, 3, K))
+    for o, corners in enumerate(kuhn):
+        d = delta[list(corners)]
+        for a in range(4):
+            sx, sy, sz = (int(v) for v in d[a])
+            for b in range(4):
+                node_off = int((d[b] - d[a]) @ stride)
+                for i in range(3):
+                    for j in range(3):
+                        k = int(np.searchsorted(offsets, 3 * node_off + (j - i)))
+                        assert offsets[k] == 3 * node_off + (j - i)
+                        c[sx, sy, sz, i, k] += Ke[o, 3 * a + i, 3 * b + j]
+
+    # broadcast through separable cell-existence masks: the cell at
+    # (p - s) exists iff s <= p <= n-1+s along each axis
+    V = np.zeros((nx + 1, ny + 1, nz + 1, 3, K))
+    masks = {
+        0: [(np.arange(n + 1) <= n - 1).astype(float) for n in (nx, ny, nz)],
+        1: [(np.arange(n + 1) >= 1).astype(float) for n in (nx, ny, nz)],
+    }
+    for sx in (0, 1):
+        for sy in (0, 1):
+            for sz in (0, 1):
+                m = (
+                    masks[sx][0][:, None, None]
+                    * masks[sy][1][None, :, None]
+                    * masks[sz][2][None, None, :]
+                )
+                V += m[..., None, None] * c[sx, sy, sz]
+    return V.reshape(-1, K)
+
+
+def dia_dirichlet_linear_numpy(
+    values: np.ndarray, offsets, diag_idx: int, fixed: np.ndarray
+) -> np.ndarray:
+    """Host twin of solvers.dia.dia_dirichlet_linear for homogeneous
+    (sval = 0) elimination -- used by the multigrid setup so coarse levels
+    never touch a device."""
+    n = fixed.shape[0]
+    pad_lo = max(0, -min(offsets))
+    pad_hi = max(0, max(offsets))
+    fixed_pad = np.pad(np.asarray(fixed, dtype=bool), (pad_lo, pad_hi))
+    col_fixed = np.stack(
+        [fixed_pad[pad_lo + off : pad_lo + off + n] for off in offsets], axis=1
+    )
+    out = np.where(col_fixed | fixed[:, None], 0.0, values)
+    out[:, diag_idx] = np.where(fixed, 1.0, out[:, diag_idx])
+    return out

@@ -88,6 +88,20 @@ class FEMSystem:
         self.geometric_nonlinear = bool(geometric_nonlinear)
         self.config = config
 
+        # near-incompressible models condition the operator like
+        # E/(1-2*nu) ~ 1e4*E: f32 (eps ~ 6e-8) loses ~4% of the stress on the
+        # nu=0.4999 Cook fixture (measured; see tests/test_precision.py),
+        # while f64 matches the literature anchor.  f64 per-system is not
+        # representable while x64 is globally off, so warn loudly instead.
+        nu = getattr(material, "poisson_ratio", 0.0)
+        if nu >= 0.495 and not jax.config.jax_enable_x64:
+            logger.warning(
+                "near-incompressible material (nu=%.4f) in f32 mode: "
+                "expect O(1%%) stress error; enable x64 (FEMCY_TPU_X64=1) "
+                "for this model",
+                nu,
+            )
+
         structured = (
             config.sparse_format in ("auto", "dia")
             and mesh.structure is not None

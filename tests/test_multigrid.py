@@ -209,3 +209,66 @@ def test_system_multigrid_in_newton_path():
     x_j = run("jacobi")
     scale = np.abs(x_j).max()
     np.testing.assert_allclose(x_mg / scale, x_j / scale, atol=1e-4)
+
+
+def test_analytic_values_match_rediscretization():
+    """The closed-form uniform-grid DIA values (one cell broadcast through
+    corner-existence masks) match device rediscretization to machine
+    precision, on a non-cubic box with distinct spacings."""
+    from femcy_tpu.solvers.dia import build_structured_dia_pattern
+    from femcy_tpu.structured import (
+        analytic_structured_dia_values,
+        dia_dirichlet_linear_numpy,
+    )
+
+    mesh = box_tets(4, 3, 5, 2.0, 1.5, 1.0)
+    mat = LinearIsotropic(200.0, 0.3)
+    dia = build_structured_dia_pattern(mesh)
+    plan = build_structured_plan(mesh, dia)
+    dsdx, vol = assembly.gradients_and_volume(
+        jnp.asarray(mesh.nodes),
+        jnp.asarray(mesh.elements),
+        jnp.asarray(mesh.element.dshape_at_gp),
+        jnp.asarray(mesh.element.gauss_weights),
+    )
+    ref = np.asarray(structured_assemble(dsdx, vol, jnp.asarray(mat.C), plan))
+    ana = analytic_structured_dia_values(mesh, mat.C, dia)
+    np.testing.assert_allclose(ana, ref, rtol=0, atol=1e-11 * np.abs(ref).max())
+
+    # the host elimination twin matches the device one exactly
+    rng = np.random.default_rng(0)
+    fixed = rng.random(dia.n_dof) < 0.2
+    dev, _ = dia_dirichlet_linear(
+        jnp.asarray(ref), dia.offsets, dia.diag_idx,
+        jnp.zeros(dia.n_dof), jnp.asarray(fixed), jnp.zeros(dia.n_dof),
+    )
+    host = dia_dirichlet_linear_numpy(ref.copy(), dia.offsets, dia.diag_idx, fixed)
+    np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def test_multigrid_level_values_match_rediscretization():
+    """Every coarse level the V-cycle smooths against equals the
+    BC-eliminated rediscretized operator of that level's mesh."""
+    from femcy_tpu.solvers.dia import dia_spmv
+
+    mesh, mat, fixed, dia, values_bc, b = _problem(8)
+    mg = StructuredMultigrid(mesh, mat, fixed, dia=dia, coarsest_max_dof=400)
+    assert len(mg.levels) >= 2
+    for lv in mg.levels[1:]:
+        mesh_l = box_tets(*lv.grid)
+        plan_l = build_structured_plan(mesh_l, lv.dia)
+        dsdx, vol = assembly.gradients_and_volume(
+            jnp.asarray(mesh_l.nodes),
+            jnp.asarray(mesh_l.elements),
+            jnp.asarray(mesh_l.element.dshape_at_gp),
+            jnp.asarray(mesh_l.element.gauss_weights),
+        )
+        vals = structured_assemble(dsdx, vol, jnp.asarray(mat.C), plan_l)
+        vals, _ = dia_dirichlet_linear(
+            vals, lv.dia.offsets, lv.dia.diag_idx,
+            jnp.zeros(lv.dia.n_dof), lv.fixed, jnp.zeros(lv.dia.n_dof),
+        )
+        ref = np.asarray(vals)
+        np.testing.assert_allclose(
+            np.asarray(lv.values), ref, rtol=0, atol=1e-11 * np.abs(ref).max()
+        )

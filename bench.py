@@ -55,6 +55,7 @@ from femcy_tpu.solvers.dia import (
     dia_pcg_solve,
     dia_scatter,
 )
+from femcy_tpu.kernels.dia_spmv import make_spmv
 from femcy_tpu.solvers.multigrid import StructuredMultigrid
 from femcy_tpu.structured import build_structured_plan, structured_assemble
 from femcy_tpu.topology import build_pattern
@@ -139,8 +140,12 @@ def main():
     )
     plan = None
     mg = None
+    spmv = None
     if use_dia:
         offsets, diag_idx, n_off = dia.offsets, dia.diag_idx, dia.n_offsets
+        if os.environ.get("BENCH_SPMV", "auto") != "slices":
+            spmv = make_spmv(n_dof, offsets, dtype=dtype)
+            log(f"pallas spmv: {'enabled' if spmv else 'unavailable'}")
         if structured:
             plan = build_structured_plan(mesh, dia)
             log("using the dense structured (scatter-free) assembly path")
@@ -186,10 +191,13 @@ def main():
                 values, offsets, diag_idx, a["rhs"], a["fixed"], a["sval"]
             )
             if mg is not None:
-                return mg.pcg_solve(values, b, eps=1.0e-3, ops=a["mg_ops"])
+                return mg.pcg_solve(
+                    values, b, eps=1.0e-3, ops=a["mg_ops"], spmv=spmv
+                )
             block_dm = 3 if os.environ.get("BENCH_PRECOND", "scalar") == "block" else 0
             return dia_pcg_solve(
-                values, offsets, diag_idx, b, eps=1.0e-3, block_dm=block_dm
+                values, offsets, diag_idx, b, eps=1.0e-3, block_dm=block_dm,
+                spmv=spmv,
             )
         values, b = bc_mod.apply_dirichlet_linear(
             values, a["colidx"], a["diag_slot"], a["rhs"], a["fixed"], a["sval"]

@@ -38,6 +38,12 @@ class SolverConfig:
     sparse_format: str = "auto"
     #: max distinct column offsets for the DIA layout to be considered
     dia_max_offsets: int = 1024
+    #: SpMV inside the DIA CG: "auto" uses the Pallas x-resident kernel on
+    #: TPU/f32 when x fits in VMEM (36x faster per iteration at the
+    #: 1M-element scale, kernels/dia_spmv.py), falling back to the XLA
+    #: shifted-slice path; "slices" forces the XLA path; "pallas" requires
+    #: the kernel (raises when unavailable).
+    spmv: str = "auto"
     #: CG preconditioner: "jacobi" (reference parity,
     #: conjugateGradientSolver.py:48-51), "block_jacobi" (dm x dm node
     #: blocks; fewer iterations for elasticity; DIA layout only) or

@@ -1,3 +1,3 @@
-from femcy_tpu.kernels.segsum import TiledSegsum, sorted_segment_sum_pallas
+from femcy_tpu.kernels.dia_spmv import make_spmv, pallas_spmv, pallas_spmv_plan
 
-__all__ = ["TiledSegsum", "sorted_segment_sum_pallas"]
+__all__ = ["make_spmv", "pallas_spmv", "pallas_spmv_plan"]

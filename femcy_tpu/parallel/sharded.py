@@ -101,22 +101,24 @@ def build_sharded_operands(
     elements_sh = elements_pad.reshape(D, E_s, -1)
     weight_sh = weight.reshape(D, E_s)
 
-    # per-shard scatter maps into the PADDED flat slot space
-    targets_sh = np.zeros((D, E_s * edof * edof), dtype=np.int64)
-    force_sh = np.zeros((D, E_s * edof), dtype=np.int32)
-    for d in range(D):
-        ele = elements_sh[d].astype(np.int64)
-        edofs = (ele[:, :, None] * dm + np.arange(dm)).reshape(E_s, edof)
-        force_sh[d] = edofs.reshape(-1)
-        rows = np.broadcast_to(edofs[:, :, None], (E_s, edof, edof)).reshape(-1)
-        cols = np.broadcast_to(edofs[:, None, :], (E_s, edof, edof)).reshape(-1)
-        # vectorised per-entry slot lookup in each row's column list
-        idx = np.argmax(pattern.colidx[rows] == cols[:, None], axis=1)
-        # rows with padding colidx==0 and col==0 would false-match; validity:
-        ok = pattern.colidx[rows, idx] == cols
-        if not ok.all():
-            raise RuntimeError("sharded scatter map: column not found in pattern")
-        targets_sh[d] = rows * width + idx
+    # per-shard scatter maps: the single-device pattern's element-ordered
+    # slot map (flat slot = row*width + slot, rows unchanged by the row
+    # padding) sliced per element shard -- no per-device recomputation (the
+    # old per-shard argmax materialised an (E_s*edof^2, width) comparison,
+    # ~1 GB/device at the 1M-element scale).  Padded elements reuse element
+    # 0's targets; their Ke is zero (zero-weighted volume), so the adds are
+    # no-ops.
+    tgt = pattern.scatter_targets.reshape(E, edof * edof).astype(np.int64)
+    pad_e = D * E_s - E
+    if pad_e:
+        tgt = np.concatenate(
+            [tgt, np.broadcast_to(tgt[0], (pad_e, edof * edof))], axis=0
+        )
+    targets_sh = np.ascontiguousarray(tgt.reshape(D, E_s * edof * edof))
+    edofs_pad = (
+        elements_pad.astype(np.int64)[:, :, None] * dm + np.arange(dm)
+    ).reshape(D * E_s, edof)
+    force_sh = edofs_pad.reshape(D, E_s * edof).astype(np.int32)
 
     return ShardedOperands(
         n_devices=D,

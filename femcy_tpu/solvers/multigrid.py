@@ -255,19 +255,26 @@ class StructuredMultigrid:
             "coarse_inv": ops["coarse_inv"],
         }
 
-    def _smooth(self, ops, li: int, x, b, steps: int):
-        level = self.levels[li]
+    def _apply(self, ops, li: int, x, apply0=None):
+        """One level's operator; level 0 optionally through a fast SpMV
+        (kernels.dia_spmv) instead of the shifted-slice path."""
+        if li == 0 and apply0 is not None:
+            return apply0(x)
+        return dia_spmv(ops["values"][li], self.levels[li].dia.offsets, x)
+
+    def _smooth(self, ops, li: int, x, b, steps: int, apply0=None):
         for _ in range(steps):
-            r = b - dia_spmv(ops["values"][li], level.dia.offsets, x)
+            r = b - self._apply(ops, li, x, apply0)
             x = x + self.omega * ops["inv_diag"][li] * r
         return x
 
-    def _vcycle(self, ops, li: int, b):
+    def _vcycle(self, ops, li: int, b, apply0=None):
         level = self.levels[li]
         if li == len(self.levels) - 1:
             return ops["coarse_inv"] @ b
-        x = self._smooth(ops, li, jnp.zeros_like(b), b, self.smooth_steps)
-        r = b - dia_spmv(ops["values"][li], level.dia.offsets, x)
+        x = self._smooth(ops, li, jnp.zeros_like(b), b, self.smooth_steps,
+                         apply0)
+        r = b - self._apply(ops, li, x, apply0)
         # keep transfers out of the fixed dofs so BC rows stay exact
         rc = restrict(jnp.where(ops["fixed"][li], 0.0, r), level.grid)
         rc = jnp.where(ops["fixed"][li + 1], 0.0, rc)
@@ -275,33 +282,46 @@ class StructuredMultigrid:
         next_grid = self.levels[li + 1].grid
         e = prolong(jnp.where(ops["fixed"][li + 1], 0.0, ec), next_grid)
         x = x + jnp.where(ops["fixed"][li], 0.0, e)
-        return self._smooth(ops, li, x, b, self.smooth_steps)
+        return self._smooth(ops, li, x, b, self.smooth_steps, apply0)
 
-    def precondition(self, values, r, ops=None):
+    def precondition(self, values, r, ops=None, spmv=None):
         """Apply one V-cycle: a fixed symmetric-ish linear operator M^-1 r.
 
         ``values`` is the BC-eliminated fine DIA operator (smoothed against
         directly -- the hierarchy never stores a fine-level copy)."""
         if ops is None:
             ops = self.operands()
-        return self._vcycle(self._full_ops(values, ops), 0, r)
+        apply0 = None
+        if spmv is not None:
+            prep, apply_fn = spmv
+            operand = prep(values)
+            apply0 = lambda x: apply_fn(operand, x)  # noqa: E731
+        return self._vcycle(self._full_ops(values, ops), 0, r, apply0)
 
     # ------------------------------------------------------------------ #
     def pcg_solve(self, values, b, eps: float = 1.0e-3, max_iters: int = 200,
-                  ops=None):
+                  ops=None, spmv=None):
         """PCG on the fine DIA operator with the V-cycle preconditioner.
 
         ``values`` must be BC-eliminated with the same fixed mask the cycle
         was built with.  Pass ``ops=self.operands()`` explicitly when calling
         under an outer jit so the level arrays are traced arguments.
+        spmv: optional (prep, apply) pair (kernels.dia_spmv.make_spmv) for
+        every fine-level operator application (CG body + level-0 smoothing).
         """
         dia = self.levels[0].dia
         if ops is None:
             ops = self.operands()
         full = self._full_ops(values, ops)
+        if spmv is not None:
+            prep, apply_fn = spmv
+            operand = prep(values)
+            apply0 = lambda x: apply_fn(operand, x)  # noqa: E731
+        else:
+            apply0 = lambda x: dia_spmv(values, dia.offsets, x)  # noqa: E731
 
         def apply_m(r):
-            return self._vcycle(full, 0, r)
+            return self._vcycle(full, 0, r, apply0)
 
         r0 = b
         d0 = apply_m(r0)
@@ -315,7 +335,7 @@ class StructuredMultigrid:
 
         def body(state):
             x, r, d, rmr, k = state
-            Ad = dia_spmv(values, dia.offsets, d)
+            Ad = apply0(d)
             alpha = rmr / jnp.dot(d, Ad)
             x = x + alpha * d
             r = r - alpha * Ad

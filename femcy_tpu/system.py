@@ -188,10 +188,27 @@ class FEMSystem:
             )
         )
         self._jit_F = jax.jit(self._deformation_gradient_impl)
+        self._spmv = None
         if self.dia is not None:
             dia = self.dia
 
+            if config.spmv != "slices":
+                # Pallas x-resident SpMV: 36x faster CG iterations on TPU
+                # (kernels/dia_spmv.py); None on CPU / f64 / VMEM overflow
+                from femcy_tpu.kernels.dia_spmv import make_spmv
+
+                dtype = (
+                    jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+                )
+                self._spmv = make_spmv(mesh.n_dof, dia.offsets, dtype=dtype)
+                if self._spmv is None and config.spmv == "pallas":
+                    raise ValueError(
+                        "spmv='pallas' unavailable: needs a TPU backend, an "
+                        "f32 operand (FEMCY_TPU_X64=0) and x fitting in VMEM"
+                    )
+
             block_dm = self.mesh.dm if config.preconditioner == "block_jacobi" else 0
+            spmv_pair = self._spmv
 
             def _dia_cg(values, b):
                 return dia_pcg_solve(
@@ -202,6 +219,7 @@ class FEMSystem:
                     eps=config.cg_eps,
                     max_iters=config.cg_max_iters,
                     block_dm=block_dm,
+                    spmv=spmv_pair,
                 )
 
             self._jit_dia_cg = jax.jit(_dia_cg)
@@ -387,9 +405,12 @@ class FEMSystem:
         # Jacobi paths (conjugateGradientSolver.py:109)
         max_iters = cfg.cg_max_iters if cfg.cg_max_iters > 0 else self.mesh.n_dof
 
+        spmv_pair = self._spmv
+
         def _mg_cg(values, b, ops):
             return mg.pcg_solve(
-                values, b, eps=cfg.cg_eps, max_iters=max_iters, ops=ops
+                values, b, eps=cfg.cg_eps, max_iters=max_iters, ops=ops,
+                spmv=spmv_pair,
             )
 
         self._jit_mg_cg = jax.jit(_mg_cg)

@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--save-vtk", default=None, help="write a VTK result file here")
     p.add_argument(
+        "--save-html",
+        default=None,
+        help="write a self-contained interactive HTML viewer here "
+        "(drag-rotate/zoom; the reference's GUI equivalent without a display)",
+    )
+    p.add_argument(
         "--cmap",
         default="turbo",
         help="matplotlib colormap for PNG export (the reference's colorBar.py "
@@ -190,6 +196,11 @@ def main(argv=None) -> int:
             cell_data={"mises_max_gp": mises_np.max(axis=1)},
         )
         print(f"wrote {args.save_vtk}")
+    if args.save_html:
+        from femcy_tpu.io.html import export_html
+
+        export_html(mesh, dof, nodal_mises, args.save_html)
+        print(f"wrote {args.save_html}")
     return 0 if report.success else 1
 
 

@@ -1,0 +1,340 @@
+"""Slab-sharded structured solve: gather-free multi-chip assembly + DIA CG.
+
+The general sharded path (parallel/sharded.py) is correctness-first: its SpMV
+gathers x rows through the ELL column index -- the exact pattern the
+single-chip work measured ~500x off HBM speed and replaced with DIA shifted
+slices.  For structured box_tets meshes this module shards the SAME
+gather-free design over the device mesh:
+
+* **Slab decomposition.**  The box's cells are split into D equal x-slabs,
+  one per device; device d owns the node planes [d*nxl, (d+1)*nxl) (the last
+  device also owns the final plane).  Each device's row block additionally
+  CARRIES the shared boundary plane of its right neighbour, kept bitwise
+  consistent on both owners, so every local array has the same static shape.
+
+* **Assembly.**  Each device runs the dense scatter-free structured assembly
+  (structured.structured_assemble) on its own slab -- elements of one
+  orientation are a dense cell grid, so the slab's DIA rows are statically
+  padded adds, no scatter.  The only cross-device coupling is the shared
+  node plane: one ppermute each way adds the neighbour's partial plane
+  (a (plane_rows, K) buffer over ICI).
+
+* **CG.**  DIA SpMV on the local rows needs x on [start - pad_lo,
+  end + pad_hi): two boundary planes from each neighbour (pad_lo < 2 planes
+  always, asserted), fetched with two static-slice ppermutes per iteration.
+  Dot products mask the duplicated plane by an ownership weight and psum.
+  The whole loop lives in one shard_map'd lax.while_loop: no gather
+  instruction anywhere in the program, collectives ride the ICI.
+
+The reference has no distributed execution at all (SURVEY.md §2.5); this is
+the beyond-parity scaling layer for meshes past one chip's HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from femcy_tpu.materials import Material
+from femcy_tpu.mesh import FEMesh
+from femcy_tpu.meshgen import box_tets
+from femcy_tpu.solvers.dia import build_structured_dia_pattern
+from femcy_tpu.structured import build_structured_plan, structured_assemble
+
+AXIS = "fem_mesh"
+
+#: halo depth in node planes; pad_lo = 3*(sx+sy+1)+2 < 2*3*sx = 2 planes
+#: for every grid with ny >= nz (asserted in the plan)
+HALO_PLANES = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class StructuredShardPlan:
+    n_devices: int
+    nx: int
+    ny: int
+    nz: int
+    nxl: int  # cell planes per device
+    ps: int  # dof rows per node plane = 3*(ny+1)*(nz+1)
+    local_rows: int  # (nxl + 1) * ps, incl. the shared right plane
+    offsets: tuple
+    diag_idx: int
+    n_dof: int
+
+
+def build_structured_shard_plan(mesh: FEMesh, n_devices: int) -> StructuredShardPlan:
+    info = mesh.structure
+    assert info is not None and info["kind"] == "box_tets"
+    nx, ny, nz = info["nx"], info["ny"], info["nz"]
+    D = n_devices
+    if nx % D != 0 or nx // D < HALO_PLANES:
+        raise ValueError(
+            f"slab sharding needs nx divisible by n_devices with at least "
+            f"{HALO_PLANES} cell planes per device (nx={nx}, D={D})"
+        )
+    dia = build_structured_dia_pattern(mesh)
+    ps = 3 * (ny + 1) * (nz + 1)
+    assert dia.pad_lo <= HALO_PLANES * ps and dia.pad_hi <= HALO_PLANES * ps
+    nxl = nx // D
+    return StructuredShardPlan(
+        n_devices=D, nx=nx, ny=ny, nz=nz, nxl=nxl, ps=ps,
+        local_rows=(nxl + 1) * ps, offsets=dia.offsets,
+        diag_idx=dia.diag_idx, n_dof=mesh.n_dof,
+    )
+
+
+def stack_rows(plan: StructuredShardPlan, v: np.ndarray) -> np.ndarray:
+    """Global (n_dof, ...) row vector -> (D, local_rows, ...) overlapping
+    stacked blocks (the shared plane is duplicated)."""
+    blocks = [
+        v[d * plan.nxl * plan.ps : (d * plan.nxl + plan.nxl + 1) * plan.ps]
+        for d in range(plan.n_devices)
+    ]
+    return np.stack(blocks)
+
+
+def unstack_rows(plan: StructuredShardPlan, blocks: np.ndarray) -> np.ndarray:
+    """(D, local_rows) stacked blocks -> global (n_dof,) (owned rows only)."""
+    own = [blocks[d, : plan.nxl * plan.ps] for d in range(plan.n_devices)]
+    own.append(blocks[-1, plan.nxl * plan.ps :])
+    return np.concatenate(own)
+
+
+# --------------------------------------------------------------------------- #
+# device-side pieces (run under shard_map; every array is one device's block)
+# --------------------------------------------------------------------------- #
+def _fetch_halos(plan: StructuredShardPlan, x_local):
+    """x_ext = [2 planes from the left | x_local | 2 planes from the right].
+
+    Global rows of device d start at d*nxl*ps, so its left halo lives on
+    device d-1 at local planes [nxl-2, nxl) and its right halo on device
+    d+1 at local planes [1, 3) (plane 0 duplicates our own last plane).
+    Edge devices receive zeros -- correct, because boundary rows have no
+    stencil entries beyond the domain.
+    """
+    D, ps, nxl = plan.n_devices, plan.ps, plan.nxl
+    H = HALO_PLANES * ps
+    from_left = jax.lax.ppermute(
+        x_local[(nxl - HALO_PLANES) * ps : nxl * ps],
+        AXIS, perm=[(i, i + 1) for i in range(D - 1)],
+    )
+    from_right = jax.lax.ppermute(
+        x_local[ps : ps + H],
+        AXIS, perm=[(i + 1, i) for i in range(D - 1)],
+    )
+    return jnp.concatenate([from_left, x_local, from_right])
+
+
+def _spmv_local(plan: StructuredShardPlan, values_local, x_local):
+    """y_local = (A x)|rows via static shifted slices of the halo-extended x."""
+    H = HALO_PLANES * plan.ps
+    x_ext = _fetch_halos(plan, x_local)
+    y = jnp.zeros_like(x_local)
+    for k, off in enumerate(plan.offsets):
+        y = y + values_local[:, k] * jax.lax.dynamic_slice_in_dim(
+            x_ext, H + off, plan.local_rows
+        )
+    return y
+
+
+def _dirichlet_local(plan: StructuredShardPlan, values_local, rhs_local,
+                     fixed_local, sval_local):
+    """Symmetric zero-one elimination on the local rows; column masks come
+    from the halo-extended fixed/sval vectors (same shifts as the SpMV)."""
+    H = HALO_PLANES * plan.ps
+    fixed_ext = _fetch_halos(plan, fixed_local.astype(values_local.dtype))
+    sval_ext = _fetch_halos(plan, sval_local)
+    col_fixed = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(fixed_ext, H + off, plan.local_rows)
+            for off in plan.offsets
+        ],
+        axis=1,
+    ) > 0.5
+    col_sval = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(sval_ext, H + off, plan.local_rows)
+            for off in plan.offsets
+        ],
+        axis=1,
+    )
+    rhs_local = rhs_local - jnp.sum(
+        jnp.where(col_fixed, values_local * col_sval, 0.0), axis=1
+    )
+    rhs_local = jnp.where(fixed_local, sval_local, rhs_local)
+    values_local = jnp.where(
+        col_fixed | fixed_local[:, None], 0.0, values_local
+    )
+    diag = jnp.where(fixed_local, 1.0, values_local[:, plan.diag_idx])
+    values_local = values_local.at[:, plan.diag_idx].set(diag)
+    return values_local, rhs_local
+
+
+def _pcg_local(plan: StructuredShardPlan, values_local, b_local, own,
+               eps: float, max_iters: int):
+    """Row-parallel Jacobi-PCG, DIA halo SpMV, ownership-masked reductions."""
+    diag = values_local[:, plan.diag_idx]
+    minv = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
+
+    def pdot(a, b):
+        return jax.lax.psum(jnp.dot(own * a, b), AXIS)
+
+    r0 = b_local
+    d0 = minv * r0
+    x0 = jnp.zeros_like(b_local)
+    rmax0 = jax.lax.pmax(jnp.max(jnp.abs(own * r0)), AXIS)
+
+    def cond(state):
+        _, _, _, _, k, rmax = state
+        return (k < max_iters) & (rmax >= eps * rmax0) & (rmax0 > 0.0)
+
+    def body(state):
+        x, r, d, rmr, k, _ = state
+        Ad = _spmv_local(plan, values_local, d)
+        alpha = rmr / pdot(d, Ad)
+        x = x + alpha * d
+        r = r - alpha * Ad
+        z = minv * r
+        rmr_new = pdot(r, z)
+        d = z + (rmr_new / rmr) * d
+        rmax = jax.lax.pmax(jnp.max(jnp.abs(own * r)), AXIS)
+        return x, r, d, rmr_new, k + 1, rmax
+
+    rmr0 = pdot(r0, d0)
+    x, r, _, _, k, rmax = jax.lax.while_loop(
+        cond, body, (x0, r0, d0, rmr0, jnp.int32(0), rmax0)
+    )
+    return x, k, rmax
+
+
+def _assemble_local(plan: StructuredShardPlan, slab_plan, dsdx_cell,
+                    vol_cell, C):
+    """Dense structured assembly of this device's slab + one-plane halo-add.
+
+    Every cell of an orientation has identical kinematics on the uniform
+    grid, so one cell's host-computed gradients are broadcast over the slab
+    (structured.cell_gradients) -- the program never gathers coordinates;
+    only the halo-add couples the devices.
+    """
+    nc = plan.nxl * plan.ny * plan.nz
+    E = nc * 6
+    dsdx = jnp.broadcast_to(
+        dsdx_cell[None], (nc, *dsdx_cell.shape)
+    ).reshape(E, *dsdx_cell.shape[1:])
+    vol = jnp.broadcast_to(
+        vol_cell[None], (nc, *vol_cell.shape)
+    ).reshape(E, vol_cell.shape[1])
+    v = structured_assemble(dsdx, vol, C, slab_plan)  # (local_rows, K)
+    D, ps = plan.n_devices, plan.ps
+    # my first plane's partial belongs also to the left neighbour's last
+    # plane, and vice versa: exchange and add (the only assembly collective)
+    to_left = jax.lax.ppermute(
+        v[:ps], AXIS, perm=[(i + 1, i) for i in range(D - 1)]
+    )
+    to_right = jax.lax.ppermute(
+        v[-ps:], AXIS, perm=[(i, i + 1) for i in range(D - 1)]
+    )
+    v = v.at[-ps:].add(to_left)
+    v = v.at[:ps].add(to_right)
+    return v
+
+
+def _shard_solve(plan, slab_plan, eps, max_iters,
+                 dsdx_cell, vol_cell, C,
+                 rhs_local, fixed_local, sval_local, own):
+    rhs_local = rhs_local[0]
+    fixed_local = fixed_local[0]
+    sval_local = sval_local[0]
+    own = own[0]
+    values = _assemble_local(plan, slab_plan, dsdx_cell, vol_cell, C)
+    values, b = _dirichlet_local(plan, values, rhs_local, fixed_local, sval_local)
+    x, k, rmax = _pcg_local(plan, values, b, own, eps, max_iters)
+    return x[None], k, rmax
+
+
+class ShardedStructuredSolver:
+    """K x = rhs on a structured box, slab-sharded over the device mesh.
+
+    One jitted shard_map program: slab assembly, plane halo-add, Dirichlet
+    elimination, halo-exchange DIA CG -- gather-free end to end.
+    """
+
+    def __init__(
+        self,
+        fe_mesh: FEMesh,
+        material: Material,
+        devices: Optional[list] = None,
+        cg_eps: float = 1.0e-6,
+        cg_iters: int = 0,
+    ):
+        devices = devices if devices is not None else jax.devices()
+        D = len(devices)
+        self.device_mesh = Mesh(np.asarray(devices), (AXIS,))
+        plan = build_structured_shard_plan(fe_mesh, D)
+        self.plan = plan
+        if cg_iters <= 0:
+            cg_iters = plan.n_dof
+
+        info = fe_mesh.structure
+        lx = fe_mesh.nodes[:, 0].max()
+        ly = fe_mesh.nodes[:, 1].max()
+        lz = fe_mesh.nodes[:, 2].max()
+        slab = box_tets(plan.nxl, plan.ny, plan.nz,
+                        lx * plan.nxl / plan.nx, ly, lz)
+        slab_dia = build_structured_dia_pattern(slab)
+        assert slab_dia.offsets == plan.offsets, (
+            "slab offsets must equal the global ones (needs >= 2 cell "
+            "planes per device)"
+        )
+        self._slab_plan = build_structured_plan(slab, slab_dia)
+
+        # ownership mask: each device owns its first nxl planes; the last
+        # device also owns the final (shared-representation) plane
+        own = np.ones((D, plan.local_rows))
+        own[:-1, plan.nxl * plan.ps :] = 0.0
+        self._own = own
+
+        repl = NamedSharding(self.device_mesh, P())
+        shard = NamedSharding(self.device_mesh, P(AXIS))
+        from femcy_tpu.structured import cell_gradients
+
+        dsdx_cell, vol_cell = cell_gradients(slab)
+        self._dsdx_cell = jax.device_put(jnp.asarray(dsdx_cell), repl)
+        self._vol_cell = jax.device_put(jnp.asarray(vol_cell), repl)
+        self._C = jax.device_put(jnp.asarray(material.C), repl)
+        self._own_d = jax.device_put(jnp.asarray(own), shard)
+        self._shard = shard
+
+        from jax import shard_map
+
+        fn = partial(_shard_solve, plan, self._slab_plan, cg_eps, cg_iters)
+        self._step = jax.jit(
+            shard_map(
+                fn,
+                mesh=self.device_mesh,
+                in_specs=(
+                    P(), P(), P(),  # cell gradients + C
+                    P(AXIS), P(AXIS), P(AXIS), P(AXIS),  # rhs/fixed/sval/own
+                ),
+                out_specs=(P(AXIS), P(), P()),
+                check_vma=False,
+            )
+        )
+
+    def solve(self, rhs: np.ndarray, fixed: np.ndarray, sval: np.ndarray):
+        plan = self.plan
+        put = lambda v: jax.device_put(jnp.asarray(v), self._shard)  # noqa: E731
+        x_blocks, iters, rmax = self._step(
+            self._dsdx_cell, self._vol_cell, self._C,
+            put(stack_rows(plan, np.asarray(rhs))),
+            put(stack_rows(plan, np.asarray(fixed))),
+            put(stack_rows(plan, np.asarray(sval))),
+            self._own_d,
+        )
+        return unstack_rows(plan, np.asarray(x_blocks)), int(iters)

@@ -271,3 +271,33 @@ def dia_dirichlet_linear_numpy(
     out = np.where(col_fixed | fixed[:, None], 0.0, values)
     out[:, diag_idx] = np.where(fixed, 1.0, out[:, diag_idx])
     return out
+
+
+def cell_gradients(mesh: FEMesh):
+    """Per-orientation shape gradients/volumes of ONE uniform-grid cell,
+    plain numpy: (dsdx (6, G, 4, 3), vol (6, G)).
+
+    On a uniform box every cell of an orientation has identical kinematics,
+    so device programs broadcast these instead of gathering node coordinates
+    per element (keeps the sharded structured program gather-free)."""
+    info = mesh.structure
+    assert info is not None and info["kind"] == "box_tets"
+    nx, ny, nz = info["nx"], info["ny"], info["nz"]
+    spacing = np.array(
+        [
+            mesh.nodes[:, 0].max() / nx,
+            mesh.nodes[:, 1].max() / ny,
+            mesh.nodes[:, 2].max() / nz,
+        ]
+    )
+    delta = np.asarray(info["corner_delta"]) * spacing
+    dN = np.asarray(mesh.element.dshape_at_gp)  # (G, 4, 3)
+    w = np.asarray(mesh.element.gauss_weights)
+    dsdx = np.zeros((6, dN.shape[0], 4, 3))
+    vol = np.zeros((6, dN.shape[0]))
+    for o, corners in enumerate(info["kuhn"]):
+        x = delta[list(corners)]  # (4, 3)
+        dxdn = np.einsum("nD,gnd->gDd", x, dN)
+        dsdx[o] = np.einsum("gnd,gdD->gnD", dN, np.linalg.inv(dxdn))
+        vol[o] = np.linalg.det(dxdn) * w
+    return dsdx, vol

@@ -160,3 +160,34 @@ def test_patch_vertex_values_vectorized():
         conn = list(mesh.elements[owners[t]])
         for c in range(3):
             assert vals[t, c] == nodal_vals[owners[t], conn.index(tris[t, c])]
+
+
+def test_export_html_viewer(tmp_path):
+    """Single-file interactive HTML export: valid data payload, all faces
+    colored, viewer JS embedded (the reference-GUI stopgap)."""
+    import json
+    import re
+
+    from femcy_tpu.io.html import export_html
+    from femcy_tpu.meshgen import box_tets
+
+    mesh = box_tets(2, 2, 2)
+    dof = np.zeros(mesh.n_dof)
+    rng = np.random.default_rng(0)
+    patch = rng.random((mesh.n_elements, mesh.element.n_nodes))
+    p = export_html(mesh, dof, patch, str(tmp_path / "v.html"))
+    text = open(p).read()
+    assert "<canvas" in text and "onmousedown" in text
+    data = json.loads(re.search(r"const D=(\{.*?\});", text).group(1))
+    n_tris = len(data["tri"]) // 3
+    assert n_tris == mesh.surface_triangles[0].shape[0]
+    assert len(data["col"]) == n_tris
+    assert all(re.fullmatch(r"#[0-9a-f]{6}", c) for c in data["col"])
+    assert data["vmax"] >= data["vmin"]
+
+
+def test_cli_save_html(fixtures_dir, tmp_path):
+    html = tmp_path / "out.html"
+    rc = cli_main([str(fixtures_dir / ELLIP), "--save-html", str(html)])
+    assert rc == 0
+    assert html.exists() and html.stat().st_size > 5_000

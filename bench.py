@@ -71,12 +71,77 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+#: the reference's OWN reported cost on this exact fixture is ~5 minutes of
+#: Taichi kernel compilation alone before any solve
+#: (/root/reference/README.md:21); that is the baseline the driver tracks
+#: ("end-to-end solve time on the C3D10 twist case", BASELINE.md).
+TWIST_BASELINE_S = 300.0
+TWIST_INP = "/root/reference/tests/twist/twist_plate_C3D10.inp"
+
+
+def bench_twist():
+    """End-to-end C3D10 twist plate: read inp -> nonlinear Newton solve with
+    the user rotation BC -> stress recovery, on the device, in f64.
+
+    Solves the full 1,993-node/1,116-element fixture to a 90-degree twist
+    (max_time=0.5): the complete converged analysis both frameworks can do
+    -- the shipped 180-degree schedule walks into a configuration where
+    load-stepped Newton fails for C3D10 regardless of tangent
+    (tests/test_e2e_convergence.py documents it; C3D4 completes 180).
+    """
+    if not os.path.exists(TWIST_INP):
+        log(f"twist fixture not found at {TWIST_INP}; skipping twist metric")
+        return
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)  # E ~ 2e11: f64 accuracy
+    try:
+        from femcy_tpu import FEMesh, FEMSystem, read_inp
+
+        t0 = time.time()
+        inp = read_inp(TWIST_INP)
+        inp.time_incs = dict(inp.time_incs, max_time=0.5)
+        from femcy_tpu.materials import material_from_inp
+
+        mat = material_from_inp(
+            inp.material_type, inp.material_params, inp.element_type
+        )
+        mesh = FEMesh(inp.nodes, inp.elements, inp.element)
+        system = FEMSystem(mesh, mat, inp.geometric_nonlinear)
+        report = system.solve(inp)
+        _, _, mises = system.compute_strain_stress()
+        max_mises = float(jnp.max(mises))
+        elapsed = time.time() - t0
+        assert report.success, "twist C3D10 did not converge to 90 degrees"
+        assert np.isfinite(max_mises)
+        log(
+            f"twist C3D10 e2e: {elapsed:.1f}s, {report.n_increments} "
+            f"increments, max mises {max_mises:.3e}"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "twist_c3d10_90deg_e2e",
+                    "value": round(elapsed, 1),
+                    "unit": "s",
+                    "vs_baseline": round(TWIST_BASELINE_S / elapsed, 3),
+                }
+            )
+        )
+    finally:
+        _jax.config.update(
+            "jax_enable_x64", os.environ.get("BENCH_DTYPE", "f32") == "f64"
+        )
+
+
 def main():
     nx = int(os.environ.get("BENCH_NX", "56"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     dtype = jnp.float64 if os.environ.get("BENCH_DTYPE", "f32") == "f64" else jnp.float32
 
     log(f"devices: {jax.devices()}")
+    if os.environ.get("BENCH_TWIST", "1") == "1":
+        bench_twist()
     t0 = time.time()
     mesh = box_tets(nx, nx, nx)
     log(

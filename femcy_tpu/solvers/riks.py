@@ -59,6 +59,10 @@ class RiksReport:
     lam_max: float  # largest load factor visited
     limit_point: bool  # stiffness parameter changed sign
     lam_limit: float | None  # lambda at the first sign change
+    #: converged state at the first negative-stiffness evaluation: the
+    #: tangent there is indefinite (q . K^-1 q < 0), usable for det-K
+    #: diagnostics
+    u_limit: np.ndarray | None = None
     message: str = ""
 
     @property
@@ -124,6 +128,7 @@ def riks_solve(
     stiffness_prev = None
     limit_point = False
     lam_limit = None
+    u_limit = None
     lam_max = 0.0
     success = False
     message = "max_steps reached"
@@ -136,6 +141,9 @@ def riks_solve(
         du_q = solve(values, q_bc)
         norm_q = float(jnp.linalg.norm(du_q))
         stiffness = float(jnp.dot(q_bc, du_q))
+        if stiffness < 0.0 and u_limit is None:
+            # q . K^-1 q < 0 proves the tangent is indefinite HERE
+            u_limit = np.asarray(u_eval)
         if stiffness_prev is not None and stiffness * stiffness_prev < 0.0:
             limit_point = True
             if lam_limit is None:
@@ -226,5 +234,6 @@ def riks_solve(
         lam_max=lam_max,
         limit_point=limit_point,
         lam_limit=lam_limit,
+        u_limit=u_limit,
         message=message,
     )

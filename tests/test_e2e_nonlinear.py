@@ -94,14 +94,16 @@ def test_twist_plate_user_rotation_bc(fixtures_dir):
     # exactly 2R for the 180-degree rotation
     assert abs(np.abs(dof).max() - 80.0) < 1e-6
 
-    # stress grows with radius from the twist axis (classical torsion,
-    # ref README's qualitative check): compare mean Mises in inner vs outer
-    # radial bands at mid-plate
+    # stress grows with radius from the twist axis (at finite rotation the
+    # helical stretch of a fiber at radius r grows with r; ref README's
+    # qualitative check): the plate is 80(x) x 10(y) x 120(z), twisted about
+    # the z axis through (40, 5) -- compare mean Mises in inner vs outer
+    # radial bands of the (x, y) cross-section at mid-length
     _, stress, mises = system.compute_strain_stress()
     mises = np.asarray(mises).mean(axis=1)  # per element
     centers = inp.nodes[inp.elements].mean(axis=1)
-    mid = (centers[:, 0] > 15) & (centers[:, 0] < 25)
-    r = np.linalg.norm(centers[:, 1:] - np.array([5.0, 0.0]), axis=1)
+    mid = (centers[:, 2] > 40) & (centers[:, 2] < 80)
+    r = np.linalg.norm(centers[:, :2] - np.array([40.0, 5.0]), axis=1)
     inner = mises[mid & (r < np.median(r[mid]))].mean()
     outer = mises[mid & (r >= np.median(r[mid]))].mean()
     assert outer > inner
@@ -202,3 +204,48 @@ def test_strict_parity_mode_regression(fixtures_dir):
     assert [r.newton_iters for r in report.increments] == [11, 14, 8, 15]
     d = float(np.abs(np.asarray(system.dof)).max())
     assert abs(d - 30.5644) < 0.05
+
+
+def test_twist_c3d10_full_mesh_90deg(fixtures_dir):
+    """The FULL (non-coarse) C3D10 twist mesh (1,993 nodes / 1,116 elements)
+    solved end-to-end to a 90-degree rotation -- the driver-tracked benchmark
+    case (BASELINE.md; the reference pays ~5 min of Taichi compilation on
+    this fixture alone, /root/reference/README.md:21).  The shipped
+    180-degree schedule walks C3D10 into a state where load-stepped Newton
+    fails regardless of tangent (measured: default stalls at t=0.64,
+    reference-parity mode reaches |u|~80 near t~1 then aborts); 90 degrees
+    is the complete converged analysis -- C3D4 completes the full 180
+    (test_twist_plate_user_rotation_bc)."""
+    inp = read_inp(fixtures_dir / "twist/twist_plate_C3D10.inp")
+    assert len(inp.nodes) == 1993 and len(inp.elements) == 1116
+    inp.time_incs = dict(inp.time_incs, max_time=0.5)
+    mat = material_from_inp(inp.material_type, inp.material_params, inp.element_type)
+    system = FEMSystem(
+        FEMesh(inp.nodes, inp.elements, inp.element), mat, inp.geometric_nonlinear
+    )
+    report = system.solve(inp)
+    assert report.success
+
+    # the rotated set's displacement is prescribed exactly: |u_xy| of the
+    # farthest node = 2 sin(45 deg) max r_xy about the (40, 5) center
+    user_sets = [b.node_set for b in inp.dirichlet_bcs if b.user]
+    assert user_sets
+    rset = np.unique(np.concatenate(user_sets))
+    r_xy = np.linalg.norm(inp.nodes[rset][:, :2] - np.array([40.0, 5.0]), axis=1)
+    dof = np.asarray(system.dof).reshape(-1, 3)
+    u_rot = np.linalg.norm(dof[rset][:, :2], axis=1).max()
+    np.testing.assert_allclose(u_rot, 2 * np.sin(np.pi / 4) * r_xy.max(),
+                               rtol=1e-9)
+
+    # finite-rotation torsion: Mises grows with radius from the twist axis
+    # (helical fiber stretch ~ r).  The plate is 80(x) x 10(y) x 120(z),
+    # twisted about the z axis through (40, 5); measured at 90 degrees the
+    # outer radial half carries ~2.1x the inner half's mean Mises.
+    _, stress, mises = system.compute_strain_stress()
+    mises = np.asarray(mises).mean(axis=1)
+    centers = inp.nodes[inp.elements].mean(axis=1)
+    mid = (centers[:, 2] > 40) & (centers[:, 2] < 80)
+    r = np.linalg.norm(centers[:, :2] - np.array([40.0, 5.0]), axis=1)
+    inner = mises[mid & (r < np.median(r[mid]))].mean()
+    outer = mises[mid & (r >= np.median(r[mid]))].mean()
+    assert outer > 1.5 * inner

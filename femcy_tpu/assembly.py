@@ -17,6 +17,18 @@ import jax.numpy as jnp
 from femcy_tpu.linalg import det_small, inv_small
 
 
+def gradients_and_volume_x(x, dshape_gp, weights_gp):
+    """gradients_and_volume on pre-gathered element coordinates
+    x : (E, n, dm) -- callers with structured meshes build x by static
+    slicing (structured.structured_element_nodes) instead of the
+    ``coords[elements]`` gather (~45 ms of pure gather at 1M elements)."""
+    dxdn = jnp.einsum("enD,gnd->egDd", x, dshape_gp)
+    inv = inv_small(dxdn)  # (E, G, d, D)
+    dsdx = jnp.einsum("gnd,egdD->egnD", dshape_gp, inv)
+    vol = det_small(dxdn) * weights_gp[None, :]
+    return dsdx, vol
+
+
 def gradients_and_volume(coords, elements, dshape_gp, weights_gp):
     """Shape-function gradients and integration volumes per (element, GP).
 
@@ -35,13 +47,7 @@ def gradients_and_volume(coords, elements, dshape_gp, weights_gp):
     dsdx : (E, G, n, dm) shape gradients w.r.t. the given configuration
     vol : (E, G) det(dx/dxi) * weight
     """
-    x = coords[elements]  # (E, n, dm)
-    # dx/dxi = x^T @ dN : (E, G, dm_spatial, dm_natural)
-    dxdn = jnp.einsum("enD,gnd->egDd", x, dshape_gp)
-    inv = inv_small(dxdn)  # (E, G, d, D)
-    dsdx = jnp.einsum("gnd,egdD->egnD", dshape_gp, inv)
-    vol = det_small(dxdn) * weights_gp[None, :]
-    return dsdx, vol
+    return gradients_and_volume_x(coords[elements], dshape_gp, weights_gp)
 
 
 def b_matrix(dsdx):
@@ -80,14 +86,19 @@ def b_matrix(dsdx):
     return jnp.stack(rows, axis=-2)
 
 
-def element_stiffness(dsdx, vol, C):
+def element_stiffness(dsdx, vol, C, layout: str = "eij"):
     """Ke = sum_gp B^T C B * vol  -> (E, edof, edof).
+
+    layout="ije" emits (edof, edof, E) instead: the structured assembly
+    reads Ke one (row-dof, col-dof) cell-grid at a time, and in this layout
+    each such read is contiguous (in element-major layout it is a
+    stride-edof^2 pick that costs a full HBM cache line per element).
 
     (ref: stiffnessMtrx.py:161-186 without the scatter)
     """
     B = b_matrix(dsdx)  # (E, G, nv, edof)
     CB = jnp.einsum("ab,egbj->egaj", C, B)
-    return jnp.einsum("egai,egaj,eg->eij", B, CB, vol)
+    return jnp.einsum(f"egai,egaj,eg->{layout}", B, CB, vol)
 
 
 def geometric_stiffness(dsdx, sigma, vol):
@@ -128,9 +139,15 @@ def deformation_gradient(dof, elements, dsdX0):
     are constant, so we hoist them to setup).
     """
     dm = dsdX0.shape[-1]
-    u = dof.reshape(-1, dm)[elements]  # (E, n, dm)
-    dudX = jnp.einsum("enU,egnX->egUX", u, dsdX0)
-    return dudX + jnp.eye(dm, dtype=dof.dtype)
+    return deformation_gradient_u(dof.reshape(-1, dm)[elements], dsdX0)
+
+
+def deformation_gradient_u(u_e, dsdX0):
+    """deformation_gradient on pre-gathered element displacements
+    u_e : (E, n, dm) (cf. gradients_and_volume_x)."""
+    dm = dsdX0.shape[-1]
+    dudX = jnp.einsum("enU,egnX->egUX", u_e, dsdX0)
+    return dudX + jnp.eye(dm, dtype=u_e.dtype)
 
 
 def internal_force(dsdx, sigma, vol, force_targets, n_dof):

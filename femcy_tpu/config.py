@@ -83,6 +83,16 @@ class SolverConfig:
     #: per-element tangent of the internal force by forward-mode autodiff
     #: (converges on the high-load Cook cases the secant cannot).
     tangent: str = "secant"
+    #: reuse the factorized Jacobian across Newton iterations of one
+    #: increment ("increment") instead of refactorizing every iteration
+    #: ("never" = reference parity).  Modified Newton: factorize on the
+    #: first iteration, refactorize only when the residual reduction stalls
+    #: (ratio > newton_reuse_stall per iteration); every reused iteration
+    #: then costs one triangular solve instead of a full LU.  Affects the
+    #: host direct-solve path only (the CG path has nothing to reuse).
+    newton_jacobian_reuse: str = "never"
+    #: residual ratio above which a reused factorization is refreshed
+    newton_reuse_stall: float = 0.3
     #: what the relative Newton tolerance is measured against:
     #: "increment" (default) = the first residual of each increment;
     #: "global" = the first residual of the whole analysis, cached forever --

@@ -69,6 +69,39 @@ def build_structured_plan(mesh: FEMesh, dia: DIAPattern) -> StructuredPlan:
     )
 
 
+def structured_element_nodes(node_vals, mesh: FEMesh):
+    """Per-element nodal values without the ``vals[elements]`` gather.
+
+    node_vals : (n_nodes, dm) -> (E, n, dm) in box_tets element order.
+    The 8 cell-corner grids are static slices of the node grid; each
+    element's 4 nodes are static picks of its cell's corners.  XLA's TPU
+    gather costs ~45 ms at the 1M-element scale for exactly this access --
+    the slices stream at HBM speed.
+    """
+    info = mesh.structure
+    assert info is not None and info["kind"] == "box_tets"
+    nx, ny, nz = info["nx"], info["ny"], info["nz"]
+    dm = node_vals.shape[-1]
+    grid = node_vals.reshape(nx + 1, ny + 1, nz + 1, dm)
+    corner = np.asarray(info["corner_delta"])  # (8, 3)
+    corners = jnp.stack(
+        [
+            grid[dx : dx + nx, dy : dy + ny, dz : dz + nz]
+            for dx, dy, dz in corner
+        ],
+        axis=3,
+    )  # (nx, ny, nz, 8, dm)
+    cells = corners.reshape(nx * ny * nz, 8, dm)
+    per_orient = jnp.stack(
+        [
+            jnp.stack([cells[:, ci] for ci in c], axis=1)  # static picks
+            for c in info["kuhn"]
+        ],
+        axis=1,
+    )  # (nc, 6, 4, dm)
+    return per_orient.reshape(-1, per_orient.shape[2], dm)
+
+
 def structured_dia_scatter(Ke, plan: StructuredPlan):
     """Element stiffnesses (E, 12, 12) -> DIA values (n_dof, K), gather-free.
 
@@ -78,13 +111,21 @@ def structured_dia_scatter(Ke, plan: StructuredPlan):
     """
     nx, ny, nz = plan.nx, plan.ny, plan.nz
     Ke_grid = Ke.reshape(nx * ny * nz, 6, 12, 12)
+    # one explicit transpose per orientation (2x the Ke bytes) buys the
+    # contiguous (p, q) cell-grid reads _accumulate depends on
     return _accumulate(
-        lambda o: Ke_grid[:, o], plan, Ke.dtype
+        lambda o: jnp.transpose(Ke_grid[:, o], (1, 2, 0)), plan, Ke.dtype
     )
 
 
 def _accumulate(ke_of_orientation, plan: StructuredPlan, dtype):
     """Accumulate per-orientation element stiffnesses into the DIA layout.
+
+    ``ke_of_orientation(o)`` must return the (12, 12, cells) TRANSPOSED
+    element stiffnesses: the column build reads one (p, q) cell grid per
+    contribution, and in this layout each read is a contiguous stream
+    (element-major Ke made it a stride-144 pick -- one HBM cache line per
+    element, measured ~0.1 s of the 1M-element assembly on its own).
 
     Per orientation: every touched (i, k) column is the sum of statically
     padded cell grids (pure streaming adds); the 3*K columns are stacked and
@@ -99,34 +140,45 @@ def _accumulate(ke_of_orientation, plan: StructuredPlan, dtype):
         for o, p, q, shift in combos:
             by_orient[o].setdefault((i, k), []).append((p, q, shift))
 
+    # Work in FLAT node space: padding each (p, q) cell grid once with one
+    # zero layer per axis makes every corner-shifted 3D pad equal to a 1D
+    # static slice at offset dx*sx + dy*sy + dz (the zero layers absorb the
+    # axis wrap-around, exactly like the DIA SpMV's shifted slices).  Flat
+    # vectors keep the VPU lanes full -- the (57, 57, 57)-shaped variant of
+    # this loop wasted >half the lanes on 57-wide minor dims and measured
+    # ~65 ms of the 1M-element assembly by itself.
+    sx, sy = (ny + 1) * (nz + 1), nz + 1
+    Nn = (nx + 1) * sx
+    pad_lo = sx + sy + 1  # the largest corner shift
     zero_col = None
-    mat = jnp.zeros((nx + 1, ny + 1, nz + 1, 3, K), dtype=dtype)
+    mat = jnp.zeros((3 * K, Nn), dtype=dtype)
     for o in range(6):
-        Ko = ke_of_orientation(o).reshape(nx, ny, nz, 12, 12)
+        Ko = ke_of_orientation(o).reshape(12, 12, nx, ny, nz)
+        Kop = jnp.pad(
+            Ko, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 1))
+        ).reshape(12, 12, Nn)
+        Kop = jnp.pad(Kop, ((0, 0), (0, 0), (pad_lo, 0)))
         cols = []
         for i in range(3):
             for k in range(K):
                 combos = by_orient[o].get((i, k))
                 if not combos:
                     if zero_col is None:
-                        zero_col = jnp.zeros(
-                            (nx + 1, ny + 1, nz + 1), dtype=dtype
-                        )
+                        zero_col = jnp.zeros((Nn,), dtype=dtype)
                     cols.append(zero_col)
                     continue
                 acc = None
                 for p, q, (dx, dy, dz) in combos:
-                    term = jnp.pad(
-                        Ko[:, :, :, p, q],
-                        ((dx, 1 - dx), (dy, 1 - dy), (dz, 1 - dz)),
+                    off = dx * sx + dy * sy + dz
+                    term = jax.lax.slice(
+                        Kop[p, q], (pad_lo - off,), (pad_lo - off + Nn,)
                     )
                     acc = term if acc is None else acc + term
                 cols.append(acc)
-        contrib = jnp.stack(cols, axis=-1).reshape(
-            nx + 1, ny + 1, nz + 1, 3, K
-        )
+        contrib = jnp.stack(cols, axis=0)  # (3K, Nn), each row contiguous
         mat = jax.lax.optimization_barrier(mat + contrib)
-    return mat.reshape(-1, K)
+    # (3K, Nn) -> (n_dof, K): rows are node*3 + i, columns the offsets
+    return jnp.transpose(mat.reshape(3, K, Nn), (2, 0, 1)).reshape(-1, K)
 
 
 def structured_assemble(dsdx, vol, C, plan: StructuredPlan):
@@ -143,7 +195,11 @@ def structured_assemble(dsdx, vol, C, plan: StructuredPlan):
     vol_o = vol.reshape(nc, 6, vol.shape[1])
 
     def ke_of(o):
-        return assembly.element_stiffness(dsdx_o[:, o], vol_o[:, o], C)
+        # (12, 12, cells) straight out of the einsum: XLA emits the layout
+        # directly, so the contiguous reads in _accumulate cost no transpose
+        return assembly.element_stiffness(
+            dsdx_o[:, o], vol_o[:, o], C, layout="ije"
+        )
 
     return _accumulate(ke_of, plan, dsdx.dtype)
 

@@ -313,12 +313,23 @@ class FEMSystem:
         (ref: stiffnessMtrx.py:609-644 + 756-758 + 310-341).
         """
         dof = bc_mod.pin_dof(dof, fixed, sval)
-        F = assembly.deformation_gradient(dof, a["elements"], a["dsdX0"])
-        sigma = assembly.gp_stress(F, self.material, large=True)
         coords = a["nodes"] + dof.reshape(-1, self.mesh.dm)
-        dsdx, vol = assembly.gradients_and_volume(
-            coords, a["elements"], a["dN"], a["w"]
-        )
+        if self._structured_plan is not None:
+            # gather-free: element node values by static grid slices
+            from femcy_tpu.structured import structured_element_nodes
+
+            u_e = structured_element_nodes(
+                dof.reshape(-1, self.mesh.dm), self.mesh
+            )
+            F = assembly.deformation_gradient_u(u_e, a["dsdX0"])
+            x_e = structured_element_nodes(coords, self.mesh)
+            dsdx, vol = assembly.gradients_and_volume_x(x_e, a["dN"], a["w"])
+        else:
+            F = assembly.deformation_gradient(dof, a["elements"], a["dsdX0"])
+            dsdx, vol = assembly.gradients_and_volume(
+                coords, a["elements"], a["dN"], a["w"]
+            )
+        sigma = assembly.gp_stress(F, self.material, large=True)
         if self._structured_plan is not None:
             from femcy_tpu.structured import structured_force_scatter
 
@@ -351,13 +362,22 @@ class FEMSystem:
     # ------------------------------------------------------------------ #
     # linear solve dispatch (ref: stiffnessMtrx.py:272-276)
     # ------------------------------------------------------------------ #
-    def _solve_linear_system(self, values, b, fixed=None):
+    def _solve_linear_system(self, values, b, fixed=None, reuse=None):
+        """``reuse``: optional dict carrying a cached LU across Newton
+        iterations (modified Newton, config.newton_jacobian_reuse); callers
+        set reuse["refresh"]=True to force refactorization."""
         cfg = self.config
         use_direct = cfg.linear_solver == "direct" or (
             cfg.linear_solver == "auto" and self.mesh.n_dof < cfg.direct_solve_max_dof
         )
         if use_direct:
             pat = self.dia if self.dia is not None else self.pattern
+            if reuse is not None:
+                from femcy_tpu.solvers.direct import factorize
+
+                if reuse.get("lu") is None or reuse.pop("refresh", False):
+                    reuse["lu"] = factorize(pat, np.asarray(values))
+                return jnp.asarray(reuse["lu"].solve(np.asarray(b)))
             return jnp.asarray(direct_solve(pat, values, b))
         if cfg.preconditioner == "multigrid" and fixed is not None:
             self._ensure_multigrid(fixed)
@@ -567,6 +587,10 @@ class FEMSystem:
 
         newton_loop = 0
         residual_val = pre_residual
+        # modified Newton: one LU per increment, refreshed on stall
+        # (config.newton_jacobian_reuse; the dict is threaded through
+        # _solve_linear_system's direct path)
+        reuse = {} if cfg.newton_jacobian_reuse == "increment" else None
         if ini >= cfg.newton_abs_tol:
             newton_loop = -1
             while pre_residual / (ini + 1.0e-30) >= cfg.newton_rel_tol:
@@ -576,7 +600,9 @@ class FEMSystem:
                     return False, newton_loop, pre_residual
 
                 with self.timer.section("linear_solve"):
-                    du = self._solve_linear_system(values, residual, fixed)
+                    du = self._solve_linear_system(
+                        values, residual, fixed, reuse=reuse
+                    )
                 dof = dof - du
                 dof, values, residual, residual_val = evaluate(dof)
                 if np.isnan(residual_val):
@@ -616,6 +642,13 @@ class FEMSystem:
                     du = relaxation * du
                     dof, values, residual, residual_val = evaluate(dof)
 
+                if (
+                    reuse is not None
+                    and residual_val > cfg.newton_reuse_stall * pre_residual
+                ):
+                    # stale-Jacobian convergence stalled: refactorize with
+                    # the freshly assembled tangent on the next solve
+                    reuse["refresh"] = True
                 pre_residual = residual_val
             newton_loop = max(newton_loop, 0)
 

@@ -67,6 +67,17 @@ def test_structured_force_scatter_matches_general():
     np.testing.assert_allclose(np.asarray(f_str), np.asarray(f_ref), atol=1e-12)
 
 
+def test_structured_element_nodes_matches_gather():
+    from femcy_tpu.structured import structured_element_nodes
+
+    mesh = box_tets(3, 4, 2)
+    rng = np.random.default_rng(1)
+    vals = rng.standard_normal((mesh.n_nodes, 3))
+    ref = vals[mesh.elements]  # the gather the slices replace
+    out = np.asarray(structured_element_nodes(jnp.asarray(vals), mesh))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_system_uses_structured_plan_and_solves():
     from femcy_tpu import FEMSystem, SolverConfig
     from femcy_tpu.materials import LinearIsotropic

@@ -93,6 +93,44 @@ def restrict(r_fine, grid_fine: Tuple[int, int, int]):
     return r.reshape(-1)
 
 
+def newton_schulz_inverse(A, max_iters: int = 80):
+    """Dense inverse by Newton-Schulz iteration X <- X (2I - A X).
+
+    Pure matmuls: runs on the TPU MXU with no LAPACK-style custom call
+    (jnp.linalg.inv fails with FAILED_PRECONDITION on the remote TPU
+    backend, and computing the inverse on host costs a multi-second dense
+    upload through the tunnel).  Globally convergent from
+    X0 = A^T / (||A||_1 ||A||_inf); quadratic once contracting, so
+    ~log2(cond^2) + log2(log(1/eps)) iterations -- 80 covers cond ~ 1e9 at
+    f64.  The loop exits early once ||AX - I||_max stops improving (it
+    bottoms out at the dtype's precision), so well-conditioned operators
+    pay only their ~30 matmul pairs.
+    """
+    n = A.shape[0]
+    eye = jnp.eye(n, dtype=A.dtype)
+    norm1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
+    norminf = jnp.max(jnp.sum(jnp.abs(A), axis=1))
+    X0 = A.T / (norm1 * norminf)
+    r0 = jnp.max(jnp.abs(A @ X0 - eye))
+
+    def cond(state):
+        _, r, r_prev, k = state
+        # the 2-norm residual contracts monotonically for SPD A, but the
+        # max-norm proxy can wobble in the first steps -- only trust the
+        # "stopped improving" exit once contraction is established
+        return (k < max_iters) & ((k < 8) | (r < r_prev))
+
+    def body(state):
+        X, r, _, k = state
+        X = X @ (2.0 * eye - A @ X)
+        return X, jnp.max(jnp.abs(A @ X - eye)), r, k + 1
+
+    X, _, _, _ = jax.lax.while_loop(
+        cond, body, (X0, r0, jnp.inf * jnp.ones((), A.dtype), 0)
+    )
+    return X
+
+
 @dataclasses.dataclass
 class _Level:
     grid: Tuple[int, int, int]
@@ -161,14 +199,27 @@ class StructuredMultigrid:
         # Build the level hierarchy.  The FINE operator (level 0) is NOT
         # assembled here -- the cycle smooths level 0 with the exact operator
         # the caller hands to pcg_solve/precondition, so setup cost is only
-        # the coarse grids.  Coarse operators are built analytically: the
-        # uniform-grid operator is translation invariant, so each level is
-        # one cell's stiffness broadcast through corner-existence masks
-        # (analytic_structured_dia_values) -- O(n_dof * K) numpy, no device
-        # work at all (rediscretizing through a backend measured ~8 min of
-        # setup at the 1M-element scale).
+        # the coarse grids.  Coarse operators are built analytically on the
+        # host: the uniform-grid operator is translation invariant, so each
+        # level is one ~11 KB cell tensor (analytic_cell_tensor) broadcast
+        # through corner-existence masks -- O(n_dof * K) numpy
+        # (rediscretizing through a backend measured ~8 min at the
+        # 1M-element scale).  The broadcast results upload in ~1 s at the
+        # measured 20-60 MB/s; a device-side build (the
+        # analytic_dia_values_device twin) would avoid even that, but every
+        # NEW program on the remote-TPU backend pays a ~160 s first-run
+        # server-side compile, so host build + upload is the right tradeoff
+        # here.  The values are cast to the active dtype BEFORE upload so
+        # f32 runs ship half the bytes.
+        # Setup issues only (async) device UPLOADS -- no readback: the first
+        # device->host download in a process pays the remote backend's
+        # one-time transfer-program compile (measured 30-80 s), so the
+        # coarsest level keeps its host f64 copy for the dense inverse
+        # instead of re-downloading what it just uploaded.
         self.levels: List[_Level] = []
         fixed_l = np.asarray(fixed, dtype=bool)
+        dtype = jnp.zeros((), dtype=float).dtype  # f32 unless x64 enabled
+        values_host = None  # host f64 values of the last built level
         for li, g in enumerate(grids):
             if li == 0:
                 dia0 = dia if dia is not None else build_structured_dia_pattern(mesh)
@@ -182,33 +233,33 @@ class StructuredMultigrid:
             # nodes; a coarse dof is fixed iff its fine image is fixed
             fixed_l = self._coarsen_mask(fixed_l, grids[li - 1])
             dia_l = build_structured_dia_pattern(mesh_l)
-            values = self._assemble_level_host(mesh_l, dia_l, fixed_l)
-            diag = values[:, dia_l.diag_idx]
+            values_host = self._assemble_level_host(mesh_l, dia_l, fixed_l)
+            diag = values_host[:, dia_l.diag_idx]
             self.levels.append(
                 _Level(
                     grid=g,
                     dia=dia_l,
-                    values=jnp.asarray(values),
+                    values=jnp.asarray(values_host.astype(dtype)),
                     inv_diag=jnp.asarray(
-                        np.where(diag != 0.0, 1.0 / diag, 0.0)
+                        np.where(diag != 0.0, 1.0 / diag, 0.0).astype(dtype)
                     ),
                     fixed=jnp.asarray(fixed_l),
                 )
             )
 
-        # coarsest: dense inverse (host, once).  With a single level the
-        # cycle degenerates to a direct solve of the fine operator, which we
-        # then do have to assemble (it is <= coarsest_max_dof by construction
-        # of the ValueError guard above, so this stays cheap).
+        # coarsest: dense inverse (host LAPACK, f64, once).  With a single
+        # level the cycle degenerates to a direct solve of the fine
+        # operator, which we then do have to assemble (it is small by
+        # construction of the coarsest_max_dof guard above).
         last = self.levels[-1]
         if last.values is None:
-            fine_values = jnp.asarray(
-                self._assemble_level_host(mesh, last.dia, fixed)
+            values_host = self._assemble_level_host(mesh, last.dia, fixed)
+            last = dataclasses.replace(
+                last, values=jnp.asarray(values_host.astype(dtype))
             )
-            last = dataclasses.replace(last, values=fine_values)
             self.levels[-1] = last
-        dense = last.dia.to_scipy(np.asarray(last.values)).toarray()
-        self._coarse_inv = jnp.asarray(np.linalg.inv(dense))
+        dense = last.dia.to_scipy(values_host).toarray()
+        self._coarse_inv = jnp.asarray(np.linalg.inv(dense).astype(dtype))
 
     def _assemble_level_host(
         self, mesh_l: FEMesh, dia_l: DIAPattern, fixed_l

@@ -226,19 +226,19 @@ def structured_force_scatter(f_elem, plan: StructuredPlan, mesh: FEMesh):
     return out.reshape(-1)
 
 
-def analytic_structured_dia_values(
+def analytic_cell_tensor(
     mesh: FEMesh, C: np.ndarray, dia: DIAPattern
 ) -> np.ndarray:
-    """DIA values of the assembled operator on a uniform box_tets grid with a
-    constant material tangent, built in O(n_dof * K) numpy from ONE cell.
+    """The per-corner-shift constant row tensor c[sx, sy, sz, i, k] of a
+    uniform box_tets grid with a constant material tangent -- the entire
+    operator, compressed to (2, 2, 2, 3, K) numpy (~11 KB).
 
-    The operator is translation invariant: every cell contributes the same
-    6-tet stiffness, so a node's row is the sum over the <= 8 adjacent cells
-    of a constant per-corner-shift tensor c[s][3, K], masked by cell
-    existence (the only thing that varies near the boundary).  This replaces
-    rediscretizing whole coarse grids through the CPU backend in the
-    multigrid setup (eager per-op dispatch measured ~8 minutes at the
-    1M-element scale) with a closed-form broadcast.
+    The assembled operator is translation invariant: every cell contributes
+    the same 6-tet stiffness, so a node's row is the sum over its <= 8
+    adjacent cells of this tensor, masked by cell existence (the only thing
+    that varies near the boundary).  ``analytic_structured_dia_values`` does
+    that broadcast in numpy; ``analytic_dia_values_device`` does it on
+    device (so multigrid setup uploads kilobytes, not the broadcast result).
     """
     info = mesh.structure
     assert info is not None and info["kind"] == "box_tets"
@@ -291,6 +291,22 @@ def analytic_structured_dia_values(
                         k = int(np.searchsorted(offsets, 3 * node_off + (j - i)))
                         assert offsets[k] == 3 * node_off + (j - i)
                         c[sx, sy, sz, i, k] += Ke[o, 3 * a + i, 3 * b + j]
+    return c
+
+
+def analytic_structured_dia_values(
+    mesh: FEMesh, C: np.ndarray, dia: DIAPattern
+) -> np.ndarray:
+    """DIA values of the assembled operator on a uniform box_tets grid with a
+    constant material tangent, built in O(n_dof * K) numpy from ONE cell
+    (see analytic_cell_tensor).  This replaces rediscretizing whole coarse
+    grids through the CPU backend in the multigrid setup (eager per-op
+    dispatch measured ~8 minutes at the 1M-element scale) with a closed-form
+    broadcast."""
+    info = mesh.structure
+    nx, ny, nz = info["nx"], info["ny"], info["nz"]
+    c = analytic_cell_tensor(mesh, C, dia)
+    K = c.shape[-1]
 
     # broadcast through separable cell-existence masks: the cell at
     # (p - s) exists iff s <= p <= n-1+s along each axis
@@ -309,6 +325,76 @@ def analytic_structured_dia_values(
                 )
                 V += m[..., None, None] * c[sx, sy, sz]
     return V.reshape(-1, K)
+
+
+def analytic_dia_values_device(c, grid, offsets, diag_idx: int, fixed):
+    """Device twin of analytic_structured_dia_values + homogeneous Dirichlet
+    elimination, jit-traceable.
+
+    c : (2, 2, 2, 3, K) cell tensor (analytic_cell_tensor), ~11 KB
+    grid : static (nx, ny, nz)
+    fixed : (n_dof,) bool
+
+    Returns the BC-eliminated (n_dof, K) values.  Built for the multigrid
+    setup: uploading the broadcast RESULT for every coarse level measured
+    30-110 s through the remote-TPU tunnel (~0.5-1 MB/s); uploading only c
+    and the masks and broadcasting on device makes setup upload-free.
+    """
+    nx, ny, nz = (int(d) for d in grid)
+    c = jnp.asarray(c)
+    K = c.shape[-1]
+    masks = {
+        0: [
+            (jnp.arange(n + 1) <= n - 1).astype(c.dtype) for n in (nx, ny, nz)
+        ],
+        1: [(jnp.arange(n + 1) >= 1).astype(c.dtype) for n in (nx, ny, nz)],
+    }
+    V = jnp.zeros((nx + 1, ny + 1, nz + 1, 3, K), dtype=c.dtype)
+    for sx in (0, 1):
+        for sy in (0, 1):
+            for sz in (0, 1):
+                m = (
+                    masks[sx][0][:, None, None]
+                    * masks[sy][1][None, :, None]
+                    * masks[sz][2][None, None, :]
+                )
+                V = V + m[..., None, None] * c[sx, sy, sz]
+    values = V.reshape(-1, K)
+
+    # homogeneous symmetric zero-one elimination (device twin of
+    # dia_dirichlet_linear_numpy)
+    n = values.shape[0]
+    off_list = [int(o) for o in np.asarray(offsets)]
+    pad_lo = max(0, -min(off_list))
+    pad_hi = max(0, max(off_list))
+    fixed_pad = jnp.pad(fixed, (pad_lo, pad_hi))
+    col_fixed = jnp.stack(
+        [
+            jax.lax.slice(fixed_pad, (pad_lo + off,), (pad_lo + off + n,))
+            for off in off_list
+        ],
+        axis=1,
+    )
+    values = jnp.where(col_fixed | fixed[:, None], 0.0, values)
+    return values.at[:, diag_idx].set(
+        jnp.where(fixed, 1.0, values[:, diag_idx])
+    )
+
+
+def dia_to_dense_device(values, offsets):
+    """(n, K) DIA values -> (n, n) dense, on device (coarsest-level helper:
+    the multigrid's exact coarse solve inverts this with jnp.linalg.inv)."""
+    n, K = values.shape
+    rows = jnp.arange(n)[:, None]
+    cols = rows + jnp.asarray(np.asarray(offsets))[None, :]
+    valid = (cols >= 0) & (cols < n)
+    contrib = jnp.where(valid, values, 0.0)
+    # every valid (row, col) pair is unique; clipped invalid slots add 0
+    return (
+        jnp.zeros((n, n), dtype=values.dtype)
+        .at[rows, jnp.clip(cols, 0, n - 1)]
+        .add(contrib)
+    )
 
 
 def dia_dirichlet_linear_numpy(

@@ -177,16 +177,22 @@ def _dirichlet_local(plan: StructuredShardPlan, values_local, rhs_local,
 
 
 def _pcg_local(plan: StructuredShardPlan, values_local, b_local, own,
-               eps: float, max_iters: int):
-    """Row-parallel Jacobi-PCG, DIA halo SpMV, ownership-masked reductions."""
+               eps: float, max_iters: int, apply_m=None):
+    """Row-parallel PCG, DIA halo SpMV, ownership-masked reductions.
+
+    apply_m: optional preconditioner callback z = M^-1 r on local rows (must
+    leave the duplicated shared plane consistent on both owners); defaults
+    to Jacobi."""
     diag = values_local[:, plan.diag_idx]
     minv = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
+    if apply_m is None:
+        apply_m = lambda r: minv * r  # noqa: E731
 
     def pdot(a, b):
         return jax.lax.psum(jnp.dot(own * a, b), AXIS)
 
     r0 = b_local
-    d0 = minv * r0
+    d0 = apply_m(r0)
     x0 = jnp.zeros_like(b_local)
     rmax0 = jax.lax.pmax(jnp.max(jnp.abs(own * r0)), AXIS)
 
@@ -200,7 +206,7 @@ def _pcg_local(plan: StructuredShardPlan, values_local, b_local, own,
         alpha = rmr / pdot(d, Ad)
         x = x + alpha * d
         r = r - alpha * Ad
-        z = minv * r
+        z = apply_m(r)
         rmr_new = pdot(r, z)
         d = z + (rmr_new / rmr) * d
         rmax = jax.lax.pmax(jnp.max(jnp.abs(own * r)), AXIS)
@@ -211,6 +217,113 @@ def _pcg_local(plan: StructuredShardPlan, values_local, b_local, own,
         cond, body, (x0, r0, d0, rmr0, jnp.int32(0), rmax0)
     )
     return x, k, rmax
+
+
+# --------------------------------------------------------------------------- #
+# slab-sharded multigrid V-cycle (fine level sharded, coarse levels
+# replicated -- after one 8x coarsening the problem is small enough that
+# sharding it would be all halo, so every device runs the identical inner
+# V-cycle on an all-reduced coarse residual: one psum of n/8 floats down,
+# zero communication back up)
+# --------------------------------------------------------------------------- #
+def _restrict_x_local(plan: StructuredShardPlan, r_local):
+    """Fine local slab -> this device's coarse x-planes [0 .. nxl/2].
+
+    Full-weighting along x only (y/z restriction is slab-local and reuses
+    the single-device operator): coarse plane jj centred on local fine
+    plane 2jj takes 0.5 of both odd neighbours; the left neighbour's last
+    interior plane arrives via the standard 2-plane halo fetch, and edge
+    devices receive zeros there -- exactly the zero-padding of
+    solvers.multigrid._restrict_axis.
+    """
+    ps, nxl = plan.ps, plan.nxl
+    F = _fetch_halos(plan, r_local).reshape(nxl + 5, ps)
+    even = F[2 : nxl + 3 : 2]
+    odd_lo = F[1 : nxl + 2 : 2]
+    odd_hi = F[3 : nxl + 4 : 2]
+    return even + 0.5 * (odd_lo + odd_hi)  # (nxl//2 + 1, ps)
+
+
+def _prolong_x_local(plan: StructuredShardPlan, c_slab):
+    """This device's coarse x-planes (nxl/2 + 1, ps) -> fine local planes
+    (nxl + 1, ps) by linear interpolation (the exact transpose of
+    _restrict_x_local on the owned range)."""
+    nxl = plan.nxl
+    out = jnp.zeros((nxl + 1, c_slab.shape[1]), dtype=c_slab.dtype)
+    out = out.at[0 : nxl + 1 : 2].set(c_slab)
+    return out.at[1 : nxl + 1 : 2].set(0.5 * (c_slab[:-1] + c_slab[1:]))
+
+
+def _sharded_vcycle(plan: StructuredShardPlan, inner_mg, values_local,
+                    minv_local, fixed_local, fixed_coarse, values_coarse,
+                    inner_ops, r_local, omega: float, smooth_steps: int):
+    """One V-cycle M^-1 r on the slab-sharded fine level.
+
+    Fine smoothing/residuals are halo-exchange local ops; the restricted
+    residual is assembled into the full coarse vector with one psum of
+    disjoint slabs and every device then runs the IDENTICAL single-device
+    V-cycle (solvers.multigrid.StructuredMultigrid.precondition) on it, so
+    the upward transfer needs no communication at all.
+    """
+    from femcy_tpu.solvers.multigrid import _interp_axis, _restrict_axis
+
+    D, ps, nxl = plan.n_devices, plan.ps, plan.nxl
+    nyc, nzc = plan.ny // 2, plan.nz // 2
+    nxc = plan.nx // 2
+
+    def smooth(x, b, steps):
+        for _ in range(steps):
+            x = x + omega * minv_local * (
+                b - _spmv_local(plan, values_local, x)
+            )
+        return x
+
+    x = smooth(jnp.zeros_like(r_local), r_local, smooth_steps)
+    r1 = r_local - _spmv_local(plan, values_local, x)
+
+    # restrict (x locally with halo, then y/z slab-local), fixed dofs masked
+    # out of the transfer so BC rows stay exact (cf. multigrid._vcycle)
+    r1 = jnp.where(fixed_local, 0.0, r1)
+    c = _restrict_x_local(plan, r1).reshape(
+        nxl // 2 + 1, plan.ny + 1, plan.nz + 1, 3
+    )
+    c = _restrict_axis(c, 1)
+    c = _restrict_axis(c, 2)  # (nxl/2 + 1, nyc + 1, nzc + 1, 3)
+
+    # disjoint-slab assembly of the full coarse residual: device d owns
+    # coarse planes [d*nxl/2, (d+1)*nxl/2), the last one also the final
+    # plane (both owners compute the shared plane identically; mask one)
+    d_idx = jax.lax.axis_index(AXIS)
+    keep_last = (d_idx == D - 1)
+    mask = jnp.concatenate(
+        [jnp.ones(nxl // 2, dtype=c.dtype),
+         jnp.where(keep_last, 1.0, 0.0)[None].astype(c.dtype)]
+    )
+    full = jnp.zeros((nxc + 1, nyc + 1, nzc + 1, 3), dtype=c.dtype)
+    zero = jnp.zeros((), d_idx.dtype)
+    full = jax.lax.dynamic_update_slice(
+        full, c * mask[:, None, None, None],
+        (d_idx * (nxl // 2), zero, zero, zero),
+    )
+    rc = jax.lax.psum(full.reshape(-1), AXIS)
+    rc = jnp.where(fixed_coarse, 0.0, rc)
+
+    # replicated inner V-cycle on the coarse problem (no collectives inside)
+    ec = inner_mg.precondition(values_coarse, rc, ops=inner_ops)
+    ec = jnp.where(fixed_coarse, 0.0, ec)
+
+    # prolong: slice my coarse x-range from the replicated correction,
+    # interpolate x locally, then y/z with the single-device operator
+    ec_grid = ec.reshape(nxc + 1, nyc + 1, nzc + 1, 3)
+    c_slab = jax.lax.dynamic_slice(
+        ec_grid, (d_idx * (nxl // 2), zero, zero, zero),
+        (nxl // 2 + 1, nyc + 1, nzc + 1, 3),
+    )
+    e = _interp_axis(c_slab, 1)
+    e = _interp_axis(e, 2)  # (nxl/2 + 1, ny + 1, nz + 1, 3)
+    e = _prolong_x_local(plan, e.reshape(nxl // 2 + 1, ps))
+    e = jnp.where(fixed_local, 0.0, e.reshape(-1))
+    return smooth(x + e, r_local, smooth_steps)
 
 
 def _assemble_local(plan: StructuredShardPlan, slab_plan, dsdx_cell,
@@ -245,16 +358,26 @@ def _assemble_local(plan: StructuredShardPlan, slab_plan, dsdx_cell,
     return v
 
 
-def _shard_solve(plan, slab_plan, eps, max_iters,
+def _shard_solve(plan, slab_plan, eps, max_iters, mg_bundle,
                  dsdx_cell, vol_cell, C,
-                 rhs_local, fixed_local, sval_local, own):
+                 rhs_local, fixed_local, sval_local, own, mg_arrs):
     rhs_local = rhs_local[0]
     fixed_local = fixed_local[0]
     sval_local = sval_local[0]
     own = own[0]
     values = _assemble_local(plan, slab_plan, dsdx_cell, vol_cell, C)
     values, b = _dirichlet_local(plan, values, rhs_local, fixed_local, sval_local)
-    x, k, rmax = _pcg_local(plan, values, b, own, eps, max_iters)
+    apply_m = None
+    if mg_bundle is not None:
+        inner_mg, omega, smooth_steps = mg_bundle
+        diag = values[:, plan.diag_idx]
+        minv = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
+        apply_m = lambda r: _sharded_vcycle(  # noqa: E731
+            plan, inner_mg, values, minv,
+            fixed_local, mg_arrs["fixed_coarse"], mg_arrs["values_coarse"],
+            mg_arrs["inner_ops"], r, omega, smooth_steps,
+        )
+    x, k, rmax = _pcg_local(plan, values, b, own, eps, max_iters, apply_m)
     return x[None], k, rmax
 
 
@@ -272,6 +395,9 @@ class ShardedStructuredSolver:
         devices: Optional[list] = None,
         cg_eps: float = 1.0e-6,
         cg_iters: int = 0,
+        preconditioner: str = "jacobi",
+        mg_omega: float = 0.7,
+        mg_smooth_steps: int = 2,
     ):
         devices = devices if devices is not None else jax.devices()
         D = len(devices)
@@ -311,24 +437,96 @@ class ShardedStructuredSolver:
         self._own_d = jax.device_put(jnp.asarray(own), shard)
         self._shard = shard
 
+        # slab-sharded multigrid: fine level sharded here; everything from
+        # the first coarsening down is the REPLICATED single-device
+        # hierarchy (n/8 dofs -- sharding it would be all halo).  The inner
+        # level-0 operator is the analytic uniform-grid matrix with the
+        # coarsened Dirichlet mask, host-built like multigrid setup.
+        self._mg_arrs = {"_": jnp.zeros(())}  # non-empty pytree placeholder
+        if preconditioner == "multigrid":
+            if (
+                any(d % 2 for d in (plan.nx, plan.ny, plan.nz))
+                or plan.nxl % 2
+            ):
+                raise ValueError(
+                    "sharded multigrid needs even grid dims and an even "
+                    f"slab width (got grid {plan.nx}x{plan.ny}x{plan.nz}, "
+                    f"slab {plan.nxl})"
+                )
+            coarse = box_tets(
+                plan.nx // 2, plan.ny // 2, plan.nz // 2, lx, ly, lz
+            )
+            # the hierarchy depends on the fixed mask, which arrives at
+            # solve() -- built lazily there (and rebuilt if the mask changes)
+            self._mg_setup = (coarse, material, mg_omega, mg_smooth_steps)
+        self._preconditioner = preconditioner
+        self._cg = (cg_eps, cg_iters)
+        self._mg_mask = None
+        self._step = None  # compiled lazily (multigrid needs the fixed mask)
+
+    def _compile_step(self, mg_bundle, mg_arrs_spec):
         from jax import shard_map
 
-        fn = partial(_shard_solve, plan, self._slab_plan, cg_eps, cg_iters)
-        self._step = jax.jit(
+        fn = partial(
+            _shard_solve, self.plan, self._slab_plan, *self._cg, mg_bundle
+        )
+        return jax.jit(
             shard_map(
                 fn,
                 mesh=self.device_mesh,
                 in_specs=(
                     P(), P(), P(),  # cell gradients + C
                     P(AXIS), P(AXIS), P(AXIS), P(AXIS),  # rhs/fixed/sval/own
+                    mg_arrs_spec,  # replicated multigrid operands (or dummy)
                 ),
                 out_specs=(P(AXIS), P(), P()),
                 check_vma=False,
             )
         )
 
+    def _ensure_multigrid(self, fixed: np.ndarray):
+        """Build the replicated coarse hierarchy for this fixed mask and
+        compile the solve program (jacobi mode compiles with a dummy)."""
+        if self._preconditioner != "multigrid":
+            if self._step is None:
+                self._step = self._compile_step(None, P())
+            return
+        fixed = np.asarray(fixed, bool)
+        if self._step is not None and np.array_equal(self._mg_mask, fixed):
+            return
+        self._mg_mask = fixed.copy()
+        from femcy_tpu.solvers.multigrid import StructuredMultigrid
+        from femcy_tpu.structured import (
+            analytic_structured_dia_values as analytic_values,
+            dia_dirichlet_linear_numpy as dirichlet_np,
+        )
+
+        coarse, material, omega, steps = self._mg_setup
+
+        m = np.asarray(fixed, bool).reshape(
+            self.plan.nx + 1, self.plan.ny + 1, self.plan.nz + 1, 3
+        )
+        fixed_c = np.ascontiguousarray(m[::2, ::2, ::2, :]).reshape(-1)
+        inner_mg = StructuredMultigrid(coarse, material, fixed_c)
+        dia_c = inner_mg.levels[0].dia
+        vc = dirichlet_np(
+            analytic_values(coarse, np.asarray(material.C), dia_c),
+            dia_c.offsets, dia_c.diag_idx, fixed_c,
+        )
+        dtype = jnp.zeros((), dtype=float).dtype
+        repl = NamedSharding(self.device_mesh, P())
+        self._mg_arrs = {
+            "fixed_coarse": jax.device_put(jnp.asarray(fixed_c), repl),
+            "values_coarse": jax.device_put(
+                jnp.asarray(vc.astype(dtype)), repl
+            ),
+            "inner_ops": jax.device_put(inner_mg.operands(), repl),
+        }
+        self._step = self._compile_step((inner_mg, omega, steps), P())
+
     def solve(self, rhs: np.ndarray, fixed: np.ndarray, sval: np.ndarray):
         plan = self.plan
+        self._ensure_multigrid(fixed)
         put = lambda v: jax.device_put(jnp.asarray(v), self._shard)  # noqa: E731
         x_blocks, iters, rmax = self._step(
             self._dsdx_cell, self._vol_cell, self._C,
@@ -336,5 +534,6 @@ class ShardedStructuredSolver:
             put(stack_rows(plan, np.asarray(fixed))),
             put(stack_rows(plan, np.asarray(sval))),
             self._own_d,
+            self._mg_arrs,
         )
         return unstack_rows(plan, np.asarray(x_blocks)), int(iters)

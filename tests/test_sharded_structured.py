@@ -105,6 +105,7 @@ def test_sharded_structured_program_has_no_gather():
     sharding vs the ELL row-gather path)."""
     mesh, mat, fixed, rhs, sval = _problem(16, 3, 3)
     solver = ShardedStructuredSolver(mesh, mat)
+    solver._ensure_multigrid(fixed)
     plan = solver.plan
     put = lambda v: jax.device_put(  # noqa: E731
         jnp.asarray(v), solver._shard
@@ -115,11 +116,37 @@ def test_sharded_structured_program_has_no_gather():
         put(stack_rows(plan, fixed)),
         put(stack_rows(plan, sval)),
         solver._own_d,
+        solver._mg_arrs,
     )
     hlo = solver._step.lower(*args).compile().as_text()
     # " gather(" would also match "all-gather(": exclude collective names
     assert not re.search(r"[^\-]gather\(", hlo)
     assert not re.search(r"[^\-]scatter\(", hlo)
+
+
+def test_sharded_multigrid_matches_and_cuts_iterations():
+    """The slab-sharded V-cycle PCG (fine level sharded, coarse levels
+    replicated after one all-reduced restriction) returns the same solution
+    as Jacobi-PCG in far fewer iterations."""
+    mesh, mat, fixed, rhs, sval = _problem(16, 8, 8)
+    jac = ShardedStructuredSolver(mesh, mat, cg_eps=1e-8)
+    x_j, it_j = jac.solve(rhs, fixed, sval)
+
+    mg = ShardedStructuredSolver(
+        mesh, mat, cg_eps=1e-8, preconditioner="multigrid"
+    )
+    x_m, it_m = mg.solve(rhs, fixed, sval)
+
+    scale = np.abs(x_j).max()
+    np.testing.assert_allclose(x_m / scale, x_j / scale, atol=1e-6)
+    assert it_m < it_j / 4, (it_m, it_j)
+
+
+def test_sharded_multigrid_rejects_odd_slabs():
+    mesh = box_tets(16, 5, 4)  # odd ny cannot coarsen
+    with pytest.raises(ValueError):
+        ShardedStructuredSolver(mesh, LinearIsotropic(1000.0, 0.3),
+                                preconditioner="multigrid")
 
 
 def test_shard_plan_validation():

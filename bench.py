@@ -286,11 +286,11 @@ def main():
     @jax.jit
     def assemble(a):
         if plan is not None:
-            from femcy_tpu.structured import structured_element_nodes
+            from femcy_tpu.structured import structured_assemble_coords
 
-            x_e = structured_element_nodes(a["nodes"], mesh)
-            dsdx, vol = assembly.gradients_and_volume_x(x_e, a["dN"], a["w"])
-            return structured_assemble(dsdx, vol, a["C"], plan)
+            return structured_assemble_coords(
+                a["nodes"], mesh, a["dN"], a["w"], a["C"], plan
+            )
         dsdx, vol = assembly.gradients_and_volume(
             a["nodes"], a["elements"], a["dN"], a["w"]
         )

@@ -27,6 +27,20 @@ if os.environ.get("FEMCY_TPU_X64", "1") != "0":
 
     jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls run f32 operands through the MXU at bf16 precision by DEFAULT,
+# which puts ~0.7% error into every assembly einsum (measured against the
+# f64 analytic operator on a uniform grid -- vastly beyond the <=0.1% stress
+# gate).  Force full-f32 matmul precision framework-wide; the hot structured
+# path does no dots at all (Pallas VPU kernels), so this costs only the
+# general-path einsums.  FEMCY_TPU_MATMUL_PRECISION overrides (e.g.
+# "default" to get the fast bf16 behaviour back).
+import jax as _jax  # noqa: E402
+
+_jax.config.update(
+    "jax_default_matmul_precision",
+    os.environ.get("FEMCY_TPU_MATMUL_PRECISION", "highest"),
+)
+
 __version__ = "0.1.0"
 
 from femcy_tpu.config import SolverConfig  # noqa: E402

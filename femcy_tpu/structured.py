@@ -118,6 +118,198 @@ def structured_dia_scatter(Ke, plan: StructuredPlan):
     )
 
 
+def structured_element_nodes_padded(node_vals, mesh: FEMesh, x_front: int,
+                                    x_back: int):
+    """structured_element_nodes in the accumulate kernel's PADDED cell space.
+
+    The node grid (a few MB) is zero-padded by (x_front, x_back) x-planes
+    and one y/z wrap layer, then sliced -- so the big per-element arrays are
+    BORN padded and no multi-MB grid pad ever runs (XLA pads of the
+    (cells, ...) fields measured 1-2 GB/s on TPU, ~40 ms at the 1M-element
+    scale).  Pad cells pick all-zero node coordinates; callers mask their
+    (singular-jacobian) gradients to zero before use.
+
+    Returns (padded_cells, 6, n, dm) in box_tets orientation order.
+    """
+    info = mesh.structure
+    assert info is not None and info["kind"] == "box_tets"
+    nx, ny, nz = info["nx"], info["ny"], info["nz"]
+    dm = node_vals.shape[-1]
+    grid = node_vals.reshape(nx + 1, ny + 1, nz + 1, dm)
+    gridp = jnp.pad(grid, ((x_front, x_back), (0, 1), (0, 1), (0, 0)))
+    X = x_front + nx + x_back
+    corner = np.asarray(info["corner_delta"])  # (8, 3)
+    corners = jnp.stack(
+        [
+            gridp[dx : dx + X, dy : dy + ny + 1, dz : dz + nz + 1]
+            for dx, dy, dz in corner
+        ],
+        axis=3,
+    )  # (X, ny+1, nz+1, 8, dm)
+    cells = corners.reshape(-1, 8, dm)
+    per_orient = jnp.stack(
+        [
+            jnp.stack([cells[:, ci] for ci in c], axis=1)
+            for c in info["kuhn"]
+        ],
+        axis=1,
+    )  # (Lc, 6, 4, dm)
+    return per_orient
+
+
+#: Bsel[v, i, d] = 1 iff the Voigt-row-v B-matrix entry of dof (node a,
+#: dim i) is dsdx[a, d] (the 3D B layout of assembly.b_matrix)
+_BSEL = np.zeros((6, 3, 3))
+for _v, _pairs in enumerate(
+    [[(0, 0)], [(1, 1)], [(2, 2)], [(0, 1), (1, 0)], [(0, 2), (2, 0)],
+     [(1, 2), (2, 1)]]
+):
+    for _i, _d in _pairs:
+        _BSEL[_v, _i, _d] = 1.0
+
+
+def _assemble_pallas_coords(coords, mesh: FEMesh, dN, w, C,
+                            plan: StructuredPlan, ap):
+    """Kernel-side assembly straight from node coordinates, everything in
+    PLANE-MAJOR (structure-of-arrays) layout: each quantity is a small
+    stack of (cells,) lane vectors, so every op is a full-lane VPU
+    broadcast and -- critically -- the (144, cells) stiffness planes the
+    accumulate kernel streams are produced in their native layout.  The
+    element-major einsum variant forced XLA to relayout ~600 MB of Ke
+    between the einsum and the kernel (~25 ms at the 1M-element scale).
+
+    Pad cells slice all-zero node coordinates; their gradients are masked
+    to zero so their stiffness contribution is exactly zero.  The Pallas
+    kernel (kernels/structured_accumulate) then does all 864 shifted adds
+    in VMEM at the HBM roofline.
+    """
+    from femcy_tpu.kernels.structured_accumulate import pallas_accumulate
+
+    info = mesh.structure
+    nx, ny, nz = plan.nx, plan.ny, plan.nz
+    dm = coords.shape[-1]
+    grid = coords.reshape(nx + 1, ny + 1, nz + 1, dm)
+    gridp = jnp.pad(grid, ((ap.x_front, ap.x_back), (0, 1), (0, 1), (0, 0)))
+    X = ap.x_front + nx + ap.x_back
+    corner = np.asarray(info["corner_delta"])  # (8, 3)
+    # (8, 3, Lc): corner coordinate planes, cell-minor
+    xpl = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    gridp[dx : dx + X, dy : dy + ny + 1, dz : dz + nz + 1, D]
+                    .reshape(-1)
+                    for D in range(dm)
+                ]
+            )
+            for dx, dy, dz in corner
+        ]
+    )
+    shape = (X, ny + 1, nz + 1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    valid = (
+        (ix >= ap.x_front) & (ix < ap.x_front + nx) & (iy < ny) & (iz < nz)
+    ).reshape(-1)
+
+    # static quadrature tables from the mesh (dN/w args may be traced)
+    dN0 = np.asarray(mesh.element.dshape_at_gp)[0]  # (4, 3), one Gauss point
+    w0 = float(np.asarray(mesh.element.gauss_weights)[0])
+    # quadratic-form coefficients T[i, d, j, f] = sum_vw Bsel C Bsel
+    T = jnp.einsum("vid,vw,wjf->idjf", jnp.asarray(_BSEL, C.dtype), C,
+                   jnp.asarray(_BSEL, C.dtype))
+
+    planes = []
+    for corners_o in info["kuhn"]:
+        xo = xpl[np.asarray(corners_o)]  # (4, 3, Lc)
+        # dx/dxi planes: dxdn[D, d] = sum_n x[n, D] * dN0[n, d]
+        dxdn = [
+            [
+                sum(float(dN0[n, d]) * xo[n, D] for n in range(4))
+                for d in range(3)
+            ]
+            for D in range(3)
+        ]
+        # closed-form cofactors / det / inverse, all (Lc,) lane vectors
+        cof = [
+            [
+                dxdn[(D + 1) % 3][(d + 1) % 3] * dxdn[(D + 2) % 3][(d + 2) % 3]
+                - dxdn[(D + 1) % 3][(d + 2) % 3]
+                * dxdn[(D + 2) % 3][(d + 1) % 3]
+                for d in range(3)
+            ]
+            for D in range(3)
+        ]
+        det = sum(dxdn[0][d] * cof[0][d] for d in range(3))
+        vol = jnp.where(valid, det * w0, 0.0)
+        inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+        # inv[d][D] = cof[D][d] / det; dsdx[n][D] = sum_d dN0[n,d] inv[d][D]
+        dsdx = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        sum(
+                            float(dN0[n, d]) * cof[D][d] for d in range(3)
+                        )
+                        * inv_det
+                        for D in range(3)
+                    ]
+                )
+                for n in range(4)
+            ]
+        )  # (4, 3, Lc)
+        # Ke[a, i, b, j] = vol * sum_{d,f} T[i,d,j,f] dsdx[a,d] dsdx[b,f]
+        Ke = None
+        for d in range(3):
+            for f in range(3):
+                term = (
+                    dsdx[:, None, None, None, d]  # (4,1,1,1,Lc): a-planes
+                    * dsdx[None, None, :, None, f]  # (1,1,4,1,Lc): b-planes
+                    * T[:, d, :, f][None, :, None, :, None]  # (1,3,1,3,1)
+                )
+                Ke = term if Ke is None else Ke + term
+        planes.append((Ke * vol).reshape(144, -1))
+    # The barrier forces the plane values to materialize exactly as
+    # computed before the kernel's custom call reads them: without it the
+    # XLA producer fusion feeding the custom call returned wrong values on
+    # TPU (piecewise runs -- prep alone, kernel alone -- were both exact).
+    planes = list(jax.lax.optimization_barrier(tuple(planes)))
+    return pallas_accumulate(ap, planes)
+
+
+def structured_assemble_coords(coords, mesh: FEMesh, dN, w, C,
+                               plan: StructuredPlan, accumulate=None):
+    """Node coordinates -> DIA values via the fastest available path.
+
+    accumulate: None (auto: Pallas kernel on TPU/f32, XLA otherwise),
+    "pallas" (forced; interpret mode off-TPU, for tests), or "xla".
+    """
+    from femcy_tpu import assembly
+
+    mode = accumulate
+    if mode is None:
+        mode = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and jnp.dtype(coords.dtype).itemsize == 4
+            else "xla"
+        )
+    if mode == "pallas" and mesh.element.dshape_at_gp.shape[0] == 1:
+        from femcy_tpu.kernels.structured_accumulate import (
+            build_accumulate_plan,
+        )
+
+        ap = build_accumulate_plan(
+            plan, coords.dtype, interpret=jax.default_backend() != "tpu"
+        )
+        if ap is not None:
+            return _assemble_pallas_coords(coords, mesh, dN, w, C, plan, ap)
+    x_e = structured_element_nodes(coords, mesh)
+    dsdx, vol = assembly.gradients_and_volume_x(x_e, dN, w)
+    return structured_assemble(dsdx, vol, C, plan)
+
+
 def _accumulate(ke_of_orientation, plan: StructuredPlan, dtype):
     """Accumulate per-orientation element stiffnesses into the DIA layout.
 
@@ -183,7 +375,9 @@ def _accumulate(ke_of_orientation, plan: StructuredPlan, dtype):
 
 def structured_assemble(dsdx, vol, C, plan: StructuredPlan):
     """Gradients/volumes -> DIA values, computing Ke one Kuhn orientation at
-    a time so only one sixth of the element matrices is ever live.
+    a time so only one sixth of the element matrices is ever live (the XLA
+    shifted-slice accumulate; structured_assemble_coords routes to the
+    Pallas kernel where supported).
 
     dsdx: (E, G, 4, 3), vol: (E, G) in box_tets cell-major order.
     """

@@ -246,12 +246,23 @@ class FEMSystem:
     # ------------------------------------------------------------------ #
     # jitted implementations (pure functions of device state)
     # ------------------------------------------------------------------ #
-    def _assemble_values(self, a, dsdx, vol):
+    def _assemble_values(self, a, dsdx, vol, coords=None):
         """Gradients -> global sparse values, via the structured dense path
-        when available (Ke computed per orientation to bound live memory)."""
+        when available (Ke computed per orientation to bound live memory).
+        With ``coords`` on a structured mesh the whole assembly reroutes
+        through structured_assemble_coords (Pallas accumulate on TPU/f32),
+        recomputing the gradients in the kernel's padded cell space."""
         if self._structured_plan is not None:
-            from femcy_tpu.structured import structured_assemble
+            from femcy_tpu.structured import (
+                structured_assemble,
+                structured_assemble_coords,
+            )
 
+            if coords is not None:
+                return structured_assemble_coords(
+                    coords, self.mesh, a["dN"], a["w"], a["C"],
+                    self._structured_plan,
+                )
             return structured_assemble(dsdx, vol, a["C"], self._structured_plan)
         Ke = assembly.element_stiffness(dsdx, vol, a["C"])
         return self._scatter(a, Ke)
@@ -297,7 +308,8 @@ class FEMSystem:
         field via ``ti.static`` (stiffnessMtrx.py:135-136), so its linear
         assembly never sees the deformed geometry either.
         """
-        values = self._assemble_values(a, a["dsdX0"], a["vol0"])
+        values = self._assemble_values(a, a["dsdX0"], a["vol0"],
+                                       coords=a["nodes"])
         values, rhs = self._dirichlet_linear(a, values, rhs, fixed, sval)
         return values, rhs, a["vol0"]
 
@@ -354,7 +366,7 @@ class FEMSystem:
                 Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
             values = self._scatter(a, Ke)
         else:
-            values = self._assemble_values(a, dsdx, vol)
+            values = self._assemble_values(a, dsdx, vol, coords=coords)
         residual = f_int - rhs
         values, residual = self._dirichlet_newton(a, values, residual, fixed)
         return dof, values, residual, _rms(residual), vol

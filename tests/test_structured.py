@@ -78,6 +78,76 @@ def test_structured_element_nodes_matches_gather():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_pallas_accumulate_matches_xla():
+    """The VMEM accumulate kernel (interpret mode on CPU) equals the XLA
+    shifted-slice path to f32 roundoff on a non-cubic box."""
+    from femcy_tpu.materials import LinearIsotropic
+    from femcy_tpu.solvers.dia import build_structured_dia_pattern
+    from femcy_tpu.structured import (
+        build_structured_plan,
+        structured_assemble_coords,
+    )
+
+    mesh = box_tets(4, 3, 5, 2.0, 1.5, 1.0)
+    mat = LinearIsotropic(200.0, 0.3)
+    dia = build_structured_dia_pattern(mesh)
+    plan = build_structured_plan(mesh, dia)
+    coords = jnp.asarray(mesh.nodes, jnp.float32)
+    dN = jnp.asarray(mesh.element.dshape_at_gp, jnp.float32)
+    w = jnp.asarray(mesh.element.gauss_weights, jnp.float32)
+    C = jnp.asarray(mat.C, jnp.float32)
+    ref = np.asarray(
+        structured_assemble_coords(coords, mesh, dN, w, C, plan,
+                                   accumulate="xla")
+    )
+    out = np.asarray(
+        structured_assemble_coords(coords, mesh, dN, w, C, plan,
+                                   accumulate="pallas")
+    )
+    np.testing.assert_allclose(
+        out, ref, rtol=0, atol=1e-5 * np.abs(ref).max()
+    )
+
+
+def test_pallas_assemble_matches_f64_oracle():
+    """The kernel-path assembly in f32 stays at roundoff distance from the
+    f64 analytic operator (the TPU-default bf16 matmul precision put ~0.7%
+    into the einsum path until femcy_tpu forced 'highest'; this pins the
+    kernel path against the exact oracle rather than another f32 path)."""
+    from femcy_tpu.materials import LinearIsotropic
+    from femcy_tpu.solvers.dia import build_structured_dia_pattern
+    from femcy_tpu.structured import (
+        analytic_structured_dia_values,
+        build_structured_plan,
+        structured_assemble_coords,
+    )
+
+    mesh = box_tets(6, 4, 4, 1.5, 1.0, 1.0)
+    mat = LinearIsotropic(1000.0, 0.3)
+    dia = build_structured_dia_pattern(mesh)
+    plan = build_structured_plan(mesh, dia)
+    oracle = analytic_structured_dia_values(mesh, np.asarray(mat.C), dia)
+    out = np.asarray(
+        structured_assemble_coords(
+            jnp.asarray(mesh.nodes, jnp.float32), mesh,
+            jnp.asarray(mesh.element.dshape_at_gp, jnp.float32),
+            jnp.asarray(mesh.element.gauss_weights, jnp.float32),
+            jnp.asarray(mat.C, jnp.float32), plan, accumulate="pallas",
+        )
+    )
+    err = np.abs(out - oracle).max() / np.abs(oracle).max()
+    assert err < 1e-5, err
+
+
+def test_matmul_precision_defaults_to_highest():
+    """importing femcy_tpu must force full-f32 matmul precision: the TPU
+    MXU default (bf16 passes) measured 0.67% assembly error vs the f64
+    analytic operator -- far beyond the 0.1% stress accuracy gate."""
+    import jax
+
+    assert jax.config.jax_default_matmul_precision == "highest"
+
+
 def test_system_uses_structured_plan_and_solves():
     from femcy_tpu import FEMSystem, SolverConfig
     from femcy_tpu.materials import LinearIsotropic

@@ -496,10 +496,6 @@ class ShardedStructuredSolver:
             return
         self._mg_mask = fixed.copy()
         from femcy_tpu.solvers.multigrid import StructuredMultigrid
-        from femcy_tpu.structured import (
-            analytic_structured_dia_values as analytic_values,
-            dia_dirichlet_linear_numpy as dirichlet_np,
-        )
 
         coarse, material, omega, steps = self._mg_setup
 
@@ -507,12 +503,11 @@ class ShardedStructuredSolver:
             self.plan.nx + 1, self.plan.ny + 1, self.plan.nz + 1, 3
         )
         fixed_c = np.ascontiguousarray(m[::2, ::2, ::2, :]).reshape(-1)
-        inner_mg = StructuredMultigrid(coarse, material, fixed_c)
-        dia_c = inner_mg.levels[0].dia
-        vc = dirichlet_np(
-            analytic_values(coarse, np.asarray(material.C), dia_c),
-            dia_c.offsets, dia_c.diag_idx, fixed_c,
+        inner_mg = StructuredMultigrid(
+            coarse, material, fixed_c, omega=omega, smooth_steps=steps
         )
+        dia_c = inner_mg.levels[0].dia
+        vc = inner_mg._assemble_level_host(coarse, dia_c, fixed_c)
         dtype = jnp.zeros((), dtype=float).dtype
         repl = NamedSharding(self.device_mesh, P())
         self._mg_arrs = {
@@ -522,7 +517,12 @@ class ShardedStructuredSolver:
             ),
             "inner_ops": jax.device_put(inner_mg.operands(), repl),
         }
-        self._step = self._compile_step((inner_mg, omega, steps), P())
+        # the compiled program's structure is mask-independent (the mask
+        # enters only through traced arrays and the inner hierarchy's static
+        # grids/offsets), so a mask change rebuilds only the operands -- a
+        # fresh program would pay the remote backend's ~160 s first-run
+        if self._step is None:
+            self._step = self._compile_step((inner_mg, omega, steps), P())
 
     def solve(self, rhs: np.ndarray, fixed: np.ndarray, sval: np.ndarray):
         plan = self.plan

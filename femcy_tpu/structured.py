@@ -118,45 +118,6 @@ def structured_dia_scatter(Ke, plan: StructuredPlan):
     )
 
 
-def structured_element_nodes_padded(node_vals, mesh: FEMesh, x_front: int,
-                                    x_back: int):
-    """structured_element_nodes in the accumulate kernel's PADDED cell space.
-
-    The node grid (a few MB) is zero-padded by (x_front, x_back) x-planes
-    and one y/z wrap layer, then sliced -- so the big per-element arrays are
-    BORN padded and no multi-MB grid pad ever runs (XLA pads of the
-    (cells, ...) fields measured 1-2 GB/s on TPU, ~40 ms at the 1M-element
-    scale).  Pad cells pick all-zero node coordinates; callers mask their
-    (singular-jacobian) gradients to zero before use.
-
-    Returns (padded_cells, 6, n, dm) in box_tets orientation order.
-    """
-    info = mesh.structure
-    assert info is not None and info["kind"] == "box_tets"
-    nx, ny, nz = info["nx"], info["ny"], info["nz"]
-    dm = node_vals.shape[-1]
-    grid = node_vals.reshape(nx + 1, ny + 1, nz + 1, dm)
-    gridp = jnp.pad(grid, ((x_front, x_back), (0, 1), (0, 1), (0, 0)))
-    X = x_front + nx + x_back
-    corner = np.asarray(info["corner_delta"])  # (8, 3)
-    corners = jnp.stack(
-        [
-            gridp[dx : dx + X, dy : dy + ny + 1, dz : dz + nz + 1]
-            for dx, dy, dz in corner
-        ],
-        axis=3,
-    )  # (X, ny+1, nz+1, 8, dm)
-    cells = corners.reshape(-1, 8, dm)
-    per_orient = jnp.stack(
-        [
-            jnp.stack([cells[:, ci] for ci in c], axis=1)
-            for c in info["kuhn"]
-        ],
-        axis=1,
-    )  # (Lc, 6, 4, dm)
-    return per_orient
-
-
 #: Bsel[v, i, d] = 1 iff the Voigt-row-v B-matrix entry of dof (node a,
 #: dim i) is dsdx[a, d] (the 3D B layout of assembly.b_matrix)
 _BSEL = np.zeros((6, 3, 3))
@@ -278,23 +239,35 @@ def _assemble_pallas_coords(coords, mesh: FEMesh, dN, w, C,
     return pallas_accumulate(ap, planes)
 
 
+def pallas_assembly_eligible(mesh: FEMesh, dtype) -> bool:
+    """Host-side check: will structured_assemble_coords take the Pallas
+    kernel path in auto mode?  (TPU backend, 4-byte dtype, one Gauss point
+    i.e. C3D4.)  Callers use this to avoid routing coords through the XLA
+    fallback when precomputed gradients are already at hand."""
+    return (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(dtype).itemsize == 4
+        and mesh.element.dshape_at_gp.shape[0] == 1
+    )
+
+
 def structured_assemble_coords(coords, mesh: FEMesh, dN, w, C,
                                plan: StructuredPlan, accumulate=None):
     """Node coordinates -> DIA values via the fastest available path.
 
     accumulate: None (auto: Pallas kernel on TPU/f32, XLA otherwise),
-    "pallas" (forced; interpret mode off-TPU, for tests), or "xla".
+    "pallas" (forced; interpret mode off-TPU, for tests; raises if the
+    kernel plan is unsupported), or "xla".
+
+    The Pallas path integrates with the element's OWN static quadrature
+    tables (mesh.element.dshape_at_gp / gauss_weights); dN/w exist for the
+    XLA fallback's signature symmetry and must be those same tables.
     """
     from femcy_tpu import assembly
 
     mode = accumulate
     if mode is None:
-        mode = (
-            "pallas"
-            if jax.default_backend() == "tpu"
-            and jnp.dtype(coords.dtype).itemsize == 4
-            else "xla"
-        )
+        mode = "pallas" if pallas_assembly_eligible(mesh, coords.dtype) else "xla"
     if mode == "pallas" and mesh.element.dshape_at_gp.shape[0] == 1:
         from femcy_tpu.kernels.structured_accumulate import (
             build_accumulate_plan,
@@ -305,6 +278,12 @@ def structured_assemble_coords(coords, mesh: FEMesh, dN, w, C,
         )
         if ap is not None:
             return _assemble_pallas_coords(coords, mesh, dN, w, C, plan, ap)
+    if accumulate == "pallas":
+        raise ValueError(
+            "accumulate='pallas' forced but the kernel plan is unsupported "
+            "for this mesh/dtype (needs a 4-byte dtype, a one-Gauss-point "
+            "element, and the VMEM budget)"
+        )
     x_e = structured_element_nodes(coords, mesh)
     dsdx, vol = assembly.gradients_and_volume_x(x_e, dN, w)
     return structured_assemble(dsdx, vol, C, plan)
@@ -576,8 +555,14 @@ def analytic_dia_values_device(c, grid, offsets, diag_idx: int, fixed):
 
 
 def dia_to_dense_device(values, offsets):
-    """(n, K) DIA values -> (n, n) dense, on device (coarsest-level helper:
-    the multigrid's exact coarse solve inverts this with jnp.linalg.inv)."""
+    """(n, K) DIA values -> (n, n) dense, on device.
+
+    Shipped UNWIRED (like analytic_dia_values_device and
+    multigrid.newton_schulz_inverse): the production multigrid setup builds
+    coarse operators and their dense inverse on the HOST, because on the
+    remote-TPU backend any new program pays a ~160 s first-run server
+    compile that dwarfs the ~1 s upload these would save.  Kept, tested,
+    for deployments where host->device bandwidth is the real constraint."""
     n, K = values.shape
     rows = jnp.arange(n)[:, None]
     cols = rows + jnp.asarray(np.asarray(offsets))[None, :]

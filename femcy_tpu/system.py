@@ -249,16 +249,22 @@ class FEMSystem:
     def _assemble_values(self, a, dsdx, vol, coords=None):
         """Gradients -> global sparse values, via the structured dense path
         when available (Ke computed per orientation to bound live memory).
-        With ``coords`` on a structured mesh the whole assembly reroutes
-        through structured_assemble_coords (Pallas accumulate on TPU/f32),
-        recomputing the gradients in the kernel's padded cell space."""
+        With ``coords`` on a structured mesh where the Pallas kernel path
+        applies (TPU/f32/C3D4), the whole assembly reroutes through
+        structured_assemble_coords, recomputing the gradients in the
+        kernel's padded cell space; otherwise the precomputed dsdx/vol are
+        used directly (the coords reroute's XLA fallback would recompute
+        them for nothing)."""
         if self._structured_plan is not None:
             from femcy_tpu.structured import (
+                pallas_assembly_eligible,
                 structured_assemble,
                 structured_assemble_coords,
             )
 
-            if coords is not None:
+            if coords is not None and pallas_assembly_eligible(
+                self.mesh, coords.dtype
+            ):
                 return structured_assemble_coords(
                     coords, self.mesh, a["dN"], a["w"], a["C"],
                     self._structured_plan,

@@ -117,6 +117,9 @@ def bench_twist():
         if out.returncode != 0:
             log(f"twist subprocess failed (rc={out.returncode}); skipping")
             return
+        if not out.stdout.strip():
+            log("twist subprocess produced no output; skipping twist metric")
+            return
         line = out.stdout.strip().splitlines()[-1]
         print(line)  # the twist JSON line, verbatim
         return

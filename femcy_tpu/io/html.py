@@ -11,6 +11,7 @@ store.
 
 from __future__ import annotations
 
+import html as _html
 import json
 
 import numpy as np
@@ -119,6 +120,8 @@ def export_html(
         "vmax": vmax,
         "cbar": cbar,
     }
+    title = _html.escape(title)
+    field_name = _html.escape(field_name)
     html = f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{title}</title>
 <style>body{{margin:0;background:#101014;color:#ddd;font:14px sans-serif}}

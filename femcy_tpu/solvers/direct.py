@@ -23,8 +23,14 @@ def factorize(pattern, values):
     """LU-factorize the assembled operator (ELL or DIA pattern + values)."""
     K = pattern.to_scipy(np.asarray(values)).tocsc()
     try:
+        # SymmetricMode is documented to pair with a small pivot threshold;
+        # the default 1.0 re-enables full partial pivoting and forfeits most
+        # of the symmetric-ordering speedup
         return spla.splu(
-            K, permc_spec="MMD_AT_PLUS_A", options=dict(SymmetricMode=True)
+            K,
+            permc_spec="MMD_AT_PLUS_A",
+            diag_pivot_thresh=0.001,
+            options=dict(SymmetricMode=True),
         )
     except RuntimeError:
         # singular in symmetric mode (e.g. zero pivot): retry with the

@@ -78,6 +78,23 @@ def test_cook_nu4999_cg_needs_more_than_ndof_iters(fixtures_dir):
     assert abs(_tip_uy(inp, sys_cg) - ref) / abs(ref) < 0.001
 
 
+def test_cg_cap_exit_warns(fixtures_dir, caplog):
+    """Exiting the CG while_loop on the iteration cap with the residual still
+    above tolerance must WARN: the truncation of
+    test_cook_nu4999_cg_needs_more_than_ndof_iters is silent otherwise."""
+    with caplog.at_level(logging.WARNING, logger="femcy_tpu"):
+        _solve(fixtures_dir, COOK_NU4999, linear_solver="cg", cg_max_iters=50)
+    assert any("iteration cap" in r.message for r in caplog.records)
+
+    # a converged solve must NOT warn
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="femcy_tpu"):
+        _solve(
+            fixtures_dir, COOK_NU4999, linear_solver="cg", cg_max_iters=35_000
+        )
+    assert not any("iteration cap" in r.message for r in caplog.records)
+
+
 def test_cook_35mpa_large_deformation(fixtures_dir):
     """The 3.5 MPa large-deformation Cook converges with the default
     (geometric-stiffness) Newton and lands at a finite deflection."""

@@ -52,6 +52,18 @@ class SolverConfig:
     #: Applies to the CG path -- the direct solver ignores it.
     preconditioner: str = "jacobi"
 
+    # --- multi-chip sharding ----------------------------------------------
+    #: "none" runs single-device; "slab" shards the WHOLE analysis (linear
+    #: solves and the full adaptive-stepping Newton state machine) over the
+    #: device mesh via gather-free x-slab decomposition
+    #: (parallel/structured.py).  Needs a structured box_tets mesh whose nx
+    #: is divisible by the device count.  The reference is strictly
+    #: single-device (SURVEY.md §2.5); this is the beyond-parity scaling
+    #: path for meshes past one chip's HBM.
+    sharding: str = "none"
+    #: number of devices for the sharded path; 0 = all of jax.devices()
+    sharding_devices: int = 0
+
     # --- Newton-Raphson (geometric nonlinearity) -------------------------
     #: converged when residual / initial_residual < this
     #: (ref: stiffnessMtrx.py:771).

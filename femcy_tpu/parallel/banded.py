@@ -1,0 +1,408 @@
+"""Gather-free general-mesh sharding: RCM + block-tridiagonal row slabs.
+
+The first general (unstructured-mesh) multi-chip design (parallel/sharded.py)
+is correctness-first: its SpMV gathers x rows through the ELL column index --
+the access pattern the single-chip work measured ~500x off HBM speed on TPU
+and replaced with DIA shifted slices (solvers/dia.py).  Unstructured meshes
+cannot reuse that trick directly: after a bandwidth-reducing reordering the
+set of distinct (col - row) offsets fills the whole band (measured: K =
+2*bw + 1 on every tet/tri mesh tried), so per-offset shifted slices would
+mean thousands of HLO ops per SpMV.
+
+The TPU-native answer is one step coarser -- **block-tridiagonal storage**:
+
+* **Host setup.**  Reverse-Cuthill-McKee on the dof graph bounds the
+  bandwidth ``bw``; rows are cut into blocks of ``B >= bw`` dofs.  Every
+  matrix entry then lands in the block diagonal, the first block
+  subdiagonal or the first block superdiagonal: three dense (nb, B, B)
+  arrays hold the whole operator.
+
+* **SpMV = three batched matmuls.**  y_I = D_I x_I + L_I x_{I-1} +
+  U_I x_{I+1} -- MXU einsums over dense blocks, O(1) HLO ops, no gather,
+  no scatter.  The memory overhead vs the exact sparsity (3*B/row_width) is
+  the price of regularity; on TPU it beats the gather path by a wide margin
+  because the blocks stream at HBM speed.
+
+* **Sharding.**  Each device owns ``nbl`` consecutive row blocks.  Elements
+  are assigned to the device that owns their smallest row block; one
+  block-row halo-add after assembly and one x-block ppermute per neighbour
+  per SpMV are the only collectives.  The CG loop (collectives included)
+  lives in one shard_map'd ``lax.while_loop``; its compiled HLO contains no
+  gather/scatter instruction (asserted in tests/test_banded.py).
+
+The reference has no distributed execution at all (SURVEY.md §2.5); this
+replaces the all_gather + row-gather SpMV of parallel/sharded.py as the
+production general-mesh multi-chip path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from femcy_tpu import assembly
+from femcy_tpu.materials import Material
+from femcy_tpu.mesh import FEMesh
+from femcy_tpu.topology import build_pattern
+
+AXIS = "fem_mesh"
+
+
+@dataclasses.dataclass
+class BandedOperands:
+    """Host-built static data for a block-tridiagonal sharded solve."""
+
+    n_devices: int
+    n_dof: int
+    B: int  # block size (>= RCM bandwidth)
+    nb: int  # row blocks covering n_dof
+    nbl: int  # row blocks per device (nb padded to D * nbl)
+    perm: np.ndarray  # (n_dof,) original dof of permuted slot i
+    # stacked per-device arrays (leading axis = device)
+    elements: np.ndarray  # (D, E_s, n) padded element shards
+    ele_weight: np.ndarray  # (D, E_s)
+    scatter_targets: np.ndarray  # (D, E_s*edof^2) into (nbl+1)*3*B*B
+    nodes: np.ndarray
+    dshape_gp: np.ndarray
+    weights_gp: np.ndarray
+    C: np.ndarray
+
+    @property
+    def rows_local(self) -> int:
+        return self.nbl * self.B
+
+
+def rcm_permutation(pattern) -> np.ndarray:
+    """Reverse-Cuthill-McKee ordering of the dof graph (host, scipy)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    A = sp.csr_matrix(
+        (
+            np.ones_like(pattern.csr_indices, dtype=np.float32),
+            pattern.csr_indices,
+            pattern.csr_indptr,
+        ),
+        shape=(pattern.n_dof, pattern.n_dof),
+    )
+    return np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+
+
+def build_banded_operands(
+    mesh: FEMesh,
+    material: Material,
+    n_devices: int,
+    block: Optional[int] = None,
+) -> BandedOperands:
+    pattern = build_pattern(mesh)
+    n_dof = pattern.n_dof
+    D = n_devices
+    perm = rcm_permutation(pattern)
+    iperm = np.empty(n_dof, dtype=np.int64)
+    iperm[perm] = np.arange(n_dof)
+
+    # permuted bandwidth from the ELL structure
+    rows = np.repeat(np.arange(n_dof), pattern.row_counts)
+    prow = iperm[rows]
+    pcol = iperm[pattern.csr_indices.astype(np.int64)]
+    bw = int(np.abs(pcol - prow).max())
+    if block is None:
+        block = max(8, -(-(bw) // 8) * 8)  # round up to a multiple of 8
+    if block < bw:
+        raise ValueError(f"block {block} smaller than the RCM bandwidth {bw}")
+    B = block
+    nb = -(-n_dof // B)
+    nbl = -(-nb // D)
+
+    # --- element shards by smallest permuted row --------------------------
+    dm = mesh.dm
+    edof = mesh.element.edof
+    E = mesh.n_elements
+    ele_dofs = (
+        mesh.elements.astype(np.int64)[:, :, None] * dm + np.arange(dm)
+    ).reshape(E, edof)
+    ele_prows = iperm[ele_dofs]  # (E, edof)
+    min_block = ele_prows.min(axis=1) // B
+    dev_of_ele = np.minimum(min_block // nbl, D - 1).astype(np.int64)
+
+    counts = np.bincount(dev_of_ele, minlength=D)
+    E_s = int(counts.max())
+    order = np.argsort(dev_of_ele, kind="stable")
+
+    elements_sh = np.zeros((D, E_s, mesh.element.n_nodes), dtype=np.int32)
+    weight_sh = np.zeros((D, E_s))
+    targets_sh = np.zeros((D, E_s * edof * edof), dtype=np.int64)
+
+    # per-entry block-tridiagonal slots: entry (prow r, pcol c) of an element
+    # owned by device d lands in local row block Il = r//B - d*nbl in
+    # [0, nbl] (min-row assignment + B >= bw guarantee the +1 halo row block
+    # suffices), band position J - I + 1 in {0, 1, 2}
+    for d in range(D):
+        sel = order[counts[:d].sum() : counts[: d + 1].sum()]
+        ne = sel.shape[0]
+        elements_sh[d, :ne] = mesh.elements[sel]
+        # padding uses element 0's (valid) geometry with zero weight: its Ke
+        # is exactly zero, and its zeroed targets add 0 to local slot 0
+        elements_sh[d, ne:] = mesh.elements[0]
+        weight_sh[d, :ne] = 1.0
+        pr = ele_prows[sel]  # (ne, edof)
+        r = pr[:, :, None]
+        c = pr[:, None, :]
+        I = r // B
+        J = c // B
+        Il = I - d * nbl
+        band = J - I + 1
+        assert (Il >= 0).all() and (Il <= nbl).all()
+        assert (band >= 0).all() and (band <= 2).all()
+        flat = ((Il * 3 + band) * B + r % B) * B + (c - J * B)
+        targets_sh[d, : ne * edof * edof] = flat.reshape(-1)
+
+    return BandedOperands(
+        n_devices=D,
+        n_dof=n_dof,
+        B=B,
+        nb=nb,
+        nbl=nbl,
+        perm=perm,
+        elements=elements_sh,
+        ele_weight=weight_sh,
+        scatter_targets=targets_sh,
+        nodes=mesh.nodes,
+        dshape_gp=mesh.element.dshape_at_gp,
+        weights_gp=mesh.element.gauss_weights,
+        C=material.C,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# device-side pieces (under shard_map; arrays are one device's block)
+# --------------------------------------------------------------------------- #
+def _neighbor_blocks(D: int, xb):
+    """(nbl, B) local x blocks -> (x_{I-1}, x_{I+1}) including the single
+    boundary block from each neighbour (edge devices receive zeros)."""
+    from_left = jax.lax.ppermute(
+        xb[-1], AXIS, perm=[(i, i + 1) for i in range(D - 1)]
+    )
+    from_right = jax.lax.ppermute(
+        xb[0], AXIS, perm=[(i + 1, i) for i in range(D - 1)]
+    )
+    x_lo = jnp.concatenate([from_left[None], xb[:-1]], axis=0)
+    x_hi = jnp.concatenate([xb[1:], from_right[None]], axis=0)
+    return x_lo, x_hi
+
+
+def _btd_spmv(D: int, V, x_local):
+    """y = A x on the local row blocks.  V: (nbl, 3, B, B) [lower, diag,
+    upper]; three batched MXU matmuls + two one-block ppermutes."""
+    nbl, _, B, _ = V.shape
+    xb = x_local.reshape(nbl, B)
+    x_lo, x_hi = _neighbor_blocks(D, xb)
+    y = (
+        jnp.einsum("bij,bj->bi", V[:, 1], xb)
+        + jnp.einsum("bij,bj->bi", V[:, 0], x_lo)
+        + jnp.einsum("bij,bj->bi", V[:, 2], x_hi)
+    )
+    return y.reshape(-1)
+
+
+def _btd_dirichlet_linear(D: int, V, rhs_local, fixed_local, sval_local):
+    """Symmetric zero-one elimination on the local block rows."""
+    nbl, _, B, _ = V.shape
+    fb = fixed_local.reshape(nbl, B)
+    sb = sval_local.reshape(nbl, B)
+    f_lo, f_hi = _neighbor_blocks(D, fb.astype(V.dtype))
+    s_lo, s_hi = _neighbor_blocks(D, sb)
+    col_fixed = jnp.stack([f_lo, fb.astype(V.dtype), f_hi], axis=1)  # (nbl,3,B)
+    col_sval = jnp.stack([s_lo, sb, s_hi], axis=1)
+    # move prescribed-column loads to the rhs
+    corr = jnp.einsum("bkij,bkj->bi", V, col_fixed * col_sval)
+    rhs_local = rhs_local - corr.reshape(-1)
+    rhs_local = jnp.where(fixed_local, sval_local, rhs_local)
+    # zero fixed columns and rows
+    V = V * (1.0 - col_fixed)[:, :, None, :]
+    V = V * (1.0 - fb.astype(V.dtype))[:, None, :, None]
+    # unit diagonal on fixed rows
+    didx = jnp.arange(B)
+    diag = V[:, 1, didx, didx]
+    V = V.at[:, 1, didx, didx].set(jnp.where(fb, 1.0, diag))
+    return V, rhs_local
+
+
+def _btd_pcg(D: int, V, b_local, eps: float, max_iters: int):
+    """Jacobi-PCG on the block-tridiagonal operator, one while_loop, psum
+    reductions -- the compiled program is gather/scatter-free."""
+    nbl, _, B, _ = V.shape
+    # identity-masked reduction, NOT V[:, 1, i, i] advanced indexing -- the
+    # latter lowers to an HLO gather, which this program must not contain
+    diag = jnp.sum(V[:, 1] * jnp.eye(B, dtype=V.dtype), axis=2).reshape(-1)
+    minv = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
+
+    def pdot(u, v):
+        return jax.lax.psum(jnp.dot(u, v), AXIS)
+
+    r0 = b_local
+    d0 = minv * r0
+    x0 = jnp.zeros_like(b_local)
+    rmax0 = jax.lax.pmax(jnp.max(jnp.abs(r0)), AXIS)
+
+    def cond(state):
+        _, _, _, _, k, rmax = state
+        return (k < max_iters) & (rmax >= eps * rmax0) & (rmax0 > 0.0)
+
+    def body(state):
+        x, r, d, rmr, k, _ = state
+        Ad = _btd_spmv(D, V, d)
+        alpha = rmr / pdot(d, Ad)
+        x = x + alpha * d
+        r = r - alpha * Ad
+        z = minv * r
+        rmr_new = pdot(r, z)
+        d = z + (rmr_new / rmr) * d
+        rmax = jax.lax.pmax(jnp.max(jnp.abs(r)), AXIS)
+        return x, r, d, rmr_new, k + 1, rmax
+
+    rmr0 = pdot(r0, d0)
+    x, r, _, _, k, rmax = jax.lax.while_loop(
+        cond, body, (x0, r0, d0, rmr0, jnp.int32(0), rmax0)
+    )
+    return x, k, rmax
+
+
+def _btd_assemble(D, nbl, B, n_dof,
+                  elements, ele_weight, targets,
+                  nodes, dN, w, C, rhs, fixed, sval, dof_full):
+    """Per-device assembly + Dirichlet: local elements -> (nbl, 3, B, B)
+    block-tridiagonal values (one block-row halo-add), then the symmetric
+    zero-one elimination.  The coords pick and the segment-sum scatter live
+    here, OUTSIDE the CG program."""
+    elements = elements[0]
+    ele_weight = ele_weight[0]
+    targets = targets[0]
+    rhs = rhs[0]
+    fixed = fixed[0]
+    sval = sval[0]
+
+    coords = nodes + dof_full.reshape(nodes.shape)
+    dsdx, vol = assembly.gradients_and_volume(coords, elements, dN, w)
+    vol = vol * ele_weight[:, None]
+    Ke = assembly.element_stiffness(dsdx, vol, C)
+    buf = jax.ops.segment_sum(
+        Ke.reshape(-1), targets, num_segments=(nbl + 1) * 3 * B * B
+    ).reshape(nbl + 1, 3, B, B)
+    # halo: my (nbl)-th row block belongs to the right neighbour's block 0
+    from_left = jax.lax.ppermute(
+        buf[nbl], AXIS, perm=[(i, i + 1) for i in range(D - 1)]
+    )
+    V = buf[:nbl].at[0].add(from_left)
+    V, b = _btd_dirichlet_linear(D, V, rhs, fixed, sval)
+    return V[None], b[None]
+
+
+def _btd_solve(D, eps, max_iters, V, b):
+    V = V[0]
+    b = b[0]
+    x, k, rmax = _btd_pcg(D, V, b, eps, max_iters)
+    return x[None], k, rmax
+
+
+class BandedShardedSolver:
+    """K(dof) x = rhs on an arbitrary mesh, RCM-banded and block-row-sharded.
+
+    Two jitted shard_map programs: (1) element-sharded assembly with a
+    one-block halo-add + Dirichlet elimination, (2) the CG whose SpMV is
+    three batched block matmuls -- the compiled CG contains no gather and no
+    scatter (the general-mesh twin of the structured slab path).
+    """
+
+    def __init__(
+        self,
+        fe_mesh: FEMesh,
+        material: Material,
+        devices: Optional[list] = None,
+        cg_eps: float = 1.0e-3,
+        cg_iters: int = 0,
+        block: Optional[int] = None,
+    ):
+        devices = devices if devices is not None else jax.devices()
+        D = len(devices)
+        self.device_mesh = Mesh(np.asarray(devices), (AXIS,))
+        ops = build_banded_operands(fe_mesh, material, D, block=block)
+        self.ops = ops
+        if cg_iters <= 0:
+            cg_iters = ops.n_dof
+        self._cg_cfg = (cg_eps, cg_iters)
+
+        shard = NamedSharding(self.device_mesh, P(AXIS))
+        repl = NamedSharding(self.device_mesh, P())
+        self._shard = shard
+        put = lambda x, s: jax.device_put(jnp.asarray(x), s)  # noqa: E731
+        self._elements = put(ops.elements, shard)
+        self._ele_weight = put(ops.ele_weight, shard)
+        self._targets = put(ops.scatter_targets, shard)
+        self._nodes = put(ops.nodes, repl)
+        self._dN = put(ops.dshape_gp, repl)
+        self._w = put(ops.weights_gp, repl)
+        self._C = put(ops.C, repl)
+
+        from jax import shard_map
+
+        self._assemble = jax.jit(
+            shard_map(
+                partial(_btd_assemble, D, ops.nbl, ops.B, ops.n_dof),
+                mesh=self.device_mesh,
+                in_specs=(
+                    P(AXIS), P(AXIS), P(AXIS),  # elements, weight, targets
+                    P(), P(), P(), P(),  # nodes, dN, w, C
+                    P(AXIS), P(AXIS), P(AXIS),  # rhs, fixed, sval
+                    P(),  # dof (full, replicated: assembly reads any node)
+                ),
+                out_specs=(P(AXIS), P(AXIS)),
+                check_vma=False,
+            )
+        )
+        self._cg = jax.jit(
+            shard_map(
+                partial(_btd_solve, D, *self._cg_cfg),
+                mesh=self.device_mesh,
+                in_specs=(P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS), P(), P()),
+                check_vma=False,
+            )
+        )
+
+    # ------------------------------------------------------------------ #
+    def _stack(self, v, fill=0.0):
+        """Original-dof host vector -> permuted, padded (D, nbl*B) blocks."""
+        ops = self.ops
+        n_pad = ops.n_devices * ops.nbl * ops.B
+        out = np.full(n_pad, fill, dtype=np.asarray(v).dtype)
+        out[: ops.n_dof] = np.asarray(v)[ops.perm]
+        return jax.device_put(
+            jnp.asarray(out.reshape(ops.n_devices, -1)), self._shard
+        )
+
+    def solve(self, rhs: np.ndarray, fixed: np.ndarray, sval: np.ndarray,
+              dof=None):
+        """Assemble K(dof), eliminate Dirichlet dofs, solve K x = rhs."""
+        ops = self.ops
+        # padded rows are marked fixed: identity rows pinned to zero
+        rhs_s = self._stack(np.asarray(rhs, dtype=float))
+        fixed_s = self._stack(np.asarray(fixed, dtype=bool), fill=True)
+        sval_s = self._stack(np.asarray(sval, dtype=float))
+        dof_full = jnp.zeros(ops.n_dof) if dof is None else jnp.asarray(dof)
+        V, b = self._assemble(
+            self._elements, self._ele_weight, self._targets,
+            self._nodes, self._dN, self._w, self._C,
+            rhs_s, fixed_s, sval_s, dof_full,
+        )
+        x_s, iters, rmax = self._cg(V, b)
+        xp = np.asarray(x_s).reshape(-1)[: ops.n_dof]
+        x = np.empty(ops.n_dof)
+        x[ops.perm] = xp
+        return x, int(iters)

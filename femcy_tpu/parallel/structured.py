@@ -143,6 +143,25 @@ def _spmv_local(plan: StructuredShardPlan, values_local, x_local):
     return y
 
 
+def _halo_add(plan: StructuredShardPlan, v):
+    """Add the neighbours' partial sums of the shared node planes.
+
+    Works on any (local_rows, ...) per-device array (DIA values, force
+    vectors): my first plane's partial belongs also to the left neighbour's
+    last plane, and vice versa -- exchange and add, keeping the duplicated
+    plane bitwise consistent on both owners.
+    """
+    D, ps = plan.n_devices, plan.ps
+    to_left = jax.lax.ppermute(
+        v[:ps], AXIS, perm=[(i + 1, i) for i in range(D - 1)]
+    )
+    to_right = jax.lax.ppermute(
+        v[-ps:], AXIS, perm=[(i, i + 1) for i in range(D - 1)]
+    )
+    v = v.at[-ps:].add(to_left)
+    return v.at[:ps].add(to_right)
+
+
 def _dirichlet_local(plan: StructuredShardPlan, values_local, rhs_local,
                      fixed_local, sval_local):
     """Symmetric zero-one elimination on the local rows; column masks come
@@ -344,18 +363,22 @@ def _assemble_local(plan: StructuredShardPlan, slab_plan, dsdx_cell,
         vol_cell[None], (nc, *vol_cell.shape)
     ).reshape(E, vol_cell.shape[1])
     v = structured_assemble(dsdx, vol, C, slab_plan)  # (local_rows, K)
-    D, ps = plan.n_devices, plan.ps
-    # my first plane's partial belongs also to the left neighbour's last
-    # plane, and vice versa: exchange and add (the only assembly collective)
-    to_left = jax.lax.ppermute(
-        v[:ps], AXIS, perm=[(i + 1, i) for i in range(D - 1)]
+    return _halo_add(plan, v)
+
+
+def _make_apply_m(plan, mg_bundle, values_local, fixed_local, mg_arrs):
+    """The CG preconditioner callback: slab-sharded V-cycle when mg_bundle
+    is set, Jacobi (the _pcg_local default) otherwise."""
+    if mg_bundle is None:
+        return None
+    inner_mg, omega, smooth_steps = mg_bundle
+    diag = values_local[:, plan.diag_idx]
+    minv = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
+    return lambda r: _sharded_vcycle(
+        plan, inner_mg, values_local, minv,
+        fixed_local, mg_arrs["fixed_coarse"], mg_arrs["values_coarse"],
+        mg_arrs["inner_ops"], r, omega, smooth_steps,
     )
-    to_right = jax.lax.ppermute(
-        v[-ps:], AXIS, perm=[(i, i + 1) for i in range(D - 1)]
-    )
-    v = v.at[-ps:].add(to_left)
-    v = v.at[:ps].add(to_right)
-    return v
 
 
 def _shard_solve(plan, slab_plan, eps, max_iters, mg_bundle,
@@ -367,17 +390,102 @@ def _shard_solve(plan, slab_plan, eps, max_iters, mg_bundle,
     own = own[0]
     values = _assemble_local(plan, slab_plan, dsdx_cell, vol_cell, C)
     values, b = _dirichlet_local(plan, values, rhs_local, fixed_local, sval_local)
-    apply_m = None
-    if mg_bundle is not None:
-        inner_mg, omega, smooth_steps = mg_bundle
-        diag = values[:, plan.diag_idx]
-        minv = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
-        apply_m = lambda r: _sharded_vcycle(  # noqa: E731
-            plan, inner_mg, values, minv,
-            fixed_local, mg_arrs["fixed_coarse"], mg_arrs["values_coarse"],
-            mg_arrs["inner_ops"], r, omega, smooth_steps,
-        )
+    apply_m = _make_apply_m(plan, mg_bundle, values, fixed_local, mg_arrs)
     x, k, rmax = _pcg_local(plan, values, b, own, eps, max_iters, apply_m)
+    return x[None], k, rmax
+
+
+def _dirichlet_newton_local(plan: StructuredShardPlan, values_local,
+                            residual_local, fixed_local):
+    """Newton-path Dirichlet treatment on the local rows (same math as
+    solvers.dia.dia_dirichlet_newton, halo shifts instead of pads)."""
+    H = HALO_PLANES * plan.ps
+    fixed_ext = _fetch_halos(plan, fixed_local.astype(values_local.dtype))
+    col_fixed = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(fixed_ext, H + off, plan.local_rows)
+            for off in plan.offsets
+        ],
+        axis=1,
+    ) > 0.5
+    residual_local = jnp.where(fixed_local, 0.0, residual_local)
+    values_local = jnp.where(
+        col_fixed | fixed_local[:, None], 0.0, values_local
+    )
+    diag = jnp.where(fixed_local, 1.0, values_local[:, plan.diag_idx])
+    values_local = values_local.at[:, plan.diag_idx].set(diag)
+    return values_local, residual_local
+
+
+def _shard_newton_eval(plan, slab, slab_plan, material, geometric_stiffness,
+                       n_gp,
+                       x0_e, dsdx_cell0, dN, w, C,
+                       dof_local, rhs_local, fixed_local, sval_local, own):
+    """One full Newton residual/Jacobian evaluation on this device's slab.
+
+    The sharded twin of FEMSystem._newton_eval_impl (which mirrors the
+    reference's per-iteration work, stiffnessMtrx.py:609-644 + 756-758 +
+    310-341): pin the prescribed dofs, deformation gradients from the
+    uniform-grid initial gradients (broadcast, no gather), Cauchy stress,
+    internal force + secant (+ geometric) tangent on the current
+    configuration, one plane halo-add each, Newton Dirichlet treatment,
+    ownership-masked rms.  No gather/scatter instruction anywhere.
+    """
+    from femcy_tpu import assembly
+    from femcy_tpu.structured import (
+        structured_dia_scatter,
+        structured_element_nodes,
+        structured_force_scatter,
+    )
+
+    dof_local = dof_local[0]
+    rhs_local = rhs_local[0]
+    fixed_local = fixed_local[0]
+    sval_local = sval_local[0]
+    own = own[0]
+
+    dof_local = jnp.where(fixed_local, sval_local, dof_local)
+    u = dof_local.reshape(-1, 3)
+    u_e = structured_element_nodes(u, slab)  # (E_loc, 4, 3), static slices
+    nc = u_e.shape[0] // 6
+    dsdX0 = jnp.broadcast_to(
+        dsdx_cell0[None], (nc, 6, n_gp, 4, 3)
+    ).reshape(u_e.shape[0], n_gp, 4, 3)
+    F = assembly.deformation_gradient_u(u_e, dsdX0)
+    sigma = assembly.gp_stress(F, material, large=True)
+    x_e = x0_e + u_e
+    dsdx, vol = assembly.gradients_and_volume_x(x_e, dN, w)
+
+    f_elem = jnp.einsum("egaj,egji,eg->eai", dsdx, sigma, vol)
+    f_int = _halo_add(plan, structured_force_scatter(f_elem, slab_plan, slab))
+
+    Ke = assembly.element_stiffness(dsdx, vol, C)
+    if geometric_stiffness:
+        Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
+    values = _halo_add(plan, structured_dia_scatter(Ke, slab_plan))
+
+    residual = f_int - rhs_local
+    values, residual = _dirichlet_newton_local(plan, values, residual,
+                                               fixed_local)
+    rms = jnp.sqrt(
+        jax.lax.psum(jnp.sum(own * residual * residual), AXIS) / plan.n_dof
+    )
+    return dof_local[None], values[None], residual[None], rms
+
+
+def _shard_cg(plan, eps, max_iters, mg_bundle,
+              values_local, b_local, fixed_local, own, mg_arrs):
+    """Standalone sharded PCG on an already-assembled local operator (the
+    Newton linear solve; assembly+BC+CG stay fused in _shard_solve for the
+    linear path)."""
+    values_local = values_local[0]
+    b_local = b_local[0]
+    fixed_local = fixed_local[0]
+    own = own[0]
+    apply_m = _make_apply_m(plan, mg_bundle, values_local, fixed_local,
+                            mg_arrs)
+    x, k, rmax = _pcg_local(plan, values_local, b_local, own, eps, max_iters,
+                            apply_m)
     return x[None], k, rmax
 
 
@@ -398,6 +506,7 @@ class ShardedStructuredSolver:
         preconditioner: str = "jacobi",
         mg_omega: float = 0.7,
         mg_smooth_steps: int = 2,
+        geometric_stiffness: bool = True,
     ):
         devices = devices if devices is not None else jax.devices()
         D = len(devices)
@@ -428,7 +537,7 @@ class ShardedStructuredSolver:
 
         repl = NamedSharding(self.device_mesh, P())
         shard = NamedSharding(self.device_mesh, P(AXIS))
-        from femcy_tpu.structured import cell_gradients
+        from femcy_tpu.structured import cell_gradients, structured_element_nodes
 
         dsdx_cell, vol_cell = cell_gradients(slab)
         self._dsdx_cell = jax.device_put(jnp.asarray(dsdx_cell), repl)
@@ -436,6 +545,24 @@ class ShardedStructuredSolver:
         self._C = jax.device_put(jnp.asarray(material.C), repl)
         self._own_d = jax.device_put(jnp.asarray(own), shard)
         self._shard = shard
+        self._repl = repl
+
+        # Newton-path operands: every device's slab has identical initial
+        # geometry up to a translation (gradients see only differences), so
+        # the per-element initial coordinates and quadrature tables are
+        # replicated once
+        self._slab = slab
+        self._material = material
+        self._geometric_stiffness = bool(geometric_stiffness)
+        self._x0_e = jax.device_put(
+            jnp.asarray(
+                np.asarray(structured_element_nodes(jnp.asarray(slab.nodes), slab))
+            ),
+            repl,
+        )
+        self._dN = jax.device_put(jnp.asarray(slab.element.dshape_at_gp), repl)
+        self._w = jax.device_put(jnp.asarray(slab.element.gauss_weights), repl)
+        self._n_gp = int(slab.element.dshape_at_gp.shape[0])
 
         # slab-sharded multigrid: fine level sharded here; everything from
         # the first coarsening down is the REPLICATED single-device
@@ -462,7 +589,10 @@ class ShardedStructuredSolver:
         self._preconditioner = preconditioner
         self._cg = (cg_eps, cg_iters)
         self._mg_mask = None
+        self._mg_bundle = None
         self._step = None  # compiled lazily (multigrid needs the fixed mask)
+        self._newton_step = None
+        self._cg_step = None
 
     def _compile_step(self, mg_bundle, mg_arrs_spec):
         from jax import shard_map
@@ -484,22 +614,20 @@ class ShardedStructuredSolver:
             )
         )
 
-    def _ensure_multigrid(self, fixed: np.ndarray):
-        """Build the replicated coarse hierarchy for this fixed mask and
-        compile the solve program (jacobi mode compiles with a dummy)."""
+    def _ensure_mg_operands(self, fixed: np.ndarray):
+        """Build (or refresh, on a mask change) the replicated coarse
+        hierarchy operands for this fixed mask; no program compilation."""
         if self._preconditioner != "multigrid":
-            if self._step is None:
-                self._step = self._compile_step(None, P())
             return
         fixed = np.asarray(fixed, bool)
-        if self._step is not None and np.array_equal(self._mg_mask, fixed):
+        if self._mg_bundle is not None and np.array_equal(self._mg_mask, fixed):
             return
         self._mg_mask = fixed.copy()
         from femcy_tpu.solvers.multigrid import StructuredMultigrid
 
         coarse, material, omega, steps = self._mg_setup
 
-        m = np.asarray(fixed, bool).reshape(
+        m = fixed.reshape(
             self.plan.nx + 1, self.plan.ny + 1, self.plan.nz + 1, 3
         )
         fixed_c = np.ascontiguousarray(m[::2, ::2, ::2, :]).reshape(-1)
@@ -509,7 +637,7 @@ class ShardedStructuredSolver:
         dia_c = inner_mg.levels[0].dia
         vc = inner_mg._assemble_level_host(coarse, dia_c, fixed_c)
         dtype = jnp.zeros((), dtype=float).dtype
-        repl = NamedSharding(self.device_mesh, P())
+        repl = self._repl
         self._mg_arrs = {
             "fixed_coarse": jax.device_put(jnp.asarray(fixed_c), repl),
             "values_coarse": jax.device_put(
@@ -517,23 +645,91 @@ class ShardedStructuredSolver:
             ),
             "inner_ops": jax.device_put(inner_mg.operands(), repl),
         }
-        # the compiled program's structure is mask-independent (the mask
-        # enters only through traced arrays and the inner hierarchy's static
+        # compiled programs' structure is mask-independent (the mask enters
+        # only through traced arrays and the inner hierarchy's static
         # grids/offsets), so a mask change rebuilds only the operands -- a
-        # fresh program would pay the remote backend's ~160 s first-run
+        # fresh program would pay the remote backend's ~160 s first-run.
+        # Programs compiled against an earlier bundle keep working: only the
+        # static level shapes are baked in, and those never change.
+        self._mg_bundle = (inner_mg, omega, steps)
+
+    def _ensure_multigrid(self, fixed: np.ndarray):
+        """Build the hierarchy operands and compile the fused linear-solve
+        program (jacobi mode compiles with a dummy)."""
+        self._ensure_mg_operands(fixed)
         if self._step is None:
-            self._step = self._compile_step((inner_mg, omega, steps), P())
+            self._step = self._compile_step(self._mg_bundle, P())
 
     def solve(self, rhs: np.ndarray, fixed: np.ndarray, sval: np.ndarray):
         plan = self.plan
         self._ensure_multigrid(fixed)
-        put = lambda v: jax.device_put(jnp.asarray(v), self._shard)  # noqa: E731
         x_blocks, iters, rmax = self._step(
             self._dsdx_cell, self._vol_cell, self._C,
-            put(stack_rows(plan, np.asarray(rhs))),
-            put(stack_rows(plan, np.asarray(fixed))),
-            put(stack_rows(plan, np.asarray(sval))),
+            self.stack(rhs), self.stack(fixed), self.stack(sval),
             self._own_d,
             self._mg_arrs,
         )
         return unstack_rows(plan, np.asarray(x_blocks)), int(iters)
+
+    # ------------------------------------------------------------------ #
+    # Newton path (used by FEMSystem when SolverConfig.sharding="slab"):
+    # the host state machine drives these two sharded programs per
+    # iteration -- a full residual/Jacobian evaluation and the linear solve.
+    # ------------------------------------------------------------------ #
+    def stack(self, v) -> jax.Array:
+        """Global (n_dof,) host/device vector -> slab-sharded (D, local_rows)
+        device blocks (the shared plane duplicated on both owners)."""
+        return jax.device_put(
+            jnp.asarray(stack_rows(self.plan, np.asarray(v))), self._shard
+        )
+
+    def unstack(self, blocks) -> np.ndarray:
+        """(D, local_rows) sharded blocks -> global (n_dof,) numpy."""
+        return unstack_rows(self.plan, np.asarray(blocks))
+
+    def newton_eval(self, dof_s, rhs_s, fixed_s, sval_s):
+        """(stacked dof, rhs, fixed, sval) -> (pinned dof, BC'd tangent
+        blocks, BC'd residual blocks, rms residual) -- one sharded program."""
+        if self._newton_step is None:
+            from jax import shard_map
+
+            fn = partial(
+                _shard_newton_eval, self.plan, self._slab, self._slab_plan,
+                self._material, self._geometric_stiffness, self._n_gp,
+            )
+            self._newton_step = jax.jit(
+                shard_map(
+                    fn,
+                    mesh=self.device_mesh,
+                    in_specs=(
+                        P(), P(), P(), P(), P(),  # x0_e, dsdx_cell, dN, w, C
+                        P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                    ),
+                    out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+                    check_vma=False,
+                )
+            )
+        return self._newton_step(
+            self._x0_e, self._dsdx_cell, self._dN, self._w, self._C,
+            dof_s, rhs_s, fixed_s, sval_s, self._own_d,
+        )
+
+    def cg(self, values_s, b_s, fixed: np.ndarray, fixed_s):
+        """Sharded PCG on stacked operator/rhs blocks (the Newton linear
+        solve).  ``fixed`` (global, host) keys the multigrid operand cache;
+        ``fixed_s`` (stacked, device) feeds the V-cycle's transfer masks."""
+        self._ensure_mg_operands(fixed)
+        if self._cg_step is None:
+            from jax import shard_map
+
+            fn = partial(_shard_cg, self.plan, *self._cg, self._mg_bundle)
+            self._cg_step = jax.jit(
+                shard_map(
+                    fn,
+                    mesh=self.device_mesh,
+                    in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+                    out_specs=(P(AXIS), P(), P()),
+                    check_vma=False,
+                )
+            )
+        return self._cg_step(values_s, b_s, fixed_s, self._own_d, self._mg_arrs)

@@ -243,6 +243,45 @@ class FEMSystem:
             info = mesh.structure
             coarsen_grids((info["nx"], info["ny"], info["nz"]))
 
+        # --- multi-chip slab sharding (config.sharding="slab") --------------
+        # The reference is strictly single-device (SURVEY.md §2.5).  With
+        # sharding="slab" the SAME host state machine (adaptive stepping +
+        # Newton + boost/relax) drives gather-free slab-sharded device
+        # programs instead of the single-device jits: see
+        # parallel/structured.py and _advance_inc.
+        self._shard_sys = None
+        if config.sharding == "slab":
+            if self._structured_plan is None:
+                raise ValueError(
+                    "sharding='slab' needs a structured box_tets mesh "
+                    "(e.g. meshgen.box_tets); unstructured meshes use "
+                    "parallel.sharded / parallel.banded"
+                )
+            if config.tangent == "consistent":
+                raise ValueError(
+                    "sharding='slab' supports the secant (+ geometric "
+                    "stiffness) tangent only"
+                )
+            from femcy_tpu.parallel.structured import ShardedStructuredSolver
+
+            devs = jax.devices()
+            n = config.sharding_devices or len(devs)
+            self._shard_sys = ShardedStructuredSolver(
+                mesh,
+                material,
+                devices=devs[:n],
+                cg_eps=config.cg_eps,
+                cg_iters=config.cg_max_iters,
+                preconditioner=(
+                    "multigrid"
+                    if config.preconditioner == "multigrid"
+                    else "jacobi"
+                ),
+                geometric_stiffness=config.geometric_stiffness,
+            )
+        elif config.sharding != "none":
+            raise ValueError(f"unknown sharding mode {config.sharding!r}")
+
     # ------------------------------------------------------------------ #
     # jitted implementations (pure functions of device state)
     # ------------------------------------------------------------------ #
@@ -587,7 +626,15 @@ class FEMSystem:
         Returns (converged, newton_loops, final residual).
         """
         cfg = self.config
+        sh = self._shard_sys
         if not self.geometric_nonlinear:
+            if sh is not None:
+                with self.timer.section("sharded_linear"):
+                    x, _ = sh.solve(
+                        np.asarray(rhs), np.asarray(fixed), np.asarray(sval)
+                    )
+                self.dof = jnp.asarray(x)
+                return True, 0, 0.0
             with self.timer.section("assemble+bc"):
                 values, rhs_bc, vol = self._jit_linear_system(
                     self._arrs, rhs, fixed, sval
@@ -598,21 +645,66 @@ class FEMSystem:
             return True, 0, 0.0
 
         # --- Newton-Raphson with boost/relax line search --------------------
+        # The loop below drives three mode-dependent callables: evaluate
+        # (residual/Jacobian), lin_solve (the Newton linear solve) and
+        # finish (persist the working dof into self.dof).  In sharded mode
+        # the working dof/values/residual are (D, local_rows[, K]) slab
+        # blocks and every device step is a shard_map program; the state
+        # machine itself (exact reference heuristics) is identical.
         newton_count = {"n": -1}
 
-        def evaluate(dof):
-            with self.timer.section("newton_eval"):
-                dof, values, residual, res, vol = self._jit_newton_eval(
-                    self._arrs, dof, rhs, fixed, sval
-                )
-            self._last_vol = vol
-            newton_count["n"] += 1
-            if on_newton is not None:
-                self.dof = dof  # expose current state to the callback
-                on_newton(self, newton_count["n"], float(res))
-            return dof, values, residual, float(res)
+        if sh is not None:
+            rhs_s = sh.stack(np.asarray(rhs))
+            fixed_np = np.asarray(fixed)
+            fixed_s = sh.stack(fixed_np)
+            sval_s = sh.stack(np.asarray(sval))
+            dof0 = sh.stack(np.asarray(self.dof))
 
-        dof, values, residual, pre_residual = evaluate(self.dof)
+            def evaluate(dof):
+                with self.timer.section("newton_eval"):
+                    dof, values, residual, res = sh.newton_eval(
+                        dof, rhs_s, fixed_s, sval_s
+                    )
+                newton_count["n"] += 1
+                if on_newton is not None:
+                    self.dof = jnp.asarray(sh.unstack(dof))
+                    on_newton(self, newton_count["n"], float(res))
+                return dof, values, residual, float(res)
+
+            def lin_solve(values, residual, reuse=None):
+                with self.timer.section("linear_solve"):
+                    du, iters, rmax = sh.cg(values, residual, fixed_np, fixed_s)
+                self._warn_cg_cap(iters, rmax, residual)
+                return du
+
+            def finish(dof):
+                self.dof = jnp.asarray(sh.unstack(dof))
+
+        else:
+            dof0 = self.dof
+
+            def evaluate(dof):
+                with self.timer.section("newton_eval"):
+                    dof, values, residual, res, vol = self._jit_newton_eval(
+                        self._arrs, dof, rhs, fixed, sval
+                    )
+                self._last_vol = vol
+                newton_count["n"] += 1
+                if on_newton is not None:
+                    self.dof = dof  # expose current state to the callback
+                    on_newton(self, newton_count["n"], float(res))
+                return dof, values, residual, float(res)
+
+            def lin_solve(values, residual, reuse=None):
+                with self.timer.section("linear_solve"):
+                    return self._solve_linear_system(
+                        values, residual, fixed, reuse=reuse
+                    )
+
+            def finish(dof):
+                self.dof = dof
+
+        dof, values, residual, pre_residual = evaluate(dof0)
         if self._ini_residual is None:
             # cached for the whole analysis (parity with the reference's
             # process-lifetime cache, stiffnessMtrx.py:760-762)
@@ -638,18 +730,15 @@ class FEMSystem:
             while pre_residual / (ini + 1.0e-30) >= cfg.newton_rel_tol:
                 newton_loop += 1
                 if newton_loop >= cfg.newton_max_iters:
-                    self.dof = dof
+                    finish(dof)
                     return False, newton_loop, pre_residual
 
-                with self.timer.section("linear_solve"):
-                    du = self._solve_linear_system(
-                        values, residual, fixed, reuse=reuse
-                    )
+                du = lin_solve(values, residual, reuse=reuse)
                 dof = dof - du
                 dof, values, residual, residual_val = evaluate(dof)
                 if np.isnan(residual_val):
                     logger.warning("NaN residual; cutting back time step")
-                    self.dof = dof
+                    finish(dof)
                     return False, newton_loop, residual_val
                 if cfg.verbose:
                     logger.info(
@@ -694,7 +783,7 @@ class FEMSystem:
                 pre_residual = residual_val
             newton_loop = max(newton_loop, 0)
 
-        self.dof = dof
+        finish(dof)
         return True, newton_loop, residual_val
 
     # ------------------------------------------------------------------ #
@@ -723,7 +812,19 @@ class FEMSystem:
         assembled configuration's volumes)."""
         F = self._jit_F(self._arrs, self.dof)
         dens = assembly.gp_energy_density(F, self.material)
-        return float(jnp.sum(dens * self._last_vol))
+        vol = self._last_vol
+        if self._shard_sys is not None and self.geometric_nonlinear:
+            # the sharded path never materialises a global volume array;
+            # integrate over the current configuration (what the last
+            # sharded evaluation used)
+            from femcy_tpu.structured import structured_element_nodes
+
+            coords = self._arrs["nodes"] + self.dof.reshape(-1, self.mesh.dm)
+            x_e = structured_element_nodes(coords, self.mesh)
+            _, vol = assembly.gradients_and_volume_x(
+                x_e, self._arrs["dN"], self._arrs["w"]
+            )
+        return float(jnp.sum(dens * vol))
 
     def extrapolate(self, gp_vals):
         """GP -> nodal patch extrapolation, (E, G) -> (E, n_nodes)

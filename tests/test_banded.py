@@ -1,0 +1,151 @@
+"""RCM block-tridiagonal sharded path (parallel/banded.py) on virtual CPUs.
+
+The general-mesh gather-free design: RCM ordering bounds the bandwidth,
+rows shard as consecutive dense (B, B) block rows, the CG's SpMV is three
+batched matmuls + one-block halo exchanges.  These tests pin it against the
+single-device direct solve and assert the compiled CG program contains no
+gather/scatter instruction (the same bar the structured slab path meets).
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from femcy_tpu import FEMesh, FEMSystem, SolverConfig
+from femcy_tpu.materials import (
+    LinearIsotropic,
+    LinearIsotropicPlaneStress,
+    material_from_inp,
+)
+from femcy_tpu.meshgen import box_tets, cantilever_tets, rect_tris
+from femcy_tpu.parallel.banded import BandedShardedSolver, build_banded_operands
+from femcy_tpu.solvers.direct import direct_solve
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices (see conftest XLA_FLAGS)")
+    return devs[:8]
+
+
+def _tension_problem(mesh):
+    fixed = np.zeros(mesh.n_dof, dtype=bool)
+    sval = np.zeros(mesh.n_dof)
+    dm = mesh.dm
+    left = np.nonzero(mesh.nodes[:, 0] < 1e-9)[0]
+    right = np.nonzero(mesh.nodes[:, 0] > mesh.nodes[:, 0].max() - 1e-9)[0]
+    for d in range(dm):
+        fixed[left * dm + d] = True
+    fixed[right * dm + 0] = True
+    sval[right * dm + 0] = 0.05
+    return fixed, sval, np.zeros(mesh.n_dof)
+
+
+def _direct_oracle(mesh, mat, rhs, fixed, sval):
+    system = FEMSystem(mesh, mat, False, SolverConfig(linear_solver="direct"))
+    values, rhs_bc, _ = system._jit_linear_system(
+        system._arrs, jnp.asarray(rhs), jnp.asarray(fixed), jnp.asarray(sval)
+    )
+    pat = system.dia if system.dia is not None else system.pattern
+    x = np.asarray(direct_solve(pat, values, rhs_bc))
+    assert np.isfinite(x).all()
+    return x
+
+
+@pytest.mark.parametrize(
+    "mesh,mat",
+    [
+        (cantilever_tets(12, 4)[0], LinearIsotropic(100.0, 0.3)),
+        (rect_tris(14, 9), LinearIsotropicPlaneStress(100.0, 0.3)),
+    ],
+    ids=["tet4-3d", "tri3-2d"],
+)
+def test_banded_matches_direct(mesh, mat, eight_devices):
+    fixed, sval, rhs = _tension_problem(mesh)
+    solver = BandedShardedSolver(mesh, mat, devices=eight_devices, cg_eps=1e-10)
+    x, iters = solver.solve(rhs, fixed, sval)
+    assert iters > 0
+    x_ref = _direct_oracle(mesh, mat, rhs, fixed, sval)
+    scale = np.abs(x_ref).max()
+    np.testing.assert_allclose(x / scale, x_ref / scale, atol=1e-8)
+
+
+def test_banded_neumann_rhs_and_device_counts(eight_devices):
+    """Force loading + identical answers on 1, 2, 4, 8 devices."""
+    mesh, fixed_nodes, loaded = cantilever_tets(10, 3)
+    mat = LinearIsotropic(1000.0, 0.3)
+    fixed = np.zeros(mesh.n_dof, bool)
+    for d in range(3):
+        fixed[fixed_nodes * 3 + d] = True
+    rhs = np.zeros(mesh.n_dof)
+    rhs[loaded * 3 + 1] = 1.0
+    sval = np.zeros(mesh.n_dof)
+    sols = []
+    for n in (1, 2, 4, 8):
+        solver = BandedShardedSolver(
+            mesh, mat, devices=eight_devices[:n], cg_eps=1e-10
+        )
+        x, _ = solver.solve(rhs, fixed, sval)
+        sols.append(x)
+    x_ref = _direct_oracle(mesh, mat, rhs, fixed, sval)
+    scale = np.abs(x_ref).max()
+    for s in sols:
+        np.testing.assert_allclose(s / scale, x_ref / scale, atol=1e-8)
+
+
+def test_banded_cg_program_has_no_gather(eight_devices):
+    """The compiled CG must be gather/scatter-free: block matmuls + one-block
+    ppermutes only (the whole point vs the ELL row-gather path)."""
+    mesh, _, _ = cantilever_tets(8, 3)
+    mat = LinearIsotropic(100.0, 0.3)
+    solver = BandedShardedSolver(mesh, mat, devices=eight_devices)
+    fixed, sval, rhs = _tension_problem(mesh)
+    rhs_s = solver._stack(rhs)
+    fixed_s = solver._stack(np.asarray(fixed, bool), fill=True)
+    sval_s = solver._stack(sval)
+    V, b = solver._assemble(
+        solver._elements, solver._ele_weight, solver._targets,
+        solver._nodes, solver._dN, solver._w, solver._C,
+        rhs_s, fixed_s, sval_s, jnp.zeros(solver.ops.n_dof),
+    )
+    hlo = solver._cg.lower(V, b).compile().as_text()
+    assert not re.search(r"[^\-]gather\(", hlo)
+    assert not re.search(r"[^\-]scatter\(", hlo)
+
+
+def test_banded_on_reference_inp_fixture(fixtures_dir, eight_devices):
+    """A real unstructured .inp mesh (the dense elliptic membrane, 7,442
+    dofs) through the banded sharded solver vs the direct oracle."""
+    from femcy_tpu import read_inp
+
+    inp = read_inp(
+        fixtures_dir
+        / "elliptic_membrane/very_dense/ellip_dense_CPS3_0d04.inp"
+    )
+    mesh = FEMesh(inp.nodes, inp.elements, inp.element)
+    mat = material_from_inp(
+        inp.material_type, inp.material_params, inp.element_type
+    )
+    fixed, sval, rhs = _tension_problem(mesh)
+    solver = BandedShardedSolver(mesh, mat, devices=eight_devices, cg_eps=1e-10)
+    x, iters = solver.solve(rhs, fixed, sval)
+    assert iters > 0
+    x_ref = _direct_oracle(mesh, mat, rhs, fixed, sval)
+    scale = np.abs(x_ref).max()
+    np.testing.assert_allclose(x / scale, x_ref / scale, atol=1e-7)
+
+
+def test_banded_operands_shapes():
+    mesh = box_tets(4, 3, 3)
+    ops = build_banded_operands(mesh, LinearIsotropic(100.0, 0.3), 4)
+    assert ops.B % 8 == 0
+    assert ops.nbl * ops.B * ops.n_devices >= ops.n_dof
+    # every element appears exactly once across the shards
+    assert int(ops.ele_weight.sum()) == mesh.n_elements
+    # permutation is a bijection
+    assert np.array_equal(np.sort(ops.perm), np.arange(ops.n_dof))

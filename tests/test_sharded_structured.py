@@ -153,3 +153,112 @@ def test_shard_plan_validation():
     mesh = box_tets(10, 3, 3)  # 10 % 8 != 0
     with pytest.raises(ValueError):
         build_structured_shard_plan(mesh, 8)
+
+
+# --------------------------------------------------------------------------- #
+# end-to-end through the user-facing API: SolverConfig(sharding="slab")
+# --------------------------------------------------------------------------- #
+def _nl_inp(mesh, uz=0.3):
+    """Synthetic InpModel: clamp x=0, prescribe a transverse displacement on
+    x=lx, geometric nonlinearity, two nominal load increments."""
+    from femcy_tpu.io.inp import DirichletBC, InpModel
+
+    lx = mesh.nodes[:, 0].max()
+    left = np.nonzero(mesh.nodes[:, 0] < 1e-12)[0]
+    right = np.nonzero(mesh.nodes[:, 0] > lx - 1e-12)[0]
+    bcs = [DirichletBC(left, d, 0.0) for d in range(3)]
+    bcs += [
+        DirichletBC(right, 0, 0.0),
+        DirichletBC(right, 1, 0.0),
+        DirichletBC(right, 2, uz),
+    ]
+    return InpModel(
+        nodes=mesh.nodes, elements=mesh.elements, element_type="C3D4",
+        node_sets={}, ele_sets={}, face_sets={}, dirichlet_bcs=bcs,
+        neumann_bcs=[], material_type="Elastic",
+        material_params=[1000.0, 0.3], geometric_nonlinear=True,
+        time_incs=dict(ini_inc=0.5, max_time=1.0, min_inc=1e-4, max_inc=0.5),
+    )
+
+
+def test_femsystem_sharded_linear_matches_single_device():
+    """FEMSystem.solve with sharding='slab' == the single-device solve for a
+    linear analysis (same .inp-model inputs through the public API)."""
+    from femcy_tpu import FEMSystem, SolverConfig
+
+    mesh = box_tets(16, 4, 4)
+    mat = LinearIsotropic(1000.0, 0.3)
+    inp = _nl_inp(mesh)
+    inp.geometric_nonlinear = False
+
+    s1 = FEMSystem(mesh, mat, False, SolverConfig(linear_solver="cg", cg_eps=1e-10))
+    r1 = s1.solve(inp)
+    s2 = FEMSystem(
+        mesh, mat, False,
+        SolverConfig(linear_solver="cg", cg_eps=1e-10, sharding="slab"),
+    )
+    r2 = s2.solve(inp)
+    assert r1.success and r2.success
+    u1 = np.asarray(s1.dof)
+    u2 = np.asarray(s2.dof)
+    scale = np.abs(u1).max()
+    np.testing.assert_allclose(u2 / scale, u1 / scale, atol=1e-8)
+
+
+def test_femsystem_sharded_nonlinear_end_to_end_matches_single_device():
+    """The FULL adaptive-stepping geometric-nonlinear Newton analysis runs
+    slab-sharded over 8 devices through FEMSystem.solve and pins the
+    single-device path: same increment count, same Newton iteration counts,
+    same converged dof field."""
+    from femcy_tpu import FEMSystem, SolverConfig
+
+    mesh = box_tets(16, 4, 4)
+    mat = LinearIsotropic(1000.0, 0.3)
+    inp = _nl_inp(mesh)
+
+    s1 = FEMSystem(
+        mesh, mat, True, SolverConfig(linear_solver="cg", cg_eps=1e-10)
+    )
+    r1 = s1.solve(inp)
+    assert r1.success
+
+    s2 = FEMSystem(
+        mesh, mat, True,
+        SolverConfig(linear_solver="cg", cg_eps=1e-10, sharding="slab"),
+    )
+    r2 = s2.solve(inp)
+    assert r2.success
+
+    assert r2.n_increments == r1.n_increments
+    assert [i.newton_iters for i in r2.increments] == [
+        i.newton_iters for i in r1.increments
+    ]
+    u1 = np.asarray(s1.dof)
+    u2 = np.asarray(s2.dof)
+    scale = np.abs(u1).max()
+    assert scale > 0.1  # the analysis actually deformed the body
+    np.testing.assert_allclose(u2 / scale, u1 / scale, atol=1e-7)
+
+    # post-processing flows through the same public API
+    e1 = s1.elastic_energy()
+    e2 = s2.elastic_energy()
+    np.testing.assert_allclose(e2, e1, rtol=1e-6)
+    _, _, mises1 = s1.compute_strain_stress()
+    _, _, mises2 = s2.compute_strain_stress()
+    np.testing.assert_allclose(
+        np.asarray(mises2), np.asarray(mises1),
+        rtol=1e-5, atol=1e-8 * float(np.max(np.asarray(mises1))),
+    )
+
+
+def test_femsystem_sharded_rejects_unstructured():
+    from femcy_tpu import FEMesh, FEMSystem, SolverConfig
+    from femcy_tpu.meshgen import cantilever_tets
+
+    mesh, _, _ = cantilever_tets(4, 2)
+    with pytest.raises(ValueError, match="slab"):
+        FEMSystem(
+            FEMesh(mesh.nodes, mesh.elements, mesh.element),
+            LinearIsotropic(1000.0, 0.3),
+            config=SolverConfig(sharding="slab"),
+        )

@@ -104,24 +104,47 @@ def bench_twist():
     if os.environ.get("BENCH_TWIST_INPROC") != "1":
         import subprocess
 
-        env = dict(
-            os.environ,
-            BENCH_TWIST_INPROC="1",
-            BENCH_PLATFORM=os.environ.get("BENCH_TWIST_PLATFORM", "cpu"),
+        def run_variant(platform, fused, label, timeout_s):
+            env = dict(
+                os.environ,
+                BENCH_TWIST_INPROC="1",
+                BENCH_PLATFORM=platform,
+                BENCH_TWIST_FUSED="1" if fused else "0",
+                BENCH_TWIST_LABEL=label,
+            )
+            if platform == "default":
+                env.pop("BENCH_PLATFORM")  # let the backend default (TPU)
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, timeout=timeout_s,
+                )
+            except subprocess.TimeoutExpired:
+                log(f"twist[{label}] exceeded {timeout_s}s; skipping")
+                return
+            sys.stderr.write(out.stderr)
+            if out.returncode != 0:
+                log(f"twist[{label}] subprocess failed (rc={out.returncode}); skipping")
+                return
+            if not out.stdout.strip():
+                log(f"twist[{label}] produced no output; skipping")
+                return
+            print(out.stdout.strip().splitlines()[-1])  # the JSON line
+
+        # host-CPU baseline (the latency-bound deployment split, see below)
+        run_variant(
+            os.environ.get("BENCH_TWIST_PLATFORM", "cpu"), fused=False,
+            label="twist_c3d10_90deg_e2e", timeout_s=1200,
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True,
-        )
-        sys.stderr.write(out.stderr)
-        if out.returncode != 0:
-            log(f"twist subprocess failed (rc={out.returncode}); skipping")
-            return
-        if not out.stdout.strip():
-            log("twist subprocess produced no output; skipping twist metric")
-            return
-        line = out.stdout.strip().splitlines()[-1]
-        print(line)  # the twist JSON line, verbatim
+        # the SAME analysis resident on the TPU backend: fused Newton
+        # iterations (one program per iteration, config.fused_newton) cut the
+        # per-iteration dispatches from ~3-4 to 1, which is what makes a
+        # tunnel-latency-bound small model viable on the device at all
+        if os.environ.get("BENCH_TWIST_TPU", "1") == "1":
+            run_variant(
+                "default", fused=True,
+                label="twist_c3d10_90deg_e2e_tpu", timeout_s=1500,
+            )
         return
     import jax as _jax
 
@@ -139,7 +162,14 @@ def bench_twist():
     inp.time_incs = dict(
         inp.time_incs, max_time=0.5, max_inc=0.05, ini_inc=0.025
     )
-    cfg = SolverConfig(tangent="consistent", newton_boost_max=0)
+    fused = os.environ.get("BENCH_TWIST_FUSED", "0") == "1"
+    label = os.environ.get("BENCH_TWIST_LABEL", "twist_c3d10_90deg_e2e")
+    cfg = SolverConfig(
+        tangent="consistent",
+        newton_boost_max=0,
+        fused_newton=fused,
+        linear_solver="cg" if fused else "auto",
+    )
     from femcy_tpu.materials import material_from_inp
 
     mat = material_from_inp(
@@ -167,19 +197,84 @@ def bench_twist():
     assert abs(u_rot - 2 * np.sin(np.pi / 4) * r_xy.max()) < 1e-6
     assert abs(max_mises - 8.93e10) / 8.93e10 < 0.02, max_mises
     log(
-        f"twist C3D10 e2e: {elapsed:.1f}s, {report.n_increments} "
+        f"twist C3D10 e2e [{label}]: {elapsed:.1f}s, {report.n_increments} "
         f"increments, max mises {max_mises:.3e}"
     )
     print(
         json.dumps(
             {
-                "metric": "twist_c3d10_90deg_e2e",
+                "metric": label,
                 "value": round(elapsed, 1),
                 "unit": "s",
                 "vs_baseline": round(TWIST_BASELINE_S / elapsed, 3),
             }
         )
     )
+
+
+def selfcheck():
+    """On-chip kernel regression check (runs on the REAL backend, small NX).
+
+    The one genuine TPU miscompile found so far -- an XLA producer fusion
+    feeding the Pallas custom call returned wrong values
+    (femcy_tpu/structured.py, optimization_barrier note) -- was caught by
+    hand; this makes the driver-run bench catch that class automatically:
+
+    * pallas assembly (structured_assemble_coords, kernel path) must match
+      the ANALYTIC f64 operator of the uniform grid;
+    * the pallas x-resident SpMV must match the XLA shifted-slice SpMV.
+
+    Logs one line per check; raises on disagreement so a Mosaic/XLA
+    regression fails the benchmark instead of shipping wrong stiffness
+    values behind a healthy-looking timing number.
+    """
+    if jax.default_backend() != "tpu":
+        log("selfcheck: backend is not TPU; pallas checks skipped")
+        return
+    from femcy_tpu.structured import (
+        analytic_structured_dia_values,
+        structured_assemble_coords,
+    )
+
+    nx = 8
+    mesh = box_tets(nx, nx, nx)
+    dia = build_structured_dia_pattern(mesh)
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+    plan = build_structured_plan(mesh, dia)
+    coords = jnp.asarray(mesh.nodes, jnp.float32)
+    dN = jnp.asarray(mesh.element.dshape_at_gp, jnp.float32)
+    w = jnp.asarray(mesh.element.gauss_weights, jnp.float32)
+    C32 = jnp.asarray(material.C, jnp.float32)
+
+    vals = np.asarray(
+        jax.jit(
+            lambda c: structured_assemble_coords(
+                c, mesh, dN, w, C32, plan, accumulate="pallas"
+            )
+        )(coords)
+    ).astype(np.float64)
+    ref = analytic_structured_dia_values(mesh, np.asarray(material.C), dia)
+    err_asm = np.abs(vals - ref).max() / np.abs(ref).max()
+    assert err_asm < 1e-4, f"pallas assembly off the analytic operator: {err_asm:.3e}"
+    log(f"selfcheck: pallas assembly vs analytic f64 operator rel err {err_asm:.2e} OK")
+
+    spmv = make_spmv(mesh.n_dof, dia.offsets, dtype=jnp.float32)
+    if spmv is None:
+        log("selfcheck: pallas spmv unavailable at this size; skipped")
+        return
+    prep, apply_fn = spmv
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(mesh.n_dof), jnp.float32)
+    v32 = jnp.asarray(ref.astype(np.float32))
+    y_pal = np.asarray(jax.jit(lambda v, xx: apply_fn(prep(v), xx))(v32, x))
+    from femcy_tpu.solvers.dia import dia_spmv
+
+    y_xla = np.asarray(jax.jit(
+        lambda v, xx: dia_spmv(v, dia.offsets, xx)
+    )(v32, x))
+    err_spmv = np.abs(y_pal - y_xla).max() / (np.abs(y_xla).max() + 1e-30)
+    assert err_spmv < 1e-4, f"pallas SpMV off the XLA slices: {err_spmv:.3e}"
+    log(f"selfcheck: pallas SpMV vs XLA shifted slices rel err {err_spmv:.2e} OK")
 
 
 def main():
@@ -191,6 +286,8 @@ def main():
         bench_twist()  # subprocess mode: the twist metric only
         return
     log(f"devices: {jax.devices()}")
+    if os.environ.get("BENCH_SELFCHECK", "1") == "1":
+        selfcheck()
     if os.environ.get("BENCH_TWIST", "1") == "1":
         bench_twist()
     t0 = time.time()
@@ -292,7 +389,8 @@ def main():
             from femcy_tpu.structured import structured_assemble_coords
 
             return structured_assemble_coords(
-                a["nodes"], mesh, a["dN"], a["w"], a["C"], plan
+                a["nodes"], mesh, a["dN"], a["w"], a["C"], plan,
+                C_host=np.asarray(material.C),
             )
         dsdx, vol = assembly.gradients_and_volume(
             a["nodes"], a["elements"], a["dN"], a["w"]

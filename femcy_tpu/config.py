@@ -52,6 +52,21 @@ class SolverConfig:
     #: Applies to the CG path -- the direct solver ignores it.
     preconditioner: str = "jacobi"
 
+    # --- mixed-precision refinement ---------------------------------------
+    #: TPU-native near-incompressible answer: keep the BULK work (every
+    #: inner linear solve) in the device's native f32 and recover f64
+    #: accuracy by iterative refinement -- an outer loop computing the
+    #: residual against the exactly-assembled f64 host operator
+    #: (assembly_host.py) and feeding it back as an f32 correction solve.
+    #: Converges whenever kappa(K) * eps_f32 < 1 (the nu=0.4999 Cook
+    #: measures a ~0.04 contraction per outer iteration); whole-solve x64
+    #: (26x slower element math on TPU) is no longer required.  Linear
+    #: analyses only.
+    mixed_precision_refine: bool = False
+    #: outer refinement iterations cap / relative-residual target
+    refine_max_iters: int = 10
+    refine_tol: float = 1.0e-11
+
     # --- multi-chip sharding ----------------------------------------------
     #: "none" runs single-device; "slab" shards the WHOLE analysis (linear
     #: solves and the full adaptive-stepping Newton state machine) over the
@@ -105,6 +120,15 @@ class SolverConfig:
     newton_jacobian_reuse: str = "never"
     #: residual ratio above which a reused factorization is refreshed
     newton_reuse_stall: float = 0.3
+    #: fuse each Newton iteration's (residual + tangent evaluation + CG
+    #: linear solve) into ONE jitted program returning (dof, du, rms).  Cuts
+    #: device program dispatches from ~3-4 to 1 per iteration -- the
+    #: difference between host-bound and device-bound on small latency-bound
+    #: models (each call through the remote-TPU tunnel pays ~28 ms).  Forces
+    #: the CG linear solver (nothing to fuse with a host LU); the boost
+    #: line-search reuses the fused program as its evaluator, so each boost
+    #: probe pays one (discarded) CG.
+    fused_newton: bool = False
     #: what the relative Newton tolerance is measured against:
     #: "increment" (default) = the first residual of each increment;
     #: "global" = the first residual of the whole analysis, cached forever --

@@ -130,24 +130,26 @@ for _v, _pairs in enumerate(
 
 
 def _assemble_pallas_coords(coords, mesh: FEMesh, dN, w, C,
-                            plan: StructuredPlan, ap):
-    """Kernel-side assembly straight from node coordinates, everything in
-    PLANE-MAJOR (structure-of-arrays) layout: each quantity is a small
-    stack of (cells,) lane vectors, so every op is a full-lane VPU
-    broadcast and -- critically -- the (144, cells) stiffness planes the
-    accumulate kernel streams are produced in their native layout.  The
-    element-major einsum variant forced XLA to relayout ~600 MB of Ke
-    between the einsum and the kernel (~25 ms at the 1M-element scale).
-
-    Pad cells slice all-zero node coordinates; their gradients are masked
-    to zero so their stiffness contribution is exactly zero.  The Pallas
-    kernel (kernels/structured_accumulate) then does all 864 shifted adds
-    in VMEM at the HBM roofline.
-    """
+                            plan: StructuredPlan, ap, C_host=None):
+    planes = _pallas_prep_planes(coords, mesh, C, plan, ap, C_host=C_host)
     from femcy_tpu.kernels.structured_accumulate import pallas_accumulate
 
+    # The barrier forces the plane values to materialize exactly as
+    # computed before the kernel's custom call reads them: without it the
+    # XLA producer fusion feeding the custom call returned wrong values on
+    # TPU (piecewise runs -- prep alone, kernel alone -- were both exact).
+    planes = list(jax.lax.optimization_barrier(tuple(planes)))
+    return pallas_accumulate(ap, planes)
+
+
+def _coordinate_planes(coords, mesh: FEMesh, ap):
+    """Corner-coordinate planes in the kernel's padded cell space.
+
+    coords (n_nodes, 3) -> (xpl (8, 3, length), valid (length,) bool): the
+    cheap XLA front of both kernel assembly paths (~19 MB at 1M elements).
+    """
     info = mesh.structure
-    nx, ny, nz = plan.nx, plan.ny, plan.nz
+    nx, ny, nz = info["nx"], info["ny"], info["nz"]
     dm = coords.shape[-1]
     grid = coords.reshape(nx + 1, ny + 1, nz + 1, dm)
     gridp = jnp.pad(grid, ((ap.x_front, ap.x_back), (0, 1), (0, 1), (0, 0)))
@@ -173,10 +175,56 @@ def _assemble_pallas_coords(coords, mesh: FEMesh, dN, w, C,
     valid = (
         (ix >= ap.x_front) & (ix < ap.x_front + nx) & (iy < ny) & (iz < nz)
     ).reshape(-1)
+    return xpl, valid
+
+
+def _assemble_fused_coords(coords, mesh: FEMesh, fp):
+    """The fully-fused single-kernel path: coordinates -> DIA values
+    (kernels/structured_fused; isotropic tangent only)."""
+    from femcy_tpu.kernels.structured_fused import pallas_fused_assemble
+
+    xpl, valid = _coordinate_planes(coords, mesh, fp.ap)
+    xv = jnp.concatenate(
+        [xpl.reshape(24, -1), valid[None].astype(coords.dtype)], axis=0
+    )
+    # Mosaic DMA slices must be sublane-aligned: pad 25 planes up to 32
+    xv = jnp.pad(xv, ((0, 7), (0, 0)))
+    xv = jax.lax.optimization_barrier(xv)
+    kuhn = tuple(tuple(int(c) for c in cs) for cs in mesh.structure["kuhn"])
+    return pallas_fused_assemble(fp, xv, kuhn)
+
+
+def _pallas_prep_planes(coords, mesh: FEMesh, C, plan: StructuredPlan, ap,
+                        C_host=None):
+    """Kernel-side assembly straight from node coordinates, everything in
+    PLANE-MAJOR (structure-of-arrays) layout: each quantity is a small
+    stack of (cells,) lane vectors, so every op is a full-lane VPU
+    broadcast and -- critically -- the (144, cells) stiffness planes the
+    accumulate kernel streams are produced in their native layout.  The
+    element-major einsum variant forced XLA to relayout ~600 MB of Ke
+    between the einsum and the kernel (~25 ms at the 1M-element scale).
+
+    Pad cells slice all-zero node coordinates; their gradients are masked
+    to zero so their stiffness contribution is exactly zero.  The Pallas
+    kernel (kernels/structured_accumulate) then does all 864 shifted adds
+    in VMEM at the HBM roofline.  Returns the 6 per-orientation
+    (144, length) stiffness planes in the kernel's padded cell space.
+    """
+    info = mesh.structure
+    xpl, valid = _coordinate_planes(coords, mesh, ap)
 
     # static quadrature tables from the mesh (dN/w args may be traced)
     dN0 = np.asarray(mesh.element.dshape_at_gp)[0]  # (4, 3), one Gauss point
     w0 = float(np.asarray(mesh.element.gauss_weights)[0])
+    # an isotropic tangent collapses the quadratic form to 3 terms; the
+    # generic 9-term broadcast contraction below measured 77 ms at the
+    # 1M-element scale (XLA materialises the (4,3,4,3,cells) terms), the
+    # explicit per-plane loop ~5x less
+    lame = None
+    if C_host is not None:
+        from femcy_tpu.kernels.structured_fused import isotropic_lame
+
+        lame = isotropic_lame(C_host)
     # quadratic-form coefficients T[i, d, j, f] = sum_vw Bsel C Bsel
     T = jnp.einsum("vid,vw,wjf->idjf", jnp.asarray(_BSEL, C.dtype), C,
                    jnp.asarray(_BSEL, C.dtype))
@@ -206,20 +254,37 @@ def _assemble_pallas_coords(coords, mesh: FEMesh, dN, w, C,
         vol = jnp.where(valid, det * w0, 0.0)
         inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
         # inv[d][D] = cof[D][d] / det; dsdx[n][D] = sum_d dN0[n,d] inv[d][D]
-        dsdx = jnp.stack(
+        ds = [
             [
-                jnp.stack(
-                    [
-                        sum(
-                            float(dN0[n, d]) * cof[D][d] for d in range(3)
-                        )
-                        * inv_det
-                        for D in range(3)
-                    ]
-                )
-                for n in range(4)
+                sum(float(dN0[n, d]) * cof[D][d] for d in range(3)) * inv_det
+                for D in range(3)
             ]
-        )  # (4, 3, Lc)
+            for n in range(4)
+        ]
+        if lame is not None:
+            # Ke[(a,i),(b,j)] = vol*(lam dNa_i dNb_j + mu dNa_j dNb_i
+            #                        + delta_ij mu dNa.dNb), plane by plane
+            # so XLA fuses each output row instead of materialising
+            # broadcast intermediates
+            lam, mu = lame
+            g = [
+                [sum(ds[a][d] * ds[b][d] for d in range(3)) for b in range(4)]
+                for a in range(4)
+            ]
+            rows = []
+            for a in range(4):
+                for i in range(3):
+                    for b in range(4):
+                        for j in range(3):
+                            t = lam * (ds[a][i] * ds[b][j]) + mu * (
+                                ds[a][j] * ds[b][i]
+                            )
+                            if i == j:
+                                t = t + mu * g[a][b]
+                            rows.append(t * vol)
+            planes.append(jnp.stack(rows))
+            continue
+        dsdx = jnp.stack([jnp.stack(row) for row in ds])  # (4, 3, Lc)
         # Ke[a, i, b, j] = vol * sum_{d,f} T[i,d,j,f] dsdx[a,d] dsdx[b,f]
         Ke = None
         for d in range(3):
@@ -231,12 +296,7 @@ def _assemble_pallas_coords(coords, mesh: FEMesh, dN, w, C,
                 )
                 Ke = term if Ke is None else Ke + term
         planes.append((Ke * vol).reshape(144, -1))
-    # The barrier forces the plane values to materialize exactly as
-    # computed before the kernel's custom call reads them: without it the
-    # XLA producer fusion feeding the custom call returned wrong values on
-    # TPU (piecewise runs -- prep alone, kernel alone -- were both exact).
-    planes = list(jax.lax.optimization_barrier(tuple(planes)))
-    return pallas_accumulate(ap, planes)
+    return planes
 
 
 def pallas_assembly_eligible(mesh: FEMesh, dtype) -> bool:
@@ -252,14 +312,21 @@ def pallas_assembly_eligible(mesh: FEMesh, dtype) -> bool:
 
 
 def structured_assemble_coords(coords, mesh: FEMesh, dN, w, C,
-                               plan: StructuredPlan, accumulate=None):
+                               plan: StructuredPlan, accumulate=None,
+                               C_host=None):
     """Node coordinates -> DIA values via the fastest available path.
 
-    accumulate: None (auto: Pallas kernel on TPU/f32, XLA otherwise),
-    "pallas" (forced; interpret mode off-TPU, for tests; raises if the
-    kernel plan is unsupported), or "xla".
+    accumulate: None (auto: fused Pallas kernel when ``C_host`` is an
+    isotropic tangent, else the two-stage Pallas path, on TPU/f32; XLA
+    otherwise), "fused" / "pallas" (forced; interpret mode off-TPU, for
+    tests; raises if the kernel plan is unsupported), or "xla".
 
-    The Pallas path integrates with the element's OWN static quadrature
+    C_host: optional HOST numpy copy of the material tangent.  The fused
+    kernel bakes the Lame constants in as static scalars (one kernel per
+    material -- models have one material), so it needs the values at trace
+    time; traced-only C falls back to the two-stage path.
+
+    The Pallas paths integrate with the element's OWN static quadrature
     tables (mesh.element.dshape_at_gp / gauss_weights); dN/w exist for the
     XLA fallback's signature symmetry and must be those same tables.
     """
@@ -268,16 +335,32 @@ def structured_assemble_coords(coords, mesh: FEMesh, dN, w, C,
     mode = accumulate
     if mode is None:
         mode = "pallas" if pallas_assembly_eligible(mesh, coords.dtype) else "xla"
+    interpret = jax.default_backend() != "tpu"
+    if mode == "fused":
+        # single-kernel everything-fused path: numerically validated, but its
+        # ~6k-statement Mosaic unroll measured >9 min of server-side compile
+        # through the remote-TPU tunnel -- opt-in only, NOT the auto default
+        from femcy_tpu.kernels.structured_fused import build_fused_plan
+
+        fp = build_fused_plan(
+            plan, C_host, mesh.element, coords.dtype, interpret=interpret
+        )
+        if fp is None:
+            raise ValueError(
+                "accumulate='fused' forced but the fused kernel is "
+                "unsupported here (needs an isotropic C_host, a 4-byte "
+                "dtype, a one-Gauss-point element and the VMEM budget)"
+            )
+        return _assemble_fused_coords(coords, mesh, fp)
     if mode == "pallas" and mesh.element.dshape_at_gp.shape[0] == 1:
         from femcy_tpu.kernels.structured_accumulate import (
             build_accumulate_plan,
         )
 
-        ap = build_accumulate_plan(
-            plan, coords.dtype, interpret=jax.default_backend() != "tpu"
-        )
+        ap = build_accumulate_plan(plan, coords.dtype, interpret=interpret)
         if ap is not None:
-            return _assemble_pallas_coords(coords, mesh, dN, w, C, plan, ap)
+            return _assemble_pallas_coords(coords, mesh, dN, w, C, plan, ap,
+                                           C_host=C_host)
     if accumulate == "pallas":
         raise ValueError(
             "accumulate='pallas' forced but the kernel plan is unsupported "

@@ -94,11 +94,17 @@ class FEMSystem:
         # while f64 matches the literature anchor.  f64 per-system is not
         # representable while x64 is globally off, so warn loudly instead.
         nu = getattr(material, "poisson_ratio", 0.0)
-        if nu >= 0.495 and not jax.config.jax_enable_x64:
+        if (
+            nu >= 0.495
+            and not jax.config.jax_enable_x64
+            and not config.mixed_precision_refine
+        ):
             logger.warning(
                 "near-incompressible material (nu=%.4f) in f32 mode: "
-                "expect O(1%%) stress error; enable x64 (FEMCY_TPU_X64=1) "
-                "for this model",
+                "expect O(1%%) stress error; set "
+                "SolverConfig(mixed_precision_refine=True) to recover f64 "
+                "accuracy with f32 bulk work (linear analyses), or enable "
+                "x64 (FEMCY_TPU_X64=1, 26x slower element math on TPU)",
                 nu,
             )
 
@@ -176,10 +182,16 @@ class FEMSystem:
         self.dt = 0.0
         self._ini_residual: Optional[float] = None
         self.timer = Timer(verbose=config.verbose)
+        # mixed-precision refinement state (config.mixed_precision_refine)
+        self._host_bc = None
+        self._refine_K = None
+        self._refine_reuse: Optional[dict] = None
+        self._suppress_cg_warn = False
 
         # --- jitted steps ---------------------------------------------------
         self._jit_linear_system = jax.jit(self._linear_system_impl)
         self._jit_newton_eval = jax.jit(self._newton_eval_impl)
+        self._jit_fused_step = jax.jit(self._fused_step_impl)
         self._jit_cg = jax.jit(
             partial(
                 pcg_solve,
@@ -307,6 +319,7 @@ class FEMSystem:
                 return structured_assemble_coords(
                     coords, self.mesh, a["dN"], a["w"], a["C"],
                     self._structured_plan,
+                    C_host=np.asarray(self.material.C),
                 )
             return structured_assemble(dsdx, vol, a["C"], self._structured_plan)
         Ke = assembly.element_stiffness(dsdx, vol, a["C"])
@@ -416,6 +429,34 @@ class FEMSystem:
         values, residual = self._dirichlet_newton(a, values, residual, fixed)
         return dof, values, residual, _rms(residual), vol
 
+    def _fused_step_impl(self, a, dof, rhs, fixed, sval):
+        """One FUSED Newton iteration: residual/tangent evaluation + the CG
+        linear solve in a single program (config.fused_newton).
+
+        Returns (pinned dof, du, rms residual at dof, vol): the host applies
+        ``dof - du`` itself, so this one program is both the evaluator (for
+        convergence checks and line-search probes) and the solver.
+        """
+        cfg = self.config
+        dof, values, residual, res, vol = self._newton_eval_impl(
+            a, dof, rhs, fixed, sval
+        )
+        if self.dia is not None:
+            du, _, _ = dia_pcg_solve(
+                values, self.dia.offsets, self.dia.diag_idx, residual,
+                eps=cfg.cg_eps, max_iters=cfg.cg_max_iters,
+                block_dm=(
+                    self.mesh.dm if cfg.preconditioner == "block_jacobi" else 0
+                ),
+                spmv=self._spmv,
+            )
+        else:
+            du, _, _ = pcg_solve(
+                values, a["colidx"], a["diag_slot"], residual,
+                eps=cfg.cg_eps, max_iters=cfg.cg_max_iters,
+            )
+        return dof, du, res, vol
+
     # ------------------------------------------------------------------ #
     # linear solve dispatch (ref: stiffnessMtrx.py:272-276)
     # ------------------------------------------------------------------ #
@@ -456,11 +497,76 @@ class FEMSystem:
         self._warn_cg_cap(iters, rmax, b)
         return x
 
+    def _refine_linear_solve(self, rhs_np, fixed_np, sval_np, fixed_d, sval_d):
+        """Mixed-precision iterative refinement (config.mixed_precision_refine).
+
+        x_{k+1} = x_k + solve_f32(b - K_f64 x_k): the f64 residual is
+        evaluated on the host against the exactly-assembled CSR operator
+        (assembly_host.py); every inner solve runs the regular device path
+        (f32 CG/multigrid, or the direct solver with one cached LU).  Each
+        outer iteration contracts the error by ~kappa(K)*eps_f32 -- the
+        nu=0.4999 Cook (f32 alone: 4.2%% off) lands at f64 accuracy in a few
+        iterations with all bulk work in f32 (tests/test_precision.py).
+        """
+        from femcy_tpu import assembly_host
+
+        cfg = self.config
+        if self._refine_K is None:
+            pattern = self.pattern
+            if pattern is None:
+                pattern = build_pattern(self.mesh)
+            self._refine_K = assembly_host.assemble_csr_host(
+                self.mesh, pattern, self.material.C
+            )
+            self._refine_reuse = {}
+        K_bc, b = assembly_host.dirichlet_csr_host(
+            self._refine_K, rhs_np, fixed_np, sval_np
+        )
+        # the f32 inner operator: BC-eliminated device assembly (constant
+        # across increments -- initial configuration, fixed mask only)
+        values, _, _ = self._jit_linear_system(
+            self._arrs, jnp.zeros(self.mesh.n_dof), fixed_d, sval_d
+        )
+        x = np.zeros(self.mesh.n_dof)
+        bmax = float(np.abs(b).max())
+        rmax = bmax
+        it = 0
+        self._suppress_cg_warn = True  # truncated inner solves are expected
+        try:
+            for it in range(cfg.refine_max_iters):
+                r = b - K_bc @ x
+                rmax = float(np.abs(r).max())
+                if bmax == 0.0 or rmax <= cfg.refine_tol * bmax:
+                    break
+                d = self._solve_linear_system(
+                    values,
+                    jnp.asarray(r, dtype=values.dtype),
+                    fixed_d,
+                    reuse=self._refine_reuse,
+                )
+                x = x + np.asarray(d, np.float64)
+        finally:
+            self._suppress_cg_warn = False
+        if bmax > 0.0 and rmax > 1.0e-6 * bmax:
+            logger.warning(
+                "mixed-precision refinement stalled at ||r||/||b||=%.3e "
+                "after %d iterations (kappa*eps_f32 too large?)",
+                rmax / bmax, it,
+            )
+        elif cfg.verbose:
+            logger.info(
+                "refinement: %d outer iterations, ||r||/||b||=%.3e",
+                it, rmax / (bmax + 1e-300),
+            )
+        return jnp.asarray(x)
+
     def _warn_cg_cap(self, iters, rmax, b):
         """Warn when the CG while_loop exited on its iteration cap with the
         residual still above tolerance -- the returned solution is silently
         truncated otherwise (measured ~12% off on the nu=0.4999 Cook,
         tests/test_precision.py)."""
+        if self._suppress_cg_warn:
+            return  # refinement inner solves truncate by design
         cap = (
             self.config.cg_max_iters
             if self.config.cg_max_iters > 0
@@ -575,6 +681,15 @@ class FEMSystem:
                 rhs = jnp.einsum("b,bn->n", tractions_d * load_ratio, patterns_d)
             else:
                 rhs = jnp.zeros(self.mesh.n_dof)
+            self._host_bc = None
+            if cfg.mixed_precision_refine and not self.geometric_nonlinear:
+                # f64 host copies feed the refinement's exact residual
+                rhs_np = (
+                    (tractions * load_ratio) @ patterns
+                    if patterns.shape[0]
+                    else np.zeros(self.mesh.n_dof)
+                )
+                self._host_bc = (rhs_np, fixed, sval)
 
             converged, newton_loops, res = self._advance_inc(
                 rhs, fixed_d, sval_d, on_newton
@@ -635,6 +750,13 @@ class FEMSystem:
                     )
                 self.dof = jnp.asarray(x)
                 return True, 0, 0.0
+            if cfg.mixed_precision_refine and self._host_bc is not None:
+                with self.timer.section("refine_solve"):
+                    self.dof = self._refine_linear_solve(
+                        *self._host_bc, fixed, sval
+                    )
+                self._last_vol = self._arrs["vol0"]
+                return True, 0, 0.0
             with self.timer.section("assemble+bc"):
                 values, rhs_bc, vol = self._jit_linear_system(
                     self._arrs, rhs, fixed, sval
@@ -679,6 +801,30 @@ class FEMSystem:
 
             def finish(dof):
                 self.dof = jnp.asarray(sh.unstack(dof))
+
+        elif cfg.fused_newton:
+            # one program per iteration: the fused step is both the
+            # evaluator (res) and the solver (du rides in the "values" slot;
+            # lin_solve just unwraps it) -- config.fused_newton
+            dof0 = self.dof
+
+            def evaluate(dof):
+                with self.timer.section("fused_step"):
+                    dof, du, res, vol = self._jit_fused_step(
+                        self._arrs, dof, rhs, fixed, sval
+                    )
+                self._last_vol = vol
+                newton_count["n"] += 1
+                if on_newton is not None:
+                    self.dof = dof
+                    on_newton(self, newton_count["n"], float(res))
+                return dof, du, None, float(res)
+
+            def lin_solve(du, residual, reuse=None):
+                return du
+
+            def finish(dof):
+                self.dof = dof
 
         else:
             dof0 = self.dof

@@ -249,3 +249,22 @@ def test_twist_c3d10_full_mesh_90deg(fixtures_dir):
     inner = mises[mid & (r < np.median(r[mid]))].mean()
     outer = mises[mid & (r >= np.median(r[mid]))].mean()
     assert outer > 1.5 * inner
+
+
+def test_fused_newton_matches_default(fixtures_dir):
+    """config.fused_newton (one program per Newton iteration: eval + CG)
+    converges the large-deformation beam to the same state as the default
+    eval-then-solve path."""
+    _, sys_ref, rep_ref = _solve(
+        fixtures_dir, BEAM_LARGE, SolverConfig(linear_solver="cg", cg_eps=1e-8)
+    )
+    _, sys_fused, rep_fused = _solve(
+        fixtures_dir, BEAM_LARGE,
+        SolverConfig(linear_solver="cg", cg_eps=1e-8, fused_newton=True),
+    )
+    assert rep_ref.success and rep_fused.success
+    assert rep_fused.n_increments == rep_ref.n_increments
+    u_ref = np.asarray(sys_ref.dof)
+    u_fused = np.asarray(sys_fused.dof)
+    scale = np.abs(u_ref).max()
+    np.testing.assert_allclose(u_fused / scale, u_ref / scale, atol=1e-6)

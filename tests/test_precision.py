@@ -137,11 +137,42 @@ def test_f32_stress_error_within_gate(fixtures_dir, f32_mode, rel):
 
 def test_f32_near_incompressible_warns(fixtures_dir, f32_mode, caplog):
     """nu=0.4999 in f32 loses ~4% of the stress (measured): FEMSystem must
-    warn so users know to enable x64 for such models."""
+    warn and recommend mixed-precision refinement."""
     with caplog.at_level(logging.WARNING, logger="femcy_tpu"):
         inp = read_inp(fixtures_dir / COOK_NU4999)
         mat = material_from_inp(
             inp.material_type, inp.material_params, inp.element_type
         )
         FEMSystem(FEMesh(inp.nodes, inp.elements, inp.element), mat)
-    assert any("near-incompressible" in r.message for r in caplog.records)
+    msgs = [r.message for r in caplog.records]
+    assert any("near-incompressible" in m for m in msgs)
+    assert any("mixed_precision_refine" in m for m in msgs)
+
+    # opting into refinement silences the warning
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="femcy_tpu"):
+        FEMSystem(
+            FEMesh(inp.nodes, inp.elements, inp.element), mat,
+            config=SolverConfig(mixed_precision_refine=True),
+        )
+    assert not any("near-incompressible" in r.message for r in caplog.records)
+
+
+@pytest.mark.parametrize("inner", ["direct", "cg"], ids=["lu", "f32-cg"])
+def test_mixed_precision_refine_near_incompressible(
+    fixtures_dir, f32_mode, inner
+):
+    """The TPU-native near-incompressible answer: f32 bulk work + f64 host
+    residuals land the nu=0.4999 Cook tip displacement at the f64 direct
+    anchor (27.4931, pinned by test_cook_nu4999_tip_displacement) within
+    0.1% -- where plain f32 is ~4% off and the capped f32 CG ~12% off."""
+    cfg = dict(mixed_precision_refine=True, linear_solver=inner)
+    if inner == "cg":
+        cfg["cg_max_iters"] = 35_000
+    inp, system = _solve(fixtures_dir, COOK_NU4999, **cfg)
+    uy = _tip_uy(inp, system)
+    assert abs(uy - 27.4931) / 27.4931 < 0.001
+
+    # plain f32 really is far off (the contrast that motivates refinement)
+    _, plain = _solve(fixtures_dir, COOK_NU4999, linear_solver=inner)
+    assert abs(_tip_uy(inp, plain) - 27.4931) / 27.4931 > 0.005

@@ -46,7 +46,17 @@ __version__ = "0.1.0"
 from femcy_tpu.config import SolverConfig  # noqa: E402
 from femcy_tpu.mesh import FEMesh  # noqa: E402
 from femcy_tpu.system import FEMSystem  # noqa: E402
-from femcy_tpu.io.inp import InpModel, read_inp  # noqa: E402
+from femcy_tpu.io.inp import (  # noqa: E402
+    InpBlockModel,
+    InpModel,
+    read_inp,
+    read_inp_multi,
+)
+from femcy_tpu.multiblock import (  # noqa: E402
+    ElementBlock,
+    MultiBlockSystem,
+    system_from_model,
+)
 from femcy_tpu.materials import (  # noqa: E402
     LinearIsotropic,
     LinearIsotropicPlaneStress,
@@ -62,6 +72,11 @@ __all__ = [
     "FEMSystem",
     "InpModel",
     "read_inp",
+    "InpBlockModel",
+    "read_inp_multi",
+    "ElementBlock",
+    "MultiBlockSystem",
+    "system_from_model",
     "LinearIsotropic",
     "LinearIsotropicPlaneStress",
     "LinearIsotropicPlaneStrain",

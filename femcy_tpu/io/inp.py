@@ -97,6 +97,52 @@ class InpModel:
         return self.nodes.shape[0] * self.nodes.shape[1]
 
 
+@dataclasses.dataclass
+class InpBlockModel:
+    """Multi-element-type / multi-material model (read_inp_multi).
+
+    Beyond the reference: its reader crashes on models with more than one
+    element type or material (inp_info.py:125-128); here each ``*Element``
+    block keeps its own type and is mapped to its material through
+    ``*Solid Section, elset=..., material=...``.
+    """
+
+    nodes: np.ndarray
+    #: (element_type, elset name or "", connectivity) per *Element block
+    element_blocks: List[Tuple[str, str, np.ndarray]]
+    #: material name -> (material_type, params)
+    materials: Dict[str, Tuple[str, List[float]]]
+    #: elset name -> material name (from *Solid Section)
+    sections: Dict[str, str]
+    node_sets: Dict[str, np.ndarray]
+    dirichlet_bcs: List[DirichletBC]
+    geometric_nonlinear: bool
+    time_incs: Dict[str, float]
+
+    @property
+    def dm(self) -> int:
+        return self.nodes.shape[1]
+
+    def material_of_block(self, bi: int) -> Tuple[str, List[float]]:
+        """Resolve block bi's material via its elset's *Solid Section;
+        models with a single material fall back to it (the reference's
+        only mode)."""
+        _, elset, _ = self.element_blocks[bi]
+        key = elset.lower()
+        sections = {k.lower(): v for k, v in self.sections.items()}
+        if key in sections:
+            mats = {k.lower(): v for k, v in self.materials.items()}
+            name = sections[key].lower()
+            if name in mats:
+                return mats[name]
+        if len(self.materials) == 1:
+            return next(iter(self.materials.values()))
+        raise ValueError(
+            f"cannot resolve the material of element block {bi} "
+            f"(elset={elset!r}); add a *Solid Section for it"
+        )
+
+
 def _split(line: str) -> List[str]:
     return [tok.strip() for tok in line.strip().split(",")]
 
@@ -135,6 +181,128 @@ def read_inp(file_name: str) -> InpModel:
         geometric_nonlinear=geometric_nonlinear,
         time_incs=time_incs,
     )
+
+
+def read_inp_multi(file_name: str) -> InpBlockModel:
+    """Read a (possibly) multi-element-type / multi-material model.
+
+    Parses every ``*Element, type=...`` block separately (with its
+    ``elset`` name), all named ``*Material`` blocks, and the
+    ``*Solid Section`` elset->material mapping.  Single-type single-material
+    files parse identically to read_inp's view of them.
+    """
+    with open(file_name, "r") as fh:
+        lines = fh.read().splitlines()
+
+    nodes_dict = _read_nodes(lines)
+    nodes, key2id = _sequence_nodes(nodes_dict)
+    raw_blocks = _read_element_blocks(lines)
+    blocks = []
+    for etype, elset, arr in raw_blocks:
+        conv = np.vectorize(key2id.__getitem__, otypes=[np.int64])(arr)
+        blocks.append((etype, elset, conv.astype(np.int32)))
+    node_sets, _ = _read_sets(lines, key2id)
+    dirichlet_bcs = _read_dirichlet(lines, node_sets)
+    return InpBlockModel(
+        nodes=nodes,
+        element_blocks=blocks,
+        materials=_read_materials_named(lines),
+        sections=_read_sections(lines),
+        node_sets=node_sets,
+        dirichlet_bcs=dirichlet_bcs,
+        geometric_nonlinear=_read_nlgeom(lines),
+        time_incs=_read_time_incs(lines),
+    )
+
+
+def _read_element_blocks(
+    lines: Sequence[str],
+) -> List[Tuple[str, str, np.ndarray]]:
+    """Every supported ``*Element`` block, in file order, with elset name."""
+    blocks: List[Tuple[str, str, List[int]]] = []
+    current: Optional[List[int]] = None
+    for line in lines:
+        if "*" in line:
+            current = None
+            low = line.lower()
+            if "*element" in low and "type=" in low:
+                etype_found = None
+                for etype in _SUPPORTED_TYPES:
+                    if etype in line:
+                        etype_found = etype
+                        break
+                if etype_found is None:
+                    continue
+                elset = ""
+                for tok in _split(line):
+                    if tok.lower().startswith("elset="):
+                        elset = tok.split("=", 1)[1].strip()
+                current = []
+                blocks.append((etype_found, elset, current))
+            continue
+        if current is not None and line.strip():
+            toks = [tok for tok in _split(line.rstrip().rstrip(",")) if tok]
+            current.extend(int(t) for t in toks)
+    if not blocks:
+        raise ValueError("no supported *Element block found")
+    out = []
+    for etype, elset, flat in blocks:
+        row, keep = _ROW_WIDTHS[etype]
+        arr = np.asarray(flat, dtype=np.int64).reshape(-1, row)
+        out.append((etype, elset, arr[:, 1 : 1 + keep]))
+    return out
+
+
+def _read_materials_named(
+    lines: Sequence[str],
+) -> Dict[str, Tuple[str, List[float]]]:
+    """All ``*Material[, name=N]`` blocks -> {name: (type, params)}."""
+    materials: Dict[str, Tuple[str, List[float]]] = {}
+    name = None
+    state = None
+    mtype = None
+    for line in lines:
+        if line[:2] == "**":
+            continue
+        if line[:1] == "*" and line[:9] == "*Material":
+            name = ""
+            for tok in _split(line):
+                if tok.lower().startswith("name="):
+                    name = tok.split("=", 1)[1].strip()
+            state = "material"
+            continue
+        if state == "material":
+            mtype = line.split("*")[1].strip()
+            state = "params"
+            continue
+        if state == "params":
+            if line[:1] != "*" and line.strip():
+                params = [float(t) for t in _split(line) if t]
+                materials[name or f"material-{len(materials)}"] = (
+                    mtype, params
+                )
+            state = None
+    if not materials:
+        raise ValueError("no *Material block found")
+    return materials
+
+
+def _read_sections(lines: Sequence[str]) -> Dict[str, str]:
+    """``*Solid Section, elset=E, material=M`` -> {E: M}."""
+    sections: Dict[str, str] = {}
+    for line in lines:
+        low = line.lower()
+        if low.startswith("*solid section"):
+            elset = material = None
+            for tok in _split(line):
+                tl = tok.lower()
+                if tl.startswith("elset="):
+                    elset = tok.split("=", 1)[1].strip()
+                elif tl.startswith("material="):
+                    material = tok.split("=", 1)[1].strip()
+            if elset and material:
+                sections[elset] = material
+    return sections
 
 
 # --------------------------------------------------------------------------- #

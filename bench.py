@@ -89,14 +89,21 @@ def bench_twist():
     load-stepped Newton fails for C3D10 regardless of tangent
     (tests/test_e2e_convergence.py documents it; C3D4 completes 180).
 
-    Runs in a SUBPROCESS pinned to the host CPU backend: at 5,979 dofs the
-    analysis is latency-bound (hundreds of small Newton programs + host
-    direct solves), and through the remote-TPU tunnel each program call pays
-    round-trip latency while f64 element math is software-emulated -- the
-    host completes the whole analysis faster than the tunnel completes its
-    round trips (measured: >8 min on the tunnel vs ~2 min on the host).
-    Routing tiny latency-bound models to the host while the bulk solves
-    stay on the TPU is the intended deployment split.
+    Two variants run in subprocesses:
+
+    * host CPU (twist_c3d10_90deg_e2e): at 5,979 dofs the analysis is
+      latency-bound; the host LU direct solves finish it in ~17 s.  Routing
+      tiny latency-bound models to the host while bulk solves stay on the
+      TPU is the intended deployment split.
+    * TPU (twist_c3d10_90deg_e2e_tpu): the SAME analysis resident on the
+      chip with config.fused_newton -- ONE program dispatch per Newton
+      iteration (eval + CG fused), measured 217.6 s e2e with identical
+      accuracy gates.  The measured budget: dispatches are no longer the
+      floor (~50 calls x 28 ms tunnel latency ~ 1.4 s); the remaining gap
+      to the host is f64 SOFTWARE EMULATION of the element math and CG on
+      TPU (~26x, README.md) plus two one-time program compiles.  An f32
+      run would close most of it but E ~ 2e11 needs f64 for the 2%% Mises
+      gate (mixed-precision refinement covers linear analyses only).
     """
     if not os.path.exists(TWIST_INP):
         log(f"twist fixture not found at {TWIST_INP}; skipping twist metric")

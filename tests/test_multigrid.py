@@ -325,3 +325,38 @@ def test_multigrid_level_values_match_rediscretization():
         np.testing.assert_allclose(
             np.asarray(lv.values), ref, rtol=0, atol=1e-11 * np.abs(ref).max()
         )
+
+
+def test_chebyshev_smoother_converges():
+    """smoother='chebyshev' (degree-N polynomial in D^-1 A with Gershgorin
+    bounds) is a correct drop-in for the damped-Jacobi sweeps.  Measured on
+    TPU at 1M elements it does NOT beat Jacobi (8-9 vs 7 CG iterations and a
+    pricier cycle), so jacobi stays the default; this pins correctness."""
+    import jax.numpy as jnp
+
+    from femcy_tpu import structured as st
+    from femcy_tpu.solvers.dia import dia_spmv
+
+    from femcy_tpu.solvers.dia import build_structured_dia_pattern
+
+    mesh = box_tets(16, 16, 16)
+    dia = build_structured_dia_pattern(mesh)
+    mat = LinearIsotropic(1000.0, 0.3)
+    fixed = np.zeros(mesh.n_dof, bool)
+    bottom = np.nonzero(mesh.nodes[:, 2] < 1e-12)[0]
+    for d in range(3):
+        fixed[bottom * 3 + d] = True
+    vals = jnp.asarray(
+        st.dia_dirichlet_linear_numpy(
+            st.analytic_structured_dia_values(mesh, np.asarray(mat.C), dia),
+            dia.offsets, dia.diag_idx, fixed,
+        )
+    )
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(np.where(fixed, 0.0, rng.standard_normal(mesh.n_dof)))
+    mg = StructuredMultigrid(mesh, mat, fixed, dia=dia, smoother="chebyshev")
+    assert len(mg._lmax) == len(mg.levels)
+    x, it, _ = mg.pcg_solve(vals, b, eps=1e-8)
+    r = float(jnp.max(jnp.abs(b - dia_spmv(vals, dia.offsets, x))))
+    assert r < 1e-7 * float(jnp.max(jnp.abs(b)))
+    assert int(it) < 40

@@ -78,9 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--cmap",
         default="turbo",
-        help="matplotlib colormap for PNG export (the reference's colorBar.py "
-        "offers selectable ramps; any matplotlib name works here, e.g. "
-        "rainbow, viridis, jet)",
+        help="colormap for PNG export: any matplotlib name (turbo, viridis, "
+        "jet, ...) or femcy1..femcy7 — the reference colorBar.py's seven "
+        "ramps (femcy4 = its default 4-interval rainbow)",
     )
     p.add_argument("--checkpoint", default=None, help="write .npz checkpoints here")
     p.add_argument("-v", "--verbose", action="store_true")

@@ -63,6 +63,9 @@ def export_png(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from femcy_tpu.io.colormap import resolve_cmap
+
+    cmap = resolve_cmap(cmap)
     dof = np.asarray(dof)
     coords = mesh.nodes + deform_scale * dof.reshape(-1, mesh.dm)
     tris, vals = _patch_vertex_values(mesh, np.asarray(nodal_vals))

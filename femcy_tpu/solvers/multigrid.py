@@ -28,6 +28,7 @@ import numpy as np
 from femcy_tpu.materials import Material
 from femcy_tpu.mesh import FEMesh
 from femcy_tpu.meshgen import box_tets
+from femcy_tpu.kernels.dia_spmv import pallas_spmv, pallas_spmv_plan
 from femcy_tpu.solvers.dia import (
     DIAPattern,
     build_structured_dia_pattern,
@@ -192,6 +193,7 @@ class StructuredMultigrid:
         dia: Optional[DIAPattern] = None,
         smoother: str = "jacobi",
         cheby_alpha: float = 4.0,
+        coarse_spmv: str = "auto",
     ):
         """smoother="chebyshev" replaces the damped-Jacobi sweeps with a
         degree-``smooth_steps`` Chebyshev polynomial in D^-1 A targeting
@@ -199,7 +201,16 @@ class StructuredMultigrid:
         much stronger high-frequency damping, so the PCG needs fewer
         V-cycles.  lambda_max per level comes from a host Gershgorin bound
         of the analytic level operator (exact upper bound, no power
-        iteration)."""
+        iteration).
+
+        coarse_spmv picks the coarse-level operator application:
+        "auto" uses the Pallas x-resident SpMV kernel on a TPU f32 build
+        (the XLA shifted-slice SpMV at these sizes is ~59 tiny slice ops
+        per application x ~5 applications per level per cycle -- measured
+        to dominate the ~13 ms/iteration V-cycle cost at the 1M-element
+        scale, where the Pallas fine-level iteration is 0.35 ms);
+        "slices" forces the XLA path; "interpret" forces the Pallas kernel
+        in interpret mode (CPU tests)."""
         info = mesh.structure
         assert info is not None and info["kind"] == "box_tets"
         nx, ny, nz = info["nx"], info["ny"], info["nz"]
@@ -240,6 +251,20 @@ class StructuredMultigrid:
         fixed_l = np.asarray(fixed, dtype=bool)
         dtype = jnp.zeros((), dtype=float).dtype  # f32 unless x64 enabled
         values_host = None  # host f64 values of the last built level
+        interp = coarse_spmv == "interpret"
+        use_pallas_coarse = coarse_spmv in ("pallas", "interpret") or (
+            coarse_spmv == "auto"
+            and jax.default_backend() == "tpu"
+            and jnp.dtype(dtype).itemsize == 4
+        )
+        #: per level: Pallas plan for the level's operator application, or
+        #: None (level 0 uses the caller-supplied spmv; the coarsest level is
+        #: a dense inverse).  Static choice -- baked into the traced cycle.
+        self._plans = [None]
+        #: per coarse level (levels[1:]): host-prepped (K, n_pad) transposed
+        #: operand for the Pallas kernel (prepped HERE, not on device, so
+        #: setup stays upload-only on the remote backend), or None
+        self._values_t: List[Optional[jax.Array]] = []
         for li, g in enumerate(grids):
             if li == 0:
                 dia0 = dia if dia is not None else build_structured_dia_pattern(mesh)
@@ -275,6 +300,19 @@ class StructuredMultigrid:
                     fixed=jnp.asarray(fixed_l),
                 )
             )
+            plan = vt = None
+            if use_pallas_coarse and li < len(grids) - 1:
+                plan = pallas_spmv_plan(
+                    dia_l.n_dof, dia_l.offsets,
+                    itemsize=jnp.dtype(dtype).itemsize, interpret=interp,
+                )
+                if plan is not None:
+                    vt = jnp.asarray(np.ascontiguousarray(np.pad(
+                        values_host.T.astype(dtype),
+                        ((0, 0), (0, plan.n_pad - plan.n)),
+                    )))
+            self._plans.append(plan)
+            self._values_t.append(vt)
 
         # coarsest: dense inverse (host LAPACK, f64, once).  With a single
         # level the cycle degenerates to a direct solve of the fine
@@ -319,6 +357,7 @@ class StructuredMultigrid:
         derived inside the jitted program (``_full_ops``)."""
         return {
             "values": [lv.values for lv in self.levels[1:]],
+            "values_t": list(self._values_t),
             "inv_diag": [lv.inv_diag for lv in self.levels[1:]],
             "fixed": [lv.fixed for lv in self.levels],
             "coarse_inv": self._coarse_inv,
@@ -330,16 +369,22 @@ class StructuredMultigrid:
         inv0 = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
         return {
             "values": [values] + list(ops["values"]),
+            "values_t": [None] + list(ops.get("values_t", self._values_t)),
             "inv_diag": [inv0] + list(ops["inv_diag"]),
             "fixed": list(ops["fixed"]),
             "coarse_inv": ops["coarse_inv"],
         }
 
     def _apply(self, ops, li: int, x, apply0=None):
-        """One level's operator; level 0 optionally through a fast SpMV
-        (kernels.dia_spmv) instead of the shifted-slice path."""
+        """One level's operator: level 0 optionally through the caller's fast
+        SpMV; coarse levels through their own Pallas plan when one was built
+        (coarse_spmv), else the XLA shifted-slice path."""
         if li == 0 and apply0 is not None:
             return apply0(x)
+        plan = self._plans[li] if li < len(self._plans) else None
+        vt = ops.get("values_t", [None] * len(self.levels))[li]
+        if plan is not None and vt is not None:
+            return pallas_spmv(plan, vt, x)
         return dia_spmv(ops["values"][li], self.levels[li].dia.offsets, x)
 
     def _smooth(self, ops, li: int, x, b, steps: int, apply0=None):

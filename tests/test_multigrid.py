@@ -360,3 +360,24 @@ def test_chebyshev_smoother_converges():
     r = float(jnp.max(jnp.abs(b - dia_spmv(vals, dia.offsets, x))))
     assert r < 1e-7 * float(jnp.max(jnp.abs(b)))
     assert int(it) < 40
+
+
+def test_coarse_pallas_spmv_parity():
+    """coarse_spmv="interpret" routes the coarse-level operator applications
+    through the Pallas x-resident SpMV kernel (the production TPU path picks
+    this automatically); the preconditioned solve must match the XLA
+    shifted-slice cycle to roundoff."""
+    mesh, mat, fixed, dia, values_bc, b = _problem(16)
+    kw = dict(dia=dia, coarsest_max_dof=400)
+    mg_ref = StructuredMultigrid(mesh, mat, fixed, **kw)
+    mg_pal = StructuredMultigrid(mesh, mat, fixed, coarse_spmv="interpret", **kw)
+    # three levels (16 -> 8 -> 4): the 8^3 middle level gets a Pallas plan
+    assert len(mg_pal.levels) == 3
+    assert mg_pal._plans[1] is not None and mg_pal._values_t[0] is not None
+    x_ref, it_ref, _ = mg_ref.pcg_solve(values_bc, b, eps=1e-8)
+    x_pal, it_pal, _ = mg_pal.pcg_solve(values_bc, b, eps=1e-8)
+    assert int(it_pal) == int(it_ref)
+    scale = np.abs(np.asarray(x_ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(x_pal) / scale, np.asarray(x_ref) / scale, atol=1e-10
+    )

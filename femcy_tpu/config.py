@@ -44,6 +44,16 @@ class SolverConfig:
     #: shifted-slice path; "slices" forces the XLA path; "pallas" requires
     #: the kernel (raises when unavailable).
     spmv: str = "auto"
+    #: small-model dense CG: when 0 < n_dof <= this, on-device CG solves
+    #: run with the operator scattered to a DENSE (n, n) matrix -- the
+    #: matvec is one gather-free HBM stream (~0.6 ms at 6k dofs f32) where
+    #: the ELL row-gather SpMV costs ~4 ms/iteration on TPU.  This is the
+    #: TPU answer for models too small to amortise sparse-gather overheads
+    #: but still wanting full device residency (e.g. the C3D10 twist plate
+    #: at 5,979 dofs with fused Newton).  0 disables (default): the host
+    #: direct solver remains the best choice when host round-trips are
+    #: cheap.  Memory: n_dof^2 * itemsize per operator.
+    dense_operator_max_dof: int = 0
     #: CG preconditioner: "jacobi" (reference parity,
     #: conjugateGradientSolver.py:48-51), "block_jacobi" (dm x dm node
     #: blocks; fewer iterations for elasticity; DIA layout only) or
@@ -71,10 +81,13 @@ class SolverConfig:
     #: "none" runs single-device; "slab" shards the WHOLE analysis (linear
     #: solves and the full adaptive-stepping Newton state machine) over the
     #: device mesh via gather-free x-slab decomposition
-    #: (parallel/structured.py).  Needs a structured box_tets mesh whose nx
-    #: is divisible by the device count.  The reference is strictly
-    #: single-device (SURVEY.md §2.5); this is the beyond-parity scaling
-    #: path for meshes past one chip's HBM.
+    #: (parallel/structured.py) -- needs a structured box_tets mesh whose nx
+    #: is divisible by the device count; "banded" does the same for ANY
+    #: mesh (every .inp model): RCM ordering + block-tridiagonal row shards
+    #: whose CG is three batched MXU matmuls + one-block halo ppermutes,
+    #: also gather-free (parallel/banded.py).  The reference is strictly
+    #: single-device (SURVEY.md §2.5); these are the beyond-parity scaling
+    #: paths for meshes past one chip's HBM.
     sharding: str = "none"
     #: number of devices for the sharded path; 0 = all of jax.devices()
     sharding_devices: int = 0

@@ -64,10 +64,12 @@ class BandedOperands:
     nb: int  # row blocks covering n_dof
     nbl: int  # row blocks per device (nb padded to D * nbl)
     perm: np.ndarray  # (n_dof,) original dof of permuted slot i
+    iperm: np.ndarray  # (n_dof,) permuted slot of original dof j
     # stacked per-device arrays (leading axis = device)
     elements: np.ndarray  # (D, E_s, n) padded element shards
     ele_weight: np.ndarray  # (D, E_s)
     scatter_targets: np.ndarray  # (D, E_s*edof^2) into (nbl+1)*3*B*B
+    force_targets: np.ndarray  # (D, E_s*edof) into (nbl+1)*B local rows
     nodes: np.ndarray
     dshape_gp: np.ndarray
     weights_gp: np.ndarray
@@ -138,6 +140,7 @@ def build_banded_operands(
     elements_sh = np.zeros((D, E_s, mesh.element.n_nodes), dtype=np.int32)
     weight_sh = np.zeros((D, E_s))
     targets_sh = np.zeros((D, E_s * edof * edof), dtype=np.int64)
+    ftargets_sh = np.zeros((D, E_s * edof), dtype=np.int64)
 
     # per-entry block-tridiagonal slots: entry (prow r, pcol c) of an element
     # owned by device d lands in local row block Il = r//B - d*nbl in
@@ -162,6 +165,10 @@ def build_banded_operands(
         assert (band >= 0).all() and (band <= 2).all()
         flat = ((Il * 3 + band) * B + r % B) * B + (c - J * B)
         targets_sh[d, : ne * edof * edof] = flat.reshape(-1)
+        # force rows: same local row block + in-block offset, vector layout
+        ftargets_sh[d, : ne * edof] = (
+            (pr // B - d * nbl) * B + pr % B
+        ).reshape(-1)
 
     return BandedOperands(
         n_devices=D,
@@ -170,9 +177,11 @@ def build_banded_operands(
         nb=nb,
         nbl=nbl,
         perm=perm,
+        iperm=iperm,
         elements=elements_sh,
         ele_weight=weight_sh,
         scatter_targets=targets_sh,
+        force_targets=ftargets_sh,
         nodes=mesh.nodes,
         dshape_gp=mesh.element.dshape_at_gp,
         weights_gp=mesh.element.gauss_weights,
@@ -274,6 +283,88 @@ def _btd_pcg(D: int, V, b_local, eps: float, max_iters: int):
     return x, k, rmax
 
 
+def _btd_dirichlet_newton(D: int, V, fixed_local):
+    """Newton Dirichlet treatment on the local block rows: zero fixed rows
+    and columns, unit diagonal (the residual is zeroed by the caller)."""
+    nbl, _, B, _ = V.shape
+    fb = fixed_local.reshape(nbl, B)
+    f_lo, f_hi = _neighbor_blocks(D, fb.astype(V.dtype))
+    col_fixed = jnp.stack([f_lo, fb.astype(V.dtype), f_hi], axis=1)
+    V = V * (1.0 - col_fixed)[:, :, None, :]
+    V = V * (1.0 - fb.astype(V.dtype))[:, None, :, None]
+    didx = jnp.arange(B)
+    diag = V[:, 1, didx, didx]
+    V = V.at[:, 1, didx, didx].set(jnp.where(fb, 1.0, diag))
+    return V
+
+
+def _btd_newton_eval(D, nbl, B, n_dof, material, geometric_stiffness,
+                     elements, ele_weight, targets, ftargets, iperm,
+                     nodes, dN, w, C, dof, rhs, fixed, sval):
+    """One full Newton residual/Jacobian evaluation on this device's element
+    shard -- the general-mesh twin of parallel.structured._shard_newton_eval
+    (which mirrors FEMSystem._newton_eval_impl / the reference's
+    stiffnessMtrx.py:609-644 + 756-758 + 310-341).
+
+    The working dof lives in the permuted block-row space; assembly needs
+    the original ordering, so the program all_gathers the local blocks and
+    unpermutes once per evaluation (a single n_dof gather OUTSIDE the CG --
+    the CG program itself stays gather-free).
+    """
+    elements = elements[0]
+    ele_weight = ele_weight[0]
+    targets = targets[0]
+    ftargets = ftargets[0]
+    dof_local = dof[0]
+    rhs_local = rhs[0]
+    fixed_local = fixed[0]
+    sval_local = sval[0]
+
+    # pin prescribed dofs (ref: dirichletBC_dof, stiffnessMtrx.py:344-366)
+    dof_local = jnp.where(fixed_local, sval_local, dof_local)
+    full_perm = jax.lax.all_gather(dof_local, AXIS, tiled=True)
+    dof_orig = full_perm[iperm]  # (n_dof,) -- original dof ordering
+    dm = nodes.shape[1]
+    u = dof_orig.reshape(-1, dm)
+    coords = nodes + u
+
+    dsdX0, _ = assembly.gradients_and_volume(nodes, elements, dN, w)
+    F = assembly.deformation_gradient_u(u[elements], dsdX0)
+    sigma = assembly.gp_stress(F, material, large=True)
+    dsdx, vol = assembly.gradients_and_volume(coords, elements, dN, w)
+    vol = vol * ele_weight[:, None]
+
+    # internal force into local (+1 halo) row blocks, one block halo-add
+    f_elem = jnp.einsum("egaj,egji,eg->eai", dsdx, sigma, vol)
+    fbuf = jax.ops.segment_sum(
+        f_elem.reshape(-1), ftargets, num_segments=(nbl + 1) * B
+    )
+    from_left_f = jax.lax.ppermute(
+        fbuf[nbl * B :], AXIS, perm=[(i, i + 1) for i in range(D - 1)]
+    )
+    f_int = fbuf[: nbl * B].at[:B].add(from_left_f)
+    residual = f_int - rhs_local
+    residual = jnp.where(fixed_local, 0.0, residual)
+
+    # secant (+ geometric) tangent in block-tridiagonal layout
+    Ke = assembly.element_stiffness(dsdx, vol, C)
+    if geometric_stiffness:
+        Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
+    buf = jax.ops.segment_sum(
+        Ke.reshape(-1), targets, num_segments=(nbl + 1) * 3 * B * B
+    ).reshape(nbl + 1, 3, B, B)
+    from_left_V = jax.lax.ppermute(
+        buf[nbl], AXIS, perm=[(i, i + 1) for i in range(D - 1)]
+    )
+    V = buf[:nbl].at[0].add(from_left_V)
+    V = _btd_dirichlet_newton(D, V, fixed_local)
+
+    res = jnp.sqrt(
+        jax.lax.psum(jnp.sum(residual * residual), AXIS) / n_dof
+    )
+    return dof_local[None], V[None], residual[None], res
+
+
 def _btd_assemble(D, nbl, B, n_dof,
                   elements, ele_weight, targets,
                   nodes, dN, w, C, rhs, fixed, sval, dof_full):
@@ -328,23 +419,30 @@ class BandedShardedSolver:
         cg_eps: float = 1.0e-3,
         cg_iters: int = 0,
         block: Optional[int] = None,
+        geometric_stiffness: bool = True,
     ):
         devices = devices if devices is not None else jax.devices()
         D = len(devices)
         self.device_mesh = Mesh(np.asarray(devices), (AXIS,))
         ops = build_banded_operands(fe_mesh, material, D, block=block)
         self.ops = ops
+        self._material = material
+        self._geometric_stiffness = geometric_stiffness
         if cg_iters <= 0:
             cg_iters = ops.n_dof
         self._cg_cfg = (cg_eps, cg_iters)
+        self._newton_step = None
 
         shard = NamedSharding(self.device_mesh, P(AXIS))
         repl = NamedSharding(self.device_mesh, P())
         self._shard = shard
+        self._repl = repl
         put = lambda x, s: jax.device_put(jnp.asarray(x), s)  # noqa: E731
         self._elements = put(ops.elements, shard)
         self._ele_weight = put(ops.ele_weight, shard)
         self._targets = put(ops.scatter_targets, shard)
+        self._ftargets = put(ops.force_targets, shard)
+        self._iperm = put(ops.iperm, repl)
         self._nodes = put(ops.nodes, repl)
         self._dN = put(ops.dshape_gp, repl)
         self._w = put(ops.weights_gp, repl)
@@ -406,3 +504,59 @@ class BandedShardedSolver:
         x = np.empty(ops.n_dof)
         x[ops.perm] = xp
         return x, int(iters)
+
+    # ------------------------------------------------------------------ #
+    # Newton path (used by FEMSystem when SolverConfig.sharding="banded"):
+    # the SAME host state machine as single-device / slab-sharded runs
+    # drives these two sharded programs per iteration.  The working dof and
+    # du live in the permuted (D, nbl*B) block space; the state machine's
+    # dof arithmetic (boost/relax line search) is elementwise, so it works
+    # on the blocks unchanged.
+    # ------------------------------------------------------------------ #
+    def stack(self, v) -> jax.Array:
+        """Global (n_dof,) host vector -> permuted (D, nbl*B) device blocks."""
+        return self._stack(np.asarray(v))
+
+    def unstack(self, blocks) -> np.ndarray:
+        """(D, nbl*B) blocks -> global (n_dof,) numpy, original ordering."""
+        ops = self.ops
+        xp = np.asarray(blocks).reshape(-1)[: ops.n_dof]
+        x = np.empty(ops.n_dof, dtype=xp.dtype)
+        x[ops.perm] = xp
+        return x
+
+    def newton_eval(self, dof_s, rhs_s, fixed_s, sval_s):
+        """(stacked dof, rhs, fixed, sval) -> (pinned dof, BC'd tangent
+        blocks, BC'd residual blocks, rms residual) -- one sharded program."""
+        if self._newton_step is None:
+            from jax import shard_map
+
+            ops = self.ops
+            fn = partial(
+                _btd_newton_eval, ops.n_devices, ops.nbl, ops.B, ops.n_dof,
+                self._material, self._geometric_stiffness,
+            )
+            self._newton_step = jax.jit(
+                shard_map(
+                    fn,
+                    mesh=self.device_mesh,
+                    in_specs=(
+                        P(AXIS), P(AXIS), P(AXIS), P(AXIS),  # ele/wt/tgt/ftgt
+                        P(), P(), P(), P(), P(),  # iperm, nodes, dN, w, C
+                        P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                    ),
+                    out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+                    check_vma=False,
+                )
+            )
+        return self._newton_step(
+            self._elements, self._ele_weight, self._targets, self._ftargets,
+            self._iperm, self._nodes, self._dN, self._w, self._C,
+            dof_s, rhs_s, fixed_s, sval_s,
+        )
+
+    def cg(self, values_s, b_s, fixed=None, fixed_s=None):
+        """Sharded gather-free CG on BC'd block-tridiagonal values (the
+        Newton linear solve).  fixed/fixed_s accepted for protocol parity
+        with the slab solver (the banded operator is already eliminated)."""
+        return self._cg(values_s, b_s)

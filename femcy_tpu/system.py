@@ -199,6 +199,15 @@ class FEMSystem:
                 max_iters=config.cg_max_iters,
             )
         )
+        # small-model dense CG (config.dense_operator_max_dof): the solve
+        # scatters the BC'd operator to (n, n) in-program and runs a
+        # gather-free dense-matvec CG -- the device-resident answer for
+        # models too small to amortise the ELL row-gather SpMV
+        self._use_dense_cg = (
+            0 < config.dense_operator_max_dof
+            and mesh.n_dof <= config.dense_operator_max_dof
+        )
+        self._jit_dense_cg = jax.jit(self._dense_cg_core)
         self._jit_F = jax.jit(self._deformation_gradient_impl)
         self._spmv = None
         if self.dia is not None:
@@ -267,7 +276,7 @@ class FEMSystem:
                 raise ValueError(
                     "sharding='slab' needs a structured box_tets mesh "
                     "(e.g. meshgen.box_tets); unstructured meshes use "
-                    "parallel.sharded / parallel.banded"
+                    "sharding='banded'"
                 )
             if config.tangent == "consistent":
                 raise ValueError(
@@ -289,6 +298,27 @@ class FEMSystem:
                     if config.preconditioner == "multigrid"
                     else "jacobi"
                 ),
+                geometric_stiffness=config.geometric_stiffness,
+            )
+        elif config.sharding == "banded":
+            # general (unstructured) meshes: RCM + block-tridiagonal row
+            # shards (parallel/banded.py) behind the SAME host state machine
+            # -- any .inp mesh can now run the full analysis multi-chip
+            if config.tangent == "consistent":
+                raise ValueError(
+                    "sharding='banded' supports the secant (+ geometric "
+                    "stiffness) tangent only"
+                )
+            from femcy_tpu.parallel.banded import BandedShardedSolver
+
+            devs = jax.devices()
+            n = config.sharding_devices or len(devs)
+            self._shard_sys = BandedShardedSolver(
+                mesh,
+                material,
+                devices=devs[:n],
+                cg_eps=config.cg_eps,
+                cg_iters=config.cg_max_iters,
                 geometric_stiffness=config.geometric_stiffness,
             )
         elif config.sharding != "none":
@@ -441,7 +471,11 @@ class FEMSystem:
         dof, values, residual, res, vol = self._newton_eval_impl(
             a, dof, rhs, fixed, sval
         )
-        if self.dia is not None:
+        if self._use_dense_cg:
+            du, _, _ = self._dense_cg_core(
+                values, residual, None if self.dia is not None else a["colidx"]
+            )
+        elif self.dia is not None:
             du, _, _ = dia_pcg_solve(
                 values, self.dia.offsets, self.dia.diag_idx, residual,
                 eps=cfg.cg_eps, max_iters=cfg.cg_max_iters,
@@ -456,6 +490,26 @@ class FEMSystem:
                 eps=cfg.cg_eps, max_iters=cfg.cg_max_iters,
             )
         return dof, du, res, vol
+
+    def _dense_cg_core(self, values, b, colidx):
+        """Small-model dense CG: BC'd sparse values -> dense (n, n) operator
+        (one in-program scatter) -> gather-free dense-matvec Jacobi-PCG.
+        ``colidx`` is the ELL column table (None on the DIA layout)."""
+        from femcy_tpu.solvers.cg import dense_pcg_solve, ell_to_dense
+
+        cfg = self.config
+        if self.dia is not None:
+            from femcy_tpu.structured import dia_to_dense_device
+
+            A = dia_to_dense_device(values, self.dia.offsets)
+        else:
+            A = ell_to_dense(values, colidx, self.mesh.n_dof)
+        return dense_pcg_solve(
+            A, b, eps=cfg.cg_eps, max_iters=cfg.cg_max_iters,
+            block_dm=(
+                self.mesh.dm if cfg.preconditioner == "block_jacobi" else 0
+            ),
+        )
 
     # ------------------------------------------------------------------ #
     # linear solve dispatch (ref: stiffnessMtrx.py:272-276)
@@ -486,7 +540,12 @@ class FEMSystem:
                 )
             self._warn_cg_cap(iters, rmax, b)
             return x
-        if self.dia is not None:
+        if self._use_dense_cg:
+            x, iters, rmax = self._jit_dense_cg(
+                values, b,
+                None if self.dia is not None else self._arrs["colidx"],
+            )
+        elif self.dia is not None:
             x, iters, rmax = self._jit_dia_cg(values, b)
         else:
             x, iters, rmax = self._jit_cg(
@@ -963,13 +1022,19 @@ class FEMSystem:
             # the sharded path never materialises a global volume array;
             # integrate over the current configuration (what the last
             # sharded evaluation used)
-            from femcy_tpu.structured import structured_element_nodes
-
             coords = self._arrs["nodes"] + self.dof.reshape(-1, self.mesh.dm)
-            x_e = structured_element_nodes(coords, self.mesh)
-            _, vol = assembly.gradients_and_volume_x(
-                x_e, self._arrs["dN"], self._arrs["w"]
-            )
+            if self._structured_plan is not None:
+                from femcy_tpu.structured import structured_element_nodes
+
+                x_e = structured_element_nodes(coords, self.mesh)
+                _, vol = assembly.gradients_and_volume_x(
+                    x_e, self._arrs["dN"], self._arrs["w"]
+                )
+            else:  # sharding="banded": general connectivity gather
+                _, vol = assembly.gradients_and_volume(
+                    coords, self._arrs["elements"],
+                    self._arrs["dN"], self._arrs["w"],
+                )
         return float(jnp.sum(dens * vol))
 
     def extrapolate(self, gp_vals):

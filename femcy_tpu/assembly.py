@@ -197,7 +197,22 @@ def consistent_tangent(dof, elements, coords0, dN, w, material):
     def fe(u_flat, x0):
         return _element_internal_force(u_flat.reshape(-1, dm), x0, dN, w, material)
 
-    return jax.vmap(jax.jacfwd(fe))(u_e.reshape(-1, edof), x0_e)
+    # One JVP per element dof via lax.scan instead of jax.jacfwd: identical
+    # values, but the traced program contains ONE element-force body instead
+    # of edof unrolled copies -- at C3D10's edof=30 the jacfwd graph
+    # dominated the fused-Newton program's (server-side, minutes-scale)
+    # XLA compile; the scanned form stays vmapped over elements, so the
+    # device parallelism is unchanged.
+    def jac(u_flat, x0):
+        def body(_, j):
+            seed = (jnp.arange(edof) == j).astype(u_flat.dtype)
+            _, col = jax.jvp(lambda u: fe(u, x0), (u_flat,), (seed,))
+            return None, col
+
+        _, cols = jax.lax.scan(body, None, jnp.arange(edof))
+        return cols.T  # cols[j] = d f / d u_j  ->  J[i, j]
+
+    return jax.vmap(jac)(u_e.reshape(-1, edof), x0_e)
 
 
 def gp_stress(F, material, large: bool):

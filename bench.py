@@ -270,17 +270,27 @@ def selfcheck():
     w = jnp.asarray(mesh.element.gauss_weights, jnp.float32)
     C32 = jnp.asarray(material.C, jnp.float32)
 
-    vals = np.asarray(
-        jax.jit(
-            lambda c: structured_assemble_coords(
-                c, mesh, dN, w, C32, plan, accumulate="pallas"
-            )
-        )(coords)
-    ).astype(np.float64)
     ref = analytic_structured_dia_values(mesh, np.asarray(material.C), dia)
-    err_asm = np.abs(vals - ref).max() / np.abs(ref).max()
-    assert err_asm < 1e-4, f"pallas assembly off the analytic operator: {err_asm:.3e}"
-    log(f"selfcheck: pallas assembly vs analytic f64 operator rel err {err_asm:.2e} OK")
+    # check BOTH preps feeding the Pallas accumulate: the generic 9-term
+    # (C traced) and the isotropic 3-term (C_host) -- the latter is what
+    # the benchmarked metric and FEMSystem actually run in production
+    for tag, c_host in (("generic", None), ("isotropic", np.asarray(material.C))):
+        vals = np.asarray(
+            jax.jit(
+                lambda c, ch=c_host: structured_assemble_coords(
+                    c, mesh, dN, w, C32, plan, accumulate="pallas", C_host=ch
+                )
+            )(coords)
+        ).astype(np.float64)
+        err_asm = np.abs(vals - ref).max() / np.abs(ref).max()
+        assert err_asm < 1e-4, (
+            f"pallas assembly ({tag} prep) off the analytic operator: "
+            f"{err_asm:.3e}"
+        )
+        log(
+            f"selfcheck: pallas assembly ({tag} prep) vs analytic f64 "
+            f"operator rel err {err_asm:.2e} OK"
+        )
 
     spmv = make_spmv(mesh.n_dof, dia.offsets, dtype=jnp.float32)
     if spmv is None:

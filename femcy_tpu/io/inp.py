@@ -118,6 +118,12 @@ class InpBlockModel:
     dirichlet_bcs: List[DirichletBC]
     geometric_nonlinear: bool
     time_incs: Dict[str, float]
+    #: *Surface name -> sorted global node tuples (expanded per-block, since
+    #: each block's element type has its own face numbering)
+    face_sets: Dict[str, List[Tuple[int, ...]]] = dataclasses.field(
+        default_factory=dict
+    )
+    neumann_bcs: List[NeumannBC] = dataclasses.field(default_factory=list)
 
     @property
     def dm(self) -> int:
@@ -201,8 +207,9 @@ def read_inp_multi(file_name: str) -> InpBlockModel:
     for etype, elset, arr in raw_blocks:
         conv = np.vectorize(key2id.__getitem__, otypes=[np.int64])(arr)
         blocks.append((etype, elset, conv.astype(np.int32)))
-    node_sets, _ = _read_sets(lines, key2id)
+    node_sets, ele_sets = _read_sets(lines, key2id)
     dirichlet_bcs = _read_dirichlet(lines, node_sets)
+    face_sets = _read_face_sets_multi(lines, blocks, ele_sets)
     return InpBlockModel(
         nodes=nodes,
         element_blocks=blocks,
@@ -212,6 +219,8 @@ def read_inp_multi(file_name: str) -> InpBlockModel:
         dirichlet_bcs=dirichlet_bcs,
         geometric_nonlinear=_read_nlgeom(lines),
         time_incs=_read_time_incs(lines),
+        face_sets=face_sets,
+        neumann_bcs=_read_neumann(lines, face_sets),
     )
 
 
@@ -264,7 +273,9 @@ def _read_materials_named(
     for line in lines:
         if line[:2] == "**":
             continue
-        if line[:1] == "*" and line[:9] == "*Material":
+        # case-insensitive, like the sibling _read_sections /
+        # _read_element_blocks parsers (Abaqus keywords are case-free)
+        if line[:1] == "*" and line[:9].lower() == "*material":
             name = ""
             for tok in _split(line):
                 if tok.lower().startswith("name="):
@@ -406,12 +417,10 @@ def _read_sets(
     return out_nodes, out_eles
 
 
-def _read_face_sets(
+def _read_raw_surfaces(
     lines: Sequence[str],
-    elements: np.ndarray,
-    element: ElementType,
-    ele_sets: Dict[str, np.ndarray],
-) -> Dict[str, List[Tuple[int, ...]]]:
+) -> Dict[str, List[Tuple[str, str]]]:
+    """``*Surface`` blocks -> {name: [(elset name, face tag 'S<k>'), ...]}."""
     raw: Dict[str, List[Tuple[str, str]]] = {}
     current: Optional[str] = None
     for line in lines:
@@ -428,7 +437,16 @@ def _read_face_sets(
         if current is not None and line.strip():
             toks = _split(line)
             raw[current].append((toks[0], toks[1]))
+    return raw
 
+
+def _read_face_sets(
+    lines: Sequence[str],
+    elements: np.ndarray,
+    element: ElementType,
+    ele_sets: Dict[str, np.ndarray],
+) -> Dict[str, List[Tuple[int, ...]]]:
+    raw = _read_raw_surfaces(lines)
     face_sets: Dict[str, List[Tuple[int, ...]]] = {}
     for name, entries in raw.items():
         facets = set()
@@ -437,6 +455,46 @@ def _read_face_sets(
             for iele in ele_sets[ele_set_name]:
                 for local_nodes in element.inp_surface_num[fnum]:
                     facets.add(tuple(sorted(int(elements[iele][ln]) for ln in local_nodes)))
+        face_sets[name] = sorted(facets)
+    return face_sets
+
+
+def _read_face_sets_multi(
+    lines: Sequence[str],
+    blocks: List[Tuple[str, str, np.ndarray]],
+    ele_sets: Dict[str, np.ndarray],
+) -> Dict[str, List[Tuple[int, ...]]]:
+    """``*Surface`` expansion for multi-block models.
+
+    A global element id (file order, like the reference's blanket -1 at
+    inp_info.py:164-167) maps to (block, local row) by cumulative block
+    sizes; each block's OWN element type supplies the Abaqus face-number
+    -> facet-node map, so surfaces may span blocks of different types.
+    """
+    raw = _read_raw_surfaces(lines)
+    if not raw:
+        return {}
+    offsets = np.cumsum([0] + [arr.shape[0] for _, _, arr in blocks])
+    ele_cache: Dict[str, ElementType] = {}
+
+    def _ele(etype: str) -> ElementType:
+        if etype not in ele_cache:
+            ele_cache[etype] = get_element(etype)
+        return ele_cache[etype]
+
+    face_sets: Dict[str, List[Tuple[int, ...]]] = {}
+    for name, entries in raw.items():
+        facets = set()
+        for ele_set_name, face_tag in entries:
+            fnum = int(face_tag.split("S")[1]) - 1
+            for iele in ele_sets[ele_set_name]:
+                bi = int(np.searchsorted(offsets, iele, side="right")) - 1
+                etype, _, conn = blocks[bi]
+                elem = conn[int(iele) - int(offsets[bi])]
+                for local_nodes in _ele(etype).inp_surface_num[fnum]:
+                    facets.add(
+                        tuple(sorted(int(elem[ln]) for ln in local_nodes))
+                    )
         face_sets[name] = sorted(facets)
     return face_sets
 

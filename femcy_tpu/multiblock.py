@@ -231,17 +231,73 @@ class MultiBlockSystem:
             fixed[dofs] = True
             sval[dofs] = bcd.value
         rhs = np.zeros(self.n_dof)
-        if model.neumann_bcs:
-            mesh0 = FEMesh(
-                self.nodes, self.blocks[0].elements, self.blocks[0].element
-            )
-            patterns, tractions = bc_mod.build_neumann_patterns(
-                mesh0, model.neumann_bcs
-            )
-            rhs = tractions @ patterns
+        nbcs = getattr(model, "neumann_bcs", [])
+        if nbcs:
+            # a *Surface may span blocks of different element types: route
+            # each facet to the block whose boundary owns it (facet
+            # quadrature needs that block's own shape functions)
+            meshes = [
+                FEMesh(self.nodes, blk.elements, blk.element)
+                for blk in self.blocks
+            ]
+            for nbc in nbcs:
+                remaining = [tuple(f) for f in nbc.face_set]
+                for mesh_b in meshes:
+                    owned = [f for f in remaining if f in mesh_b.boundary]
+                    if not owned:
+                        continue
+                    sub = dataclasses.replace(nbc, face_set=owned)
+                    rhs += nbc.traction * bc_mod.neumann_unit_pattern(
+                        mesh_b, sub
+                    )
+                    owned_set = set(owned)
+                    remaining = [f for f in remaining if f not in owned_set]
+                if remaining:
+                    raise ValueError(
+                        f"{len(remaining)} loaded facet(s) are on no "
+                        "block's boundary (e.g. an interior *Surface)"
+                    )
         return self.solve(rhs, fixed, sval)
 
     # ------------------------------------------------------------------ #
+    def block_mesh(self, bi: int):
+        """FEMesh view of block bi over the shared node table (cached:
+        boundary extraction is the expensive part)."""
+        from femcy_tpu.mesh import FEMesh
+
+        if not hasattr(self, "_block_meshes"):
+            self._block_meshes: dict = {}
+        if bi not in self._block_meshes:
+            blk = self.blocks[bi]
+            self._block_meshes[bi] = FEMesh(
+                self.nodes, blk.elements, blk.element
+            )
+        return self._block_meshes[bi]
+
+    def extrapolate_block(self, bi: int, gp_vals):
+        """GP -> nodal patch extrapolation with block bi's own element
+        matrices, (E_bi, G_bi) -> (E_bi, n_nodes_bi) (the per-type twin of
+        FEMSystem.extrapolate; ref: the per-element extrapolate kernels)."""
+        M = jnp.asarray(self.blocks[bi].element.extrapolation_matrix)
+        return gp_vals @ M.T
+
+    def elastic_energy(self) -> float:
+        """Total elastic energy summed over blocks: each block's own
+        material psi(F) integrated with its GP volumes (the linear twin of
+        FEMSystem.elastic_energy; ref: stiffnessMtrx.py:592-606)."""
+        a = self._arrs
+        total = 0.0
+        for bi, blk in enumerate(self.blocks):
+            dsdX0, vol = assembly.gradients_and_volume(
+                a["nodes"], a[f"elements_{bi}"], a[f"dN_{bi}"], a[f"w_{bi}"]
+            )
+            F = assembly.deformation_gradient(
+                self.dof, a[f"elements_{bi}"], dsdX0
+            )
+            dens = assembly.gp_energy_density(F, blk.material)
+            total += float(jnp.sum(dens * vol))
+        return total
+
     def block_stress(self, bi: int):
         """(strain, cauchy stress, mises) per (element, GP) of block bi
         (small-deformation recovery, like the linear reference path)."""

@@ -101,8 +101,13 @@ def build_banded_operands(
     material: Material,
     n_devices: int,
     block: Optional[int] = None,
+    pattern=None,
 ) -> BandedOperands:
-    pattern = build_pattern(mesh)
+    # the ELL pattern build is the dominant host setup cost on large
+    # unstructured meshes; callers that already hold one (FEMSystem) pass
+    # it in instead of paying it twice
+    if pattern is None:
+        pattern = build_pattern(mesh)
     n_dof = pattern.n_dof
     D = n_devices
     perm = rcm_permutation(pattern)
@@ -420,11 +425,14 @@ class BandedShardedSolver:
         cg_iters: int = 0,
         block: Optional[int] = None,
         geometric_stiffness: bool = True,
+        pattern=None,
     ):
         devices = devices if devices is not None else jax.devices()
         D = len(devices)
         self.device_mesh = Mesh(np.asarray(devices), (AXIS,))
-        ops = build_banded_operands(fe_mesh, material, D, block=block)
+        ops = build_banded_operands(
+            fe_mesh, material, D, block=block, pattern=pattern
+        )
         self.ops = ops
         self._material = material
         self._geometric_stiffness = geometric_stiffness

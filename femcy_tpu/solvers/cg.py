@@ -35,10 +35,13 @@ def ell_to_dense(values, colidx, n: int):
     thousand dofs the ELL SpMV's row gather (~8 ns/element on TPU) costs
     more per CG iteration than streaming the whole dense operator from HBM.
     """
-    targets = (jnp.arange(n, dtype=jnp.int32)[:, None] * n + colidx).reshape(-1)
-    return jax.ops.segment_sum(
-        values.reshape(-1), targets, num_segments=n * n
-    ).reshape(n, n)
+    # 2D indexed add: a flattened row*n+col target would overflow int32
+    # above n=46340, silently corrupting the operator under a user-raised
+    # dense_operator_max_dof
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    return (
+        jnp.zeros((n, n), values.dtype).at[rows, colidx].add(values)
+    )
 
 
 def dense_pcg_solve(

@@ -326,10 +326,13 @@ def structured_assemble_coords(coords, mesh: FEMesh, dN, w, C,
                                C_host=None):
     """Node coordinates -> DIA values via the fastest available path.
 
-    accumulate: None (auto: fused Pallas kernel when ``C_host`` is an
-    isotropic tangent, else the two-stage Pallas path, on TPU/f32; XLA
-    otherwise), "fused" / "pallas" (forced; interpret mode off-TPU, for
-    tests; raises if the kernel plan is unsupported), or "xla".
+    accumulate: None (auto: the two-stage Pallas accumulate on TPU/f32 --
+    with the cheap isotropic 3-term prep when ``C_host`` is an isotropic
+    tangent -- XLA otherwise), "fused" / "pallas" (forced; interpret mode
+    off-TPU, for tests; raises if the kernel plan is unsupported), or
+    "xla".  The single-program fused kernel is opt-in only
+    (accumulate="fused"): its one-off server-side compile (~9 min remote)
+    is never worth it by default.
 
     C_host: optional HOST numpy copy of the material tangent.  The fused
     kernel bakes the Lame constants in as static scalars (one kernel per
@@ -650,12 +653,14 @@ def analytic_dia_values_device(c, grid, offsets, diag_idx: int, fixed):
 def dia_to_dense_device(values, offsets):
     """(n, K) DIA values -> (n, n) dense, on device.
 
-    Shipped UNWIRED (like analytic_dia_values_device and
-    multigrid.newton_schulz_inverse): the production multigrid setup builds
-    coarse operators and their dense inverse on the HOST, because on the
-    remote-TPU backend any new program pays a ~160 s first-run server
-    compile that dwarfs the ~1 s upload these would save.  Kept, tested,
-    for deployments where host->device bandwidth is the real constraint."""
+    Production use: the small-model dense-CG path
+    (SolverConfig.dense_operator_max_dof; FEMSystem._dense_cg_core)
+    scatters the BC'd DIA operator to dense IN-PROGRAM so the fused-Newton
+    CG matvec is a gather-free HBM stream.  The multigrid setup still
+    builds coarse operators on the HOST (a new device program pays a
+    ~160 s first-run server compile on the remote-TPU backend, dwarfing
+    the ~1 s upload saved) -- analytic_dia_values_device and
+    multigrid.newton_schulz_inverse remain host-preferred alternates."""
     n, K = values.shape
     rows = jnp.arange(n)[:, None]
     cols = rows + jnp.asarray(np.asarray(offsets))[None, :]

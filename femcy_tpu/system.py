@@ -94,18 +94,25 @@ class FEMSystem:
         # while f64 matches the literature anchor.  f64 per-system is not
         # representable while x64 is globally off, so warn loudly instead.
         nu = getattr(material, "poisson_ratio", 0.0)
+        # refinement only engages on the linear path (_advance_inc guards on
+        # `not geometric_nonlinear`), so it must not silence the warning for
+        # nonlinear analyses where it is inert
         if (
             nu >= 0.495
             and not jax.config.jax_enable_x64
-            and not config.mixed_precision_refine
+            and (self.geometric_nonlinear or not config.mixed_precision_refine)
         ):
             logger.warning(
                 "near-incompressible material (nu=%.4f) in f32 mode: "
                 "expect O(1%%) stress error; set "
                 "SolverConfig(mixed_precision_refine=True) to recover f64 "
-                "accuracy with f32 bulk work (linear analyses), or enable "
-                "x64 (FEMCY_TPU_X64=1, 26x slower element math on TPU)",
+                "accuracy with f32 bulk work (LINEAR analyses only%s), or "
+                "enable x64 (FEMCY_TPU_X64=1, 26x slower element math on "
+                "TPU)",
                 nu,
+                " -- this analysis is nonlinear, refinement will not engage"
+                if self.geometric_nonlinear and config.mixed_precision_refine
+                else "",
             )
 
         structured = (
@@ -320,6 +327,7 @@ class FEMSystem:
                 cg_eps=config.cg_eps,
                 cg_iters=config.cg_max_iters,
                 geometric_stiffness=config.geometric_stiffness,
+                pattern=self.pattern,  # reuse; don't rebuild the ELL maps
             )
         elif config.sharding != "none":
             raise ValueError(f"unknown sharding mode {config.sharding!r}")

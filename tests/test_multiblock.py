@@ -245,3 +245,91 @@ def test_multiblock_cg_matches_direct():
     x_cg = np.asarray(c.solve(rhs, fixed, sval))
     scale = np.abs(x_direct).max()
     np.testing.assert_allclose(x_cg / scale, x_direct / scale, atol=1e-9)
+
+
+NEUMANN_INP = """*Heading
+mixed-type two-material model loaded by a *Dsload surface traction
+*Node
+{nodes}
+*Element, type=CPS4, elset=soft
+{quads}
+*Element, type=CPS3, elset=stiff
+{tris}
+*Nset, nset=left, instance=Part-1-1
+{left}
+*Elset, elset=rightcol, instance=Part-1-1
+{rightcol}
+*Surface, type=ELEMENT, name=surfR
+rightcol, S2
+*Solid Section, elset=soft, material=rubber
+*Solid Section, elset=stiff, material=steel
+*MATERIAL, NAME=rubber
+*Elastic
+100., 0.
+*MATERIAL, NAME=steel
+*Elastic
+300., 0.
+*Step
+*Static
+1., 1., 1e-05, 1.
+*Boundary
+left, 1, 1
+left, 2, 2
+*Dsload
+surfR, P, 5., 1., 0., 0.
+*End Step
+"""
+
+
+def test_solve_model_with_neumann(tmp_path):
+    """read_inp_multi parses *Surface/*Dsload (and UPPERCASE *MATERIAL) and
+    solve_model applies the traction: a two-material series bar under an
+    end load (regression: solve_model crashed with AttributeError because
+    InpBlockModel had no neumann_bcs and the reader never parsed them)."""
+    nx, ny = 4, 2
+    nodes, quads, tris, _ = _mixed_rect(nx, ny)
+    nq = len(quads)
+    # right-column CPS3 elements whose local (1, 2) edge (= Abaqus face S2)
+    # lies on x = lx: the first triangle of each (i = nx-1, j) pair
+    right_tris = [((nx - 1 - nx // 2) * ny + j) * 2 for j in range(ny)]
+    txt = NEUMANN_INP.format(
+        nodes="\n".join(
+            f"{i + 1}, {x}, {y}" for i, (x, y) in enumerate(nodes)
+        ),
+        quads="\n".join(
+            f"{i + 1}, " + ", ".join(str(n + 1) for n in e)
+            for i, e in enumerate(quads)
+        ),
+        tris="\n".join(
+            f"{nq + i + 1}, " + ", ".join(str(n + 1) for n in e)
+            for i, e in enumerate(tris)
+        ),
+        left=", ".join(
+            str(i + 1) for i in np.nonzero(nodes[:, 0] < 1e-12)[0]
+        ),
+        rightcol=", ".join(str(nq + i + 1) for i in right_tris),
+    )
+    path = tmp_path / "mixed_neumann.inp"
+    path.write_text(txt)
+
+    model = read_inp_multi(str(path))
+    assert model.materials["rubber"][1][0] == 100.0  # UPPERCASE *MATERIAL
+    assert len(model.neumann_bcs) == 1
+    assert model.neumann_bcs[0].traction == 5.0
+    assert len(model.neumann_bcs[0].face_set) == ny
+
+    system = system_from_model(model)
+    dof = np.asarray(system.solve_model(model))
+
+    # nu=0 series bar, sigma_xx = t = 5 throughout:
+    # u(interface) = t*L1/E1, u(right) = t*(L1/E1 + L2/E2)
+    interface = np.nonzero(np.abs(nodes[:, 0] - 1.0) < 1e-12)[0]
+    right = np.nonzero(nodes[:, 0] > 2.0 - 1e-12)[0]
+    np.testing.assert_allclose(dof[interface * 2], 5.0 / 100.0, rtol=1e-9)
+    np.testing.assert_allclose(
+        dof[right * 2], 5.0 / 100.0 + 5.0 / 300.0, rtol=1e-9
+    )
+    for bi in range(2):
+        _, stress, _ = system.block_stress(bi)
+        sxx = np.asarray(stress)[:, :, 0, 0]
+        np.testing.assert_allclose(sxx, 5.0, rtol=1e-9)

@@ -139,6 +139,36 @@ def test_pallas_assemble_matches_f64_oracle():
     assert err < 1e-5, err
 
 
+def test_pallas_isotropic_prep_matches_f64_oracle():
+    """The ISOTROPIC 3-term prep (C_host given -- the path FEMSystem and
+    the benchmark actually run in production) stays at roundoff distance
+    from the f64 analytic operator, like the generic 9-term prep above."""
+    from femcy_tpu.materials import LinearIsotropic
+    from femcy_tpu.solvers.dia import build_structured_dia_pattern
+    from femcy_tpu.structured import (
+        analytic_structured_dia_values,
+        build_structured_plan,
+        structured_assemble_coords,
+    )
+
+    mesh = box_tets(6, 4, 4, 1.5, 1.0, 1.0)
+    mat = LinearIsotropic(1000.0, 0.3)
+    dia = build_structured_dia_pattern(mesh)
+    plan = build_structured_plan(mesh, dia)
+    oracle = analytic_structured_dia_values(mesh, np.asarray(mat.C), dia)
+    out = np.asarray(
+        structured_assemble_coords(
+            jnp.asarray(mesh.nodes, jnp.float32), mesh,
+            jnp.asarray(mesh.element.dshape_at_gp, jnp.float32),
+            jnp.asarray(mesh.element.gauss_weights, jnp.float32),
+            jnp.asarray(mat.C, jnp.float32), plan, accumulate="pallas",
+            C_host=np.asarray(mat.C),
+        )
+    )
+    err = np.abs(out - oracle).max() / np.abs(oracle).max()
+    assert err < 1e-5, err
+
+
 def test_matmul_precision_defaults_to_highest():
     """importing femcy_tpu must force full-f32 matmul precision: the TPU
     MXU default (bf16 passes) measured 0.67% assembly error vs the f64

@@ -102,6 +102,25 @@ def main(argv=None) -> int:
     from femcy_tpu.materials import material_from_inp
 
     t0 = time.time()
+    # models mixing element types or materials (which the reference's reader
+    # rejects, inp_info.py:125-128) route to the multi-block system
+    try:
+        from femcy_tpu.io.inp import read_inp_multi
+
+        block_model = read_inp_multi(args.inp)
+        is_multi = (
+            len(block_model.element_blocks) > 1
+            or len(block_model.materials) > 1
+        )
+        for bi in range(len(block_model.element_blocks)):
+            block_model.material_of_block(bi)  # raises if unresolvable
+    except Exception:
+        # odd single-type layouts (or unmapped materials): let read_inp
+        # decide -- it keeps the reference's first-material quirk
+        is_multi = False
+    if is_multi:
+        return _main_multiblock(args, block_model, t0)
+
     inp = read_inp(args.inp)
     material = material_from_inp(
         inp.material_type, inp.material_params, inp.element_type
@@ -202,6 +221,126 @@ def main(argv=None) -> int:
         export_html(mesh, dof, nodal_mises, args.save_html)
         print(f"wrote {args.save_html}")
     return 0 if report.success else 1
+
+
+def _main_multiblock(args, model, t0: float) -> int:
+    """CLI route for multi-element-type / multi-material models: same
+    observables as the single-block path, per-block stress recovery, and
+    mixed-cell exports.  Linear analyses (the multi-block system's scope)."""
+    import jax.numpy as jnp
+
+    from femcy_tpu import SolverConfig
+    from femcy_tpu.multiblock import system_from_model
+
+    if model.geometric_nonlinear:
+        print(
+            "multi-block models currently support linear analyses only "
+            "(run with *Step, nlgeom=NO)",
+            file=sys.stderr,
+        )
+        return 2
+    config = SolverConfig(
+        linear_solver=args.solver,
+        cg_eps=args.cg_eps,
+        verbose=args.verbose,
+    )
+    system = system_from_model(model, config)
+    blocks_txt = ", ".join(
+        f"{blk.elements.shape[0]} {etype}[{blk.name or bi}]"
+        for bi, ((etype, _, _), blk) in enumerate(
+            zip(model.element_blocks, system.blocks)
+        )
+    )
+    print(
+        f"model: {blocks_txt}; {model.nodes.shape[0]} nodes, "
+        f"{system.n_dof} dofs, {len(model.materials)} material(s), "
+        f"geometric_nonlinear=False"
+    )
+    system.solve_model(model)
+    print(f"solve: converged in 1 increment(s) (total {time.time() - t0:.2f}s incl. compile)")
+
+    dof = np.asarray(system.dof)
+    n_blocks = len(system.blocks)
+    stresses, nodal_mises, gp_mises = [], [], []
+    for bi in range(n_blocks):
+        _, stress, mises = system.block_stress(bi)
+        stresses.append(np.asarray(stress))
+        gp_mises.append(np.asarray(mises))
+        nodal_mises.append(
+            np.asarray(system.extrapolate_block(bi, jnp.asarray(mises)))
+        )
+    print(f"total elastic energy = {system.elastic_energy():.6g}")
+    print(
+        "max Mises stress at integration points = "
+        f"{max(m.max() for m in gp_mises):.6g}"
+    )
+    print(
+        "max nodal (extrapolated) Mises stress = "
+        f"{max(m.max() for m in nodal_mises):.6g}"
+    )
+    print(f"max |dof| (displacement) = {np.abs(dof).max():.6g}")
+
+    if args.stress is not None:
+        ids = STRESS_IDS_2D if model.dm == 2 else STRESS_IDS_3D
+        i, j = ids[args.stress]
+        comp_max = max(np.abs(s[:, :, i, j]).max() for s in stresses)
+        nodal_comp_max = max(
+            np.asarray(
+                system.extrapolate_block(bi, jnp.asarray(s[:, :, i, j]))
+            ).max()
+            for bi, s in enumerate(stresses)
+        )
+        print(f"max |stress[{i}{j}]| at integration points = {comp_max:.6g}")
+        print(f"max nodal stress[{i}{j}] = {nodal_comp_max:.6g}")
+
+    if args.save_frames or args.save_gif:
+        print(
+            "frames/GIF apply to nonlinear increments; linear multi-block "
+            "solves have one state",
+            file=sys.stderr,
+        )
+    meshes = [system.block_mesh(bi) for bi in range(n_blocks)]
+    if args.save_png:
+        from femcy_tpu.io.export import export_png_blocks
+
+        export_png_blocks(
+            meshes, dof, nodal_mises, args.save_png,
+            title="Mises stress", cmap=args.cmap,
+        )
+        print(f"wrote {args.save_png}")
+    if args.save_vtk:
+        from femcy_tpu.io.export import (
+            average_nodal_field_blocks,
+            export_vtk_blocks,
+        )
+
+        export_vtk_blocks(
+            system.nodes,
+            [
+                (blk.elements, blk.element.name)
+                for blk in system.blocks
+            ],
+            args.save_vtk,
+            dof=dof,
+            point_data={
+                "mises": average_nodal_field_blocks(
+                    model.nodes.shape[0], meshes, nodal_mises
+                )
+            },
+            cell_data={
+                "mises_max_gp": np.concatenate(
+                    [m.max(axis=1) for m in gp_mises]
+                )
+            },
+        )
+        print(f"wrote {args.save_vtk}")
+    if args.save_html:
+        print(
+            "HTML viewer for multi-block models is not implemented yet; "
+            "use --save-vtk (ParaView renders mixed cells)",
+            file=sys.stderr,
+        )
+    return 0
 
 
 if __name__ == "__main__":

@@ -281,6 +281,83 @@ surfR, P, 5., 1., 0., 0.
 """
 
 
+def _write_mixed_neumann_inp(path, nlgeom_no=False):
+    """Write the two-material CPS4+CPS3 series bar under an end traction."""
+    nx, ny = 4, 2
+    nodes, quads, tris, _ = _mixed_rect(nx, ny)
+    nq = len(quads)
+    right_tris = [((nx - 1 - nx // 2) * ny + j) * 2 for j in range(ny)]
+    txt = NEUMANN_INP.format(
+        nodes="\n".join(
+            f"{i + 1}, {x}, {y}" for i, (x, y) in enumerate(nodes)
+        ),
+        quads="\n".join(
+            f"{i + 1}, " + ", ".join(str(n + 1) for n in e)
+            for i, e in enumerate(quads)
+        ),
+        tris="\n".join(
+            f"{nq + i + 1}, " + ", ".join(str(n + 1) for n in e)
+            for i, e in enumerate(tris)
+        ),
+        left=", ".join(
+            str(i + 1) for i in np.nonzero(nodes[:, 0] < 1e-12)[0]
+        ),
+        rightcol=", ".join(str(nq + i + 1) for i in right_tris),
+    )
+    if nlgeom_no:
+        txt = txt.replace("*Step", "*Step, nlgeom=NO", 1)
+    path.write_text(txt)
+    return nodes
+
+
+def test_cli_multiblock_end_to_end(tmp_path, capsys):
+    """The CLI auto-routes mixed-type/mixed-material .inp models to the
+    multi-block system and prints the single-block observables; PNG and
+    mixed-cell VTK exports are written."""
+    from femcy_tpu.cli import main as cli_main
+
+    inp = tmp_path / "mixed.inp"
+    _write_mixed_neumann_inp(inp, nlgeom_no=True)
+    png, vtk = tmp_path / "out.png", tmp_path / "out.vtk"
+    rc = cli_main(
+        [
+            str(inp),
+            "--stress", "0",
+            "--save-png", str(png),
+            "--save-vtk", str(vtk),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "2 material(s)" in out
+    assert "4 CPS4[soft], 8 CPS3[stiff]" in out
+    sxx = float(
+        [l for l in out.splitlines() if "max nodal stress[00]" in l][0]
+        .split("=")[1]
+    )
+    np.testing.assert_allclose(sxx, 5.0, rtol=1e-6)  # series bar: sxx = t
+    u = float(
+        [l for l in out.splitlines() if "max |dof|" in l][0].split("=")[1]
+    )
+    np.testing.assert_allclose(u, 5.0 / 100.0 + 5.0 / 300.0, rtol=1e-6)
+    assert png.exists() and png.stat().st_size > 10_000
+    text = vtk.read_text()
+    assert "CELL_TYPES 12" in text
+    # 4 quads (VTK type 9) then 8 triangles (type 5) in one grid
+    cells = text.split("CELL_TYPES 12\n")[1].splitlines()[:12]
+    assert cells == ["9"] * 4 + ["5"] * 8
+
+
+def test_cli_multiblock_rejects_nonlinear(tmp_path, capsys):
+    from femcy_tpu.cli import main as cli_main
+
+    inp = tmp_path / "mixed_nl.inp"
+    _write_mixed_neumann_inp(inp, nlgeom_no=False)  # bare *Step => nlgeom
+    rc = cli_main([str(inp)])
+    assert rc == 2
+    assert "linear analyses only" in capsys.readouterr().err
+
+
 def test_solve_model_with_neumann(tmp_path):
     """read_inp_multi parses *Surface/*Dsload (and UPPERCASE *MATERIAL) and
     solve_model applies the traction: a two-material series bar under an

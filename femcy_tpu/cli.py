@@ -335,11 +335,10 @@ def _main_multiblock(args, model, t0: float) -> int:
         )
         print(f"wrote {args.save_vtk}")
     if args.save_html:
-        print(
-            "HTML viewer for multi-block models is not implemented yet; "
-            "use --save-vtk (ParaView renders mixed cells)",
-            file=sys.stderr,
-        )
+        from femcy_tpu.io.html import export_html_blocks
+
+        export_html_blocks(meshes, dof, nodal_mises, args.save_html)
+        print(f"wrote {args.save_html}")
     return 0
 
 

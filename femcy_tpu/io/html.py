@@ -94,15 +94,38 @@ def export_html(
 
     nodal_vals: (E, n_nodes) patch-extrapolated values (FEMSystem.extrapolate).
     """
+    return export_html_blocks(
+        [mesh], dof, [nodal_vals], path,
+        title=title, deform_scale=deform_scale, field_name=field_name,
+    )
+
+
+def export_html_blocks(
+    meshes,  # list of FEMesh sharing one node table
+    dof: np.ndarray,
+    nodal_vals_per_mesh,  # list of (E_b, n_nodes_b) patch values
+    path: str,
+    title: str = "femcy-tpu result",
+    deform_scale: float = 1.0,
+    field_name: str = "mises",
+):
+    """Multi-block twin of export_html: every block's surface triangles go
+    into ONE painter's-algorithm scene with a SHARED color scale (blocks
+    share the node table, so triangle indices concatenate directly)."""
     from femcy_tpu.io.export import _patch_vertex_values
 
+    mesh = meshes[0]
     dof = np.asarray(dof)
     coords = mesh.nodes + deform_scale * dof.reshape(-1, mesh.dm)
     pos3 = np.zeros((mesh.n_nodes, 3))
     pos3[:, : mesh.dm] = coords
 
-    tris, vals = _patch_vertex_values(mesh, np.asarray(nodal_vals))
-    face_vals = vals.mean(axis=1)
+    per_block = [
+        _patch_vertex_values(m, np.asarray(v))
+        for m, v in zip(meshes, nodal_vals_per_mesh)
+    ]
+    tris = np.concatenate([t for t, _ in per_block], axis=0)
+    face_vals = np.concatenate([v.mean(axis=1) for _, v in per_block])
     vmin, vmax = float(face_vals.min()), float(face_vals.max())
     t = (face_vals - vmin) / (vmax - vmin + 1e-30)
     rgb = _turbo(t)

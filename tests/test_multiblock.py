@@ -319,12 +319,14 @@ def test_cli_multiblock_end_to_end(tmp_path, capsys):
     inp = tmp_path / "mixed.inp"
     _write_mixed_neumann_inp(inp, nlgeom_no=True)
     png, vtk = tmp_path / "out.png", tmp_path / "out.vtk"
+    html = tmp_path / "out.html"
     rc = cli_main(
         [
             str(inp),
             "--stress", "0",
             "--save-png", str(png),
             "--save-vtk", str(vtk),
+            "--save-html", str(html),
         ]
     )
     assert rc == 0
@@ -346,6 +348,25 @@ def test_cli_multiblock_end_to_end(tmp_path, capsys):
     # 4 quads (VTK type 9) then 8 triangles (type 5) in one grid
     cells = text.split("CELL_TYPES 12\n")[1].splitlines()[:12]
     assert cells == ["9"] * 4 + ["5"] * 8
+    # HTML viewer: one scene holding BOTH blocks' surface triangles
+    import json
+    import re
+
+    data = json.loads(
+        re.search(r"const D=(\{.*?\});", html.read_text()).group(1)
+    )
+    from femcy_tpu.mesh import FEMesh
+    from femcy_tpu.elements import get_element
+
+    nodes, quads, tris_conn, _ = _mixed_rect(4, 2)
+    expect = (
+        FEMesh(nodes, quads, get_element("CPS4")).surface_triangles[0].shape[0]
+        + FEMesh(nodes, tris_conn, get_element("CPS3"))
+        .surface_triangles[0]
+        .shape[0]
+    )
+    assert len(data["tri"]) // 3 == expect
+    assert len(data["col"]) == expect
 
 
 def test_cli_multiblock_rejects_nonlinear(tmp_path, capsys):

@@ -226,19 +226,12 @@ def main(argv=None) -> int:
 def _main_multiblock(args, model, t0: float) -> int:
     """CLI route for multi-element-type / multi-material models: same
     observables as the single-block path, per-block stress recovery, and
-    mixed-cell exports.  Linear analyses (the multi-block system's scope)."""
+    mixed-cell exports.  Linear and geometric-nonlinear analyses."""
     import jax.numpy as jnp
 
     from femcy_tpu import SolverConfig
     from femcy_tpu.multiblock import system_from_model
 
-    if model.geometric_nonlinear:
-        print(
-            "multi-block models currently support linear analyses only "
-            "(run with *Step, nlgeom=NO)",
-            file=sys.stderr,
-        )
-        return 2
     config = SolverConfig(
         linear_solver=args.solver,
         cg_eps=args.cg_eps,
@@ -254,10 +247,51 @@ def _main_multiblock(args, model, t0: float) -> int:
     print(
         f"model: {blocks_txt}; {model.nodes.shape[0]} nodes, "
         f"{system.n_dof} dofs, {len(model.materials)} material(s), "
-        f"geometric_nonlinear=False"
+        f"geometric_nonlinear={model.geometric_nonlinear}"
     )
-    system.solve_model(model)
-    print(f"solve: converged in 1 increment(s) (total {time.time() - t0:.2f}s incl. compile)")
+
+    frames = []
+
+    def _frame_cb(sys_, record):
+        import os as _os
+
+        _os.makedirs(args.save_frames, exist_ok=True)
+        from femcy_tpu.io.export import export_png_blocks
+
+        meshes_f = [sys_.block_mesh(bi) for bi in range(len(sys_.blocks))]
+        nodal_f = [
+            np.asarray(
+                sys_.extrapolate_block(bi, sys_.block_stress(bi)[2])
+            )
+            for bi in range(len(sys_.blocks))
+        ]
+        fname = _os.path.join(
+            args.save_frames, f"frame_{len(frames):04d}.png"
+        )
+        export_png_blocks(
+            meshes_f, np.asarray(sys_.dof), nodal_f, fname,
+            title=f"t={record.time:.4f}", cmap=args.cmap,
+        )
+        frames.append(fname)
+
+    if model.geometric_nonlinear:
+        report = system.solve_nonlinear(
+            model, on_increment=_frame_cb if args.save_frames else None
+        )
+        print(
+            f"solve: {'converged' if report.success else 'FAILED'} in "
+            f"{report.n_increments} increment(s), {report.wall_time:.2f}s "
+            f"(total {time.time() - t0:.2f}s incl. compile)"
+        )
+        if not report.success:
+            print(f"  {report.message}", file=sys.stderr)
+    else:
+        report = None
+        system.solve_model(model)
+        print(
+            "solve: converged in 1 increment(s) "
+            f"(total {time.time() - t0:.2f}s incl. compile)"
+        )
 
     dof = np.asarray(system.dof)
     n_blocks = len(system.blocks)
@@ -293,12 +327,17 @@ def _main_multiblock(args, model, t0: float) -> int:
         print(f"max |stress[{i}{j}]| at integration points = {comp_max:.6g}")
         print(f"max nodal stress[{i}{j}] = {nodal_comp_max:.6g}")
 
-    if args.save_frames or args.save_gif:
+    if (args.save_frames or args.save_gif) and not model.geometric_nonlinear:
         print(
             "frames/GIF apply to nonlinear increments; linear multi-block "
             "solves have one state",
             file=sys.stderr,
         )
+    if args.save_gif and frames:
+        from femcy_tpu.utils.gif import frames_to_gif
+
+        frames_to_gif(frames, args.save_gif)
+        print(f"wrote {args.save_gif} ({len(frames)} frames)")
     meshes = [system.block_mesh(bi) for bi in range(n_blocks)]
     if args.save_png:
         from femcy_tpu.io.export import export_png_blocks
@@ -339,7 +378,7 @@ def _main_multiblock(args, model, t0: float) -> int:
 
         export_html_blocks(meshes, dof, nodal_mises, args.save_html)
         print(f"wrote {args.save_html}")
-    return 0
+    return 0 if report is None or report.success else 1
 
 
 if __name__ == "__main__":

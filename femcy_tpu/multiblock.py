@@ -14,15 +14,20 @@ lifts both restrictions -- beyond-parity, but essential for real meshes:
   -- the device program stays static-shape, each block just contributes
   its own scatter;
 * Dirichlet elimination, the linear solve (host direct / device PCG) and
-  per-block stress recovery reuse the existing single-block machinery.
+  per-block stress recovery reuse the existing single-block machinery;
+* geometric-nonlinear analyses run the SAME adaptive-load-stepping
+  Newton-Raphson state machine as FEMSystem (``system.run_newton``, the
+  reference's stiffnessMtrx.py:647-822 semantics) with per-block
+  residual/tangent evaluations in one jitted program.
 
-Linear analyses (the reference's small-deformation path); io.inp
-``read_inp_multi`` parses the multi-block/multi-material schema.
+io.inp ``read_inp_multi`` parses the multi-block/multi-material schema.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import time as _time
+from types import SimpleNamespace
 from typing import List, Optional, Tuple
 
 import jax
@@ -167,7 +172,22 @@ class MultiBlockSystem:
             self._arrs[f"w_{bi}"] = jnp.asarray(blk.element.gauss_weights)
             self._arrs[f"C_{bi}"] = jnp.asarray(blk.material.C)
             self._arrs[f"targets_{bi}"] = jnp.asarray(self._targets[bi])
+            self._arrs[f"ft_{bi}"] = jnp.asarray(self._force_targets[bi])
+            # initial-configuration gradients: the F = I + du/dX reference
+            dsdX0, _ = assembly.gradients_and_volume(
+                self._arrs["nodes"],
+                self._arrs[f"elements_{bi}"],
+                self._arrs[f"dN_{bi}"],
+                self._arrs[f"w_{bi}"],
+            )
+            self._arrs[f"dsdX0_{bi}"] = dsdX0
         self._jit_system = jax.jit(self._system_impl)
+        self._jit_newton_eval = jax.jit(self._newton_eval_impl)
+        # nonlinear-analysis state (mirrors FEMSystem)
+        self.geometric_nonlinear = False
+        self.dt = 0.0
+        self.time0 = self.time1 = 0.0
+        self._ini_residual: Optional[float] = None
         self._jit_cg = jax.jit(
             lambda values, b: pcg_solve(
                 values,
@@ -199,30 +219,117 @@ class MultiBlockSystem:
         )
         return values, rhs
 
+    def _newton_eval_impl(self, a, dof, rhs, fixed, sval):
+        """One residual/Jacobian evaluation over all blocks (the multi-block
+        twin of FEMSystem._newton_eval_impl; ref: stiffnessMtrx.py:609-644 +
+        756-758 + 310-341): pin prescribed dofs, per block compute F (w.r.t.
+        the initial configuration), large-deformation Cauchy stress, current-
+        configuration gradients/volumes, internal force and secant tangent,
+        all accumulated into the shared union pattern."""
+        p = self.pattern
+        dof = bc_mod.pin_dof(dof, fixed, sval)
+        coords = a["nodes"] + dof.reshape(-1, self.dm)
+        values = jnp.zeros(p.n_dof * p.width)
+        f_int = jnp.zeros(p.n_dof)
+        for bi, blk in enumerate(self.blocks):
+            F = assembly.deformation_gradient(
+                dof, a[f"elements_{bi}"], a[f"dsdX0_{bi}"]
+            )
+            dsdx, vol = assembly.gradients_and_volume(
+                coords, a[f"elements_{bi}"], a[f"dN_{bi}"], a[f"w_{bi}"]
+            )
+            sigma = assembly.gp_stress(F, blk.material, large=True)
+            f_int = f_int + assembly.internal_force(
+                dsdx, sigma, vol, a[f"ft_{bi}"], p.n_dof
+            )
+            if self.config.tangent == "consistent":
+                Ke = assembly.consistent_tangent(
+                    dof, a[f"elements_{bi}"], a["nodes"], a[f"dN_{bi}"],
+                    a[f"w_{bi}"], blk.material,
+                )
+            else:
+                Ke = assembly.element_stiffness(dsdx, vol, a[f"C_{bi}"])
+                if self.config.geometric_stiffness:
+                    Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
+            values = values + jax.ops.segment_sum(
+                Ke.reshape(-1),
+                a[f"targets_{bi}"],
+                num_segments=p.n_dof * p.width,
+            )
+        values = values.reshape(p.n_dof, p.width)
+        residual = f_int - rhs
+        values, residual = bc_mod.apply_dirichlet_newton(
+            values, a["colidx"], a["diag_slot"], residual, fixed
+        )
+        res = jnp.sqrt(jnp.sum(residual * residual) / residual.shape[0])
+        return dof, values, residual, res
+
+    def _solve_values(self, values, b):
+        """Linear solve of the assembled (values, b): host direct below the
+        crossover, device PCG above (the reference's solve_dof split)."""
+        cfg = self.config
+        use_direct = cfg.linear_solver == "direct" or (
+            cfg.linear_solver == "auto"
+            and self.n_dof < cfg.direct_solve_max_dof
+        )
+        if use_direct:
+            return jnp.asarray(direct_solve(self.pattern, values, b))
+        x, _, _ = self._jit_cg(values, b)
+        return x
+
     # ------------------------------------------------------------------ #
     def solve(self, rhs, fixed, sval):
         """K x = rhs with symmetric Dirichlet elimination; sets self.dof."""
-        cfg = self.config
         values, b = self._jit_system(
             self._arrs,
             jnp.asarray(rhs),
             jnp.asarray(fixed),
             jnp.asarray(sval),
         )
-        use_direct = cfg.linear_solver == "direct" or (
-            cfg.linear_solver == "auto"
-            and self.n_dof < cfg.direct_solve_max_dof
-        )
-        if use_direct:
-            self.dof = jnp.asarray(direct_solve(self.pattern, values, b))
-        else:
-            self.dof, _, _ = self._jit_cg(values, b)
+        self.dof = self._solve_values(values, b)
         return self.dof
 
-    def solve_model(self, model) -> jax.Array:
-        """Convenience: solve a read_inp_multi model (its Dirichlet BCs at
-        full load; linear analyses have one increment)."""
-        from femcy_tpu.mesh import FEMesh
+    def _neumann_unit_pattern(self, nbc) -> np.ndarray:
+        """Unit nodal-force pattern of one *Dsload summed over blocks.
+
+        A *Surface may span blocks of different element types: route each
+        facet to the block whose boundary owns it (facet quadrature needs
+        that block's own shape functions).  Excludes the traction magnitude
+        (scaled by the caller, like bc.build_neumann_patterns).
+        """
+        pattern = np.zeros(self.n_dof)
+        remaining = [tuple(f) for f in nbc.face_set]
+        for bi in range(len(self.blocks)):
+            mesh_b = self.block_mesh(bi)
+            owned = [f for f in remaining if f in mesh_b.boundary]
+            if not owned:
+                continue
+            sub = dataclasses.replace(nbc, face_set=owned)
+            pattern += bc_mod.neumann_unit_pattern(mesh_b, sub)
+            owned_set = set(owned)
+            remaining = [f for f in remaining if f not in owned_set]
+        if remaining:
+            raise ValueError(
+                f"{len(remaining)} loaded facet(s) are on no "
+                "block's boundary (e.g. an interior *Surface)"
+            )
+        return pattern
+
+    def solve_model(self, model, **solve_kwargs) -> jax.Array:
+        """Convenience: solve a read_inp_multi model.
+
+        Linear analyses are one increment at full load; geometric-nonlinear
+        models (``*Step, nlgeom=YES``) run the full adaptive-load-stepping
+        Newton analysis (``solve_nonlinear``; the report lands in
+        ``self.last_report``).
+        """
+        if getattr(model, "geometric_nonlinear", False):
+            report = self.solve_nonlinear(model, **solve_kwargs)
+            if not report.success:
+                raise RuntimeError(
+                    f"nonlinear multi-block analysis failed: {report.message}"
+                )
+            return self.dof
 
         fixed = np.zeros(self.n_dof, dtype=bool)
         sval = np.zeros(self.n_dof)
@@ -231,33 +338,140 @@ class MultiBlockSystem:
             fixed[dofs] = True
             sval[dofs] = bcd.value
         rhs = np.zeros(self.n_dof)
-        nbcs = getattr(model, "neumann_bcs", [])
-        if nbcs:
-            # a *Surface may span blocks of different element types: route
-            # each facet to the block whose boundary owns it (facet
-            # quadrature needs that block's own shape functions)
-            meshes = [
-                FEMesh(self.nodes, blk.elements, blk.element)
-                for blk in self.blocks
-            ]
-            for nbc in nbcs:
-                remaining = [tuple(f) for f in nbc.face_set]
-                for mesh_b in meshes:
-                    owned = [f for f in remaining if f in mesh_b.boundary]
-                    if not owned:
-                        continue
-                    sub = dataclasses.replace(nbc, face_set=owned)
-                    rhs += nbc.traction * bc_mod.neumann_unit_pattern(
-                        mesh_b, sub
-                    )
-                    owned_set = set(owned)
-                    remaining = [f for f in remaining if f not in owned_set]
-                if remaining:
-                    raise ValueError(
-                        f"{len(remaining)} loaded facet(s) are on no "
-                        "block's boundary (e.g. an interior *Surface)"
-                    )
+        for nbc in getattr(model, "neumann_bcs", []):
+            rhs += nbc.traction * self._neumann_unit_pattern(nbc)
         return self.solve(rhs, fixed, sval)
+
+    # ------------------------------------------------------------------ #
+    # geometric-nonlinear analysis (the multi-block twin of FEMSystem.solve;
+    # ref: stiffnessMtrx.py:647-822)
+    # ------------------------------------------------------------------ #
+    def _advance_inc(self, rhs, fixed, sval, on_newton=None):
+        """One nonlinear load increment: the shared Newton state machine
+        driven by the multi-block evaluator."""
+        from femcy_tpu.system import run_newton
+
+        newton_count = {"n": -1}
+
+        def evaluate(dof):
+            dof, values, residual, res = self._jit_newton_eval(
+                self._arrs, dof, rhs, fixed, sval
+            )
+            newton_count["n"] += 1
+            if on_newton is not None:
+                self.dof = dof
+                on_newton(self, newton_count["n"], float(res))
+            return dof, values, residual, float(res)
+
+        def lin_solve(values, residual, reuse=None):
+            return self._solve_values(values, residual)
+
+        def finish(dof):
+            self.dof = dof
+
+        converged, loops, res, self._ini_residual = run_newton(
+            self.dof, evaluate, lin_solve, finish, self.config,
+            self._ini_residual,
+        )
+        return converged, loops, res
+
+    def solve_nonlinear(
+        self,
+        model,
+        user_dirichlet=None,
+        on_increment=None,
+        on_newton=None,
+    ):
+        """Adaptive-load-stepping geometric-nonlinear analysis over all
+        blocks: dt/4 cutback with dof rollback, 1.5x growth after fast
+        convergence, min_inc abort -- the exact FEMSystem.solve state machine
+        (ref: stiffnessMtrx.py:647-711).  Returns a SolveReport.
+        """
+        from femcy_tpu.system import IncrementRecord, SolveReport
+
+        t_start = _time.time()
+        cfg = self.config
+        self.geometric_nonlinear = True
+        incs = model.time_incs
+        max_time = incs["max_time"]
+        min_inc = incs["min_inc"]
+        max_inc = incs["max_inc"]
+        self.dt = incs["ini_inc"]
+        self.time0 = self.time1 = 0.0
+        self.dof = jnp.zeros(self.n_dof)
+        # build_dirichlet_arrays only touches n_dof/dm/nodes of its mesh
+        mesh_view = SimpleNamespace(
+            n_dof=self.n_dof, dm=self.dm, nodes=self.nodes
+        )
+        nbcs = getattr(model, "neumann_bcs", [])
+        patterns = (
+            np.stack([self._neumann_unit_pattern(nbc) for nbc in nbcs])
+            if nbcs
+            else np.zeros((0, self.n_dof))
+        )
+        tractions_d = jnp.asarray(np.array([nbc.traction for nbc in nbcs]))
+        patterns_d = jnp.asarray(patterns)
+
+        records = []
+        dof_old = self.dof
+        kinc = -1
+        success = True
+        message = "converged"
+
+        while self.time1 < max_time:
+            kinc += 1
+            self.time1 = min(self.time0 + self.dt, max_time)
+            load_ratio = self.time1 / max_time
+            fixed, sval = bc_mod.build_dirichlet_arrays(
+                model.dirichlet_bcs, mesh_view, self.time1, load_ratio,
+                user_dirichlet,
+            )
+            if patterns.shape[0]:
+                rhs = jnp.einsum(
+                    "b,bn->n", tractions_d * load_ratio, patterns_d
+                )
+            else:
+                rhs = jnp.zeros(self.n_dof)
+
+            converged, newton_loops, res = self._advance_inc(
+                rhs, jnp.asarray(fixed), jnp.asarray(sval), on_newton
+            )
+
+            if not converged:
+                # cut back (ref: stiffnessMtrx.py:692-701)
+                self.time1 = self.time0
+                self.dt *= cfg.dt_cutback
+                self.dof = dof_old
+                kinc -= 1
+                records.append(IncrementRecord(
+                    kinc + 1, self.time0, self.dt, newton_loops, res, False
+                ))
+                if self.dt < min_inc:
+                    success = False
+                    message = (
+                        "allowable minimum dt reached; Newton's method did "
+                        "not converge"
+                    )
+                    break
+                continue
+
+            if newton_loops <= cfg.newton_fast_iters:
+                self.dt = min(self.dt * cfg.dt_growth, max_inc)
+            dof_old = self.dof
+            self.time0 = self.time1
+            records.append(IncrementRecord(
+                kinc, self.time1, self.dt, newton_loops, res, True
+            ))
+            if on_increment is not None:
+                on_increment(self, records[-1])
+
+        self.last_report = SolveReport(
+            success=success,
+            increments=records,
+            wall_time=_time.time() - t_start,
+            message=message,
+        )
+        return self.last_report
 
     # ------------------------------------------------------------------ #
     def block_mesh(self, bi: int):
@@ -283,37 +497,47 @@ class MultiBlockSystem:
 
     def elastic_energy(self) -> float:
         """Total elastic energy summed over blocks: each block's own
-        material psi(F) integrated with its GP volumes (the linear twin of
-        FEMSystem.elastic_energy; ref: stiffnessMtrx.py:592-606)."""
+        material psi(F) integrated with its GP volumes (initial-configuration
+        volumes for linear analyses, current-configuration for nonlinear --
+        the configuration the last assembly used, like FEMSystem;
+        ref: stiffnessMtrx.py:592-606)."""
         a = self._arrs
+        coords = a["nodes"]
+        if self.geometric_nonlinear:
+            coords = coords + self.dof.reshape(-1, self.dm)
         total = 0.0
         for bi, blk in enumerate(self.blocks):
-            dsdX0, vol = assembly.gradients_and_volume(
-                a["nodes"], a[f"elements_{bi}"], a[f"dN_{bi}"], a[f"w_{bi}"]
-            )
             F = assembly.deformation_gradient(
-                self.dof, a[f"elements_{bi}"], dsdX0
+                self.dof, a[f"elements_{bi}"], a[f"dsdX0_{bi}"]
+            )
+            _, vol = assembly.gradients_and_volume(
+                coords, a[f"elements_{bi}"], a[f"dN_{bi}"], a[f"w_{bi}"]
             )
             dens = assembly.gp_energy_density(F, blk.material)
             total += float(jnp.sum(dens * vol))
         return total
 
-    def block_stress(self, bi: int):
-        """(strain, cauchy stress, mises) per (element, GP) of block bi
-        (small-deformation recovery, like the linear reference path)."""
+    def block_stress(self, bi: int, large: Optional[bool] = None):
+        """(strain, cauchy stress, mises) per (element, GP) of block bi.
+
+        ``large`` selects small-strain vs Green-strain recovery
+        (ref: stiffnessMtrx.py:559-589); defaults to the analysis mode of the
+        last solve."""
         from femcy_tpu.system import mises_stress
 
+        if large is None:
+            large = self.geometric_nonlinear
         blk = self.blocks[bi]
         a = self._arrs
-        dsdX0, _ = assembly.gradients_and_volume(
-            a["nodes"], a[f"elements_{bi}"], a[f"dN_{bi}"], a[f"w_{bi}"]
-        )
         F = assembly.deformation_gradient(
-            self.dof, a[f"elements_{bi}"], dsdX0
+            self.dof, a[f"elements_{bi}"], a[f"dsdX0_{bi}"]
         )
         eye = jnp.eye(self.dm)
-        strain = (F + jnp.swapaxes(F, -1, -2)) / 2.0 - eye
-        stress = assembly.gp_stress(F, blk.material, large=False)
+        if large:
+            strain = (jnp.swapaxes(F, -1, -2) @ F - eye) / 2.0
+        else:
+            strain = (F + jnp.swapaxes(F, -1, -2)) / 2.0 - eye
+        stress = assembly.gp_stress(F, blk.material, large=large)
         return strain, stress, mises_stress(stress, blk.material)
 
 

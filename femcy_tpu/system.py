@@ -69,6 +69,108 @@ def _rms(x):
     return jnp.sqrt(jnp.sum(x * x) / x.shape[0])
 
 
+def run_newton(dof0, evaluate, lin_solve, finish, cfg, ini_residual):
+    """The Newton-Raphson state machine with boost/relax line search
+    (ref: stiffnessMtrx.py:756-822), abstracted over three callables so every
+    solver configuration (single-device, fused, sharded, multi-block) drives
+    the exact same heuristics:
+
+    evaluate(dof) -> (dof, values, residual, rms)
+        pin prescribed dofs, assemble residual + tangent
+    lin_solve(values, residual, reuse=None) -> du
+        the Newton linear solve
+    finish(dof)
+        persist the working dof into the owning system
+
+    ``ini_residual`` is the caller's process-lifetime initial-residual cache
+    (the reference quirk, stiffnessMtrx.py:760-762); pass the current value
+    (or None) and store the returned one.
+
+    Returns (converged, newton_loops, final_residual, ini_residual).
+    """
+    dof, values, residual, pre_residual = evaluate(dof0)
+    if ini_residual is None:
+        # cached for the whole analysis (parity with the reference's
+        # process-lifetime cache, stiffnessMtrx.py:760-762)
+        ini_residual = pre_residual
+    if cfg.newton_residual_ref == "increment":
+        # sane default: measure convergence against THIS increment's
+        # initial unbalance (the reference's global cache lets later
+        # increments skip Newton entirely and accumulate error)
+        ini = pre_residual
+    else:
+        ini = ini_residual
+    if cfg.verbose:
+        logger.info("initial residual = %.6e (ini=%.6e)", pre_residual, ini)
+
+    newton_loop = 0
+    residual_val = pre_residual
+    # modified Newton: one LU per increment, refreshed on stall
+    # (config.newton_jacobian_reuse; the dict is threaded through
+    # _solve_linear_system's direct path)
+    reuse = {} if cfg.newton_jacobian_reuse == "increment" else None
+    if ini >= cfg.newton_abs_tol:
+        newton_loop = -1
+        while pre_residual / (ini + 1.0e-30) >= cfg.newton_rel_tol:
+            newton_loop += 1
+            if newton_loop >= cfg.newton_max_iters:
+                finish(dof)
+                return False, newton_loop, pre_residual, ini_residual
+
+            du = lin_solve(values, residual, reuse=reuse)
+            dof = dof - du
+            dof, values, residual, residual_val = evaluate(dof)
+            if np.isnan(residual_val):
+                logger.warning("NaN residual; cutting back time step")
+                finish(dof)
+                return False, newton_loop, residual_val, ini_residual
+            if cfg.verbose:
+                logger.info(
+                    "newton %d residual=%.6e", newton_loop, residual_val
+                )
+
+            # boost: keep stepping while the residual declines
+            # (ref: stiffnessMtrx.py:792-807)
+            boost_loop = -1
+            relaxation = 1.0
+            while 0.1 * pre_residual < residual_val < pre_residual:
+                new_residual = residual_val
+                boost_loop += 1
+                if boost_loop >= cfg.newton_boost_max:
+                    break
+                dof = dof - relaxation * du
+                dof, values, residual, residual_val = evaluate(dof)
+                if residual_val > new_residual:
+                    dof = dof + relaxation * du
+                    dof, values, residual, residual_val = evaluate(dof)
+                    relaxation *= 0.5
+
+            # relaxation: back off when the residual grows
+            # (ref: stiffnessMtrx.py:809-819)
+            relax_loop = -1
+            relaxation = 0.5
+            while residual_val > pre_residual:
+                relax_loop += 1
+                if relax_loop >= cfg.newton_relax_max:
+                    break
+                dof = dof + (1.0 - relaxation) * du
+                du = relaxation * du
+                dof, values, residual, residual_val = evaluate(dof)
+
+            if (
+                reuse is not None
+                and residual_val > cfg.newton_reuse_stall * pre_residual
+            ):
+                # stale-Jacobian convergence stalled: refactorize with
+                # the freshly assembled tangent on the next solve
+                reuse["refresh"] = True
+            pre_residual = residual_val
+        newton_loop = max(newton_loop, 0)
+
+    finish(dof)
+    return True, newton_loop, residual_val, ini_residual
+
+
 class FEMSystem:
     """Assemble and solve one body with one material.
 
@@ -917,87 +1019,10 @@ class FEMSystem:
             def finish(dof):
                 self.dof = dof
 
-        dof, values, residual, pre_residual = evaluate(dof0)
-        if self._ini_residual is None:
-            # cached for the whole analysis (parity with the reference's
-            # process-lifetime cache, stiffnessMtrx.py:760-762)
-            self._ini_residual = pre_residual
-        if cfg.newton_residual_ref == "increment":
-            # sane default: measure convergence against THIS increment's
-            # initial unbalance (the reference's global cache lets later
-            # increments skip Newton entirely and accumulate error)
-            ini = pre_residual
-        else:
-            ini = self._ini_residual
-        if cfg.verbose:
-            logger.info("initial residual = %.6e (ini=%.6e)", pre_residual, ini)
-
-        newton_loop = 0
-        residual_val = pre_residual
-        # modified Newton: one LU per increment, refreshed on stall
-        # (config.newton_jacobian_reuse; the dict is threaded through
-        # _solve_linear_system's direct path)
-        reuse = {} if cfg.newton_jacobian_reuse == "increment" else None
-        if ini >= cfg.newton_abs_tol:
-            newton_loop = -1
-            while pre_residual / (ini + 1.0e-30) >= cfg.newton_rel_tol:
-                newton_loop += 1
-                if newton_loop >= cfg.newton_max_iters:
-                    finish(dof)
-                    return False, newton_loop, pre_residual
-
-                du = lin_solve(values, residual, reuse=reuse)
-                dof = dof - du
-                dof, values, residual, residual_val = evaluate(dof)
-                if np.isnan(residual_val):
-                    logger.warning("NaN residual; cutting back time step")
-                    finish(dof)
-                    return False, newton_loop, residual_val
-                if cfg.verbose:
-                    logger.info(
-                        "newton %d residual=%.6e", newton_loop, residual_val
-                    )
-
-                # boost: keep stepping while the residual declines
-                # (ref: stiffnessMtrx.py:792-807)
-                boost_loop = -1
-                relaxation = 1.0
-                while 0.1 * pre_residual < residual_val < pre_residual:
-                    new_residual = residual_val
-                    boost_loop += 1
-                    if boost_loop >= cfg.newton_boost_max:
-                        break
-                    dof = dof - relaxation * du
-                    dof, values, residual, residual_val = evaluate(dof)
-                    if residual_val > new_residual:
-                        dof = dof + relaxation * du
-                        dof, values, residual, residual_val = evaluate(dof)
-                        relaxation *= 0.5
-
-                # relaxation: back off when the residual grows
-                # (ref: stiffnessMtrx.py:809-819)
-                relax_loop = -1
-                relaxation = 0.5
-                while residual_val > pre_residual:
-                    relax_loop += 1
-                    if relax_loop >= cfg.newton_relax_max:
-                        break
-                    dof = dof + (1.0 - relaxation) * du
-                    du = relaxation * du
-                    dof, values, residual, residual_val = evaluate(dof)
-
-                if (
-                    reuse is not None
-                    and residual_val > cfg.newton_reuse_stall * pre_residual
-                ):
-                    # stale-Jacobian convergence stalled: refactorize with
-                    # the freshly assembled tangent on the next solve
-                    reuse["refresh"] = True
-                pre_residual = residual_val
-            newton_loop = max(newton_loop, 0)
-
-        finish(dof)
-        return True, newton_loop, residual_val
+        converged, newton_loop, residual_val, self._ini_residual = run_newton(
+            dof0, evaluate, lin_solve, finish, cfg, self._ini_residual
+        )
+        return converged, newton_loop, residual_val
 
     # ------------------------------------------------------------------ #
     # post-processing (ref: stiffnessMtrx.py:436-606)

@@ -369,14 +369,230 @@ def test_cli_multiblock_end_to_end(tmp_path, capsys):
     assert len(data["col"]) == expect
 
 
-def test_cli_multiblock_rejects_nonlinear(tmp_path, capsys):
+def test_cli_multiblock_nonlinear(tmp_path, capsys):
+    """The CLI runs geometric-nonlinear multi-block analyses end-to-end
+    (previously rejected with 'linear analyses only')."""
     from femcy_tpu.cli import main as cli_main
 
     inp = tmp_path / "mixed_nl.inp"
     _write_mixed_neumann_inp(inp, nlgeom_no=False)  # bare *Step => nlgeom
-    rc = cli_main([str(inp)])
-    assert rc == 2
-    assert "linear analyses only" in capsys.readouterr().err
+    rc = cli_main([str(inp), "--stress", "0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "geometric_nonlinear=True" in out
+    assert "converged" in out
+    # nu=0 series bar under end traction 5: the small-strain answer is
+    # sxx = 5 everywhere; finite-deformation corrections stay ~1%
+    sxx = float(
+        [l for l in out.splitlines() if "max |stress[00]|" in l][0]
+        .split("=")[1]
+    )
+    np.testing.assert_allclose(sxx, 5.0, rtol=2e-2)
+    u = float(
+        [l for l in out.splitlines() if "max |dof|" in l][0].split("=")[1]
+    )
+    np.testing.assert_allclose(u, 5.0 / 100.0 + 5.0 / 300.0, rtol=8e-2)
+
+
+def test_nonlinear_single_block_matches_femsystem(tmp_path):
+    """A one-block MultiBlockSystem must reproduce FEMSystem's nonlinear
+    analysis EXACTLY (same Newton state machine, same evaluations): identical
+    increment/Newton history and displacement field."""
+    import jax.numpy as jnp
+
+    from femcy_tpu import FEMesh, FEMSystem, SolverConfig
+    from femcy_tpu.io.inp import DirichletBC, InpModel, NeumannBC
+    from femcy_tpu.materials import LinearIsotropicPlaneStress
+
+    nx, ny, lx, ly = 6, 2, 3.0, 1.0
+    xs = np.linspace(0.0, lx, nx + 1)
+    ys = np.linspace(0.0, ly, ny + 1)
+    nodes = np.array([[x, y] for x in xs for y in ys])
+
+    def nid(i, j):
+        return i * (ny + 1) + j
+
+    quads = np.asarray(
+        [
+            [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)]
+            for i in range(nx)
+            for j in range(ny)
+        ],
+        np.int32,
+    )
+    mat = LinearIsotropicPlaneStress(1000.0, 0.3)
+    mesh = FEMesh(nodes, quads, get_element("CPS4"))
+    left = np.nonzero(nodes[:, 0] < 1e-12)[0]
+    right = np.nonzero(nodes[:, 0] > lx - 1e-12)[0]
+    rset = set(right.tolist())
+    tip_faces = [f for f in mesh.boundary if all(n in rset for n in f)]
+    inp = InpModel(
+        nodes=nodes, elements=quads, element_type="CPS4",
+        node_sets={}, ele_sets={}, face_sets={},
+        dirichlet_bcs=[DirichletBC(left, d, 0.0) for d in range(2)],
+        neumann_bcs=[NeumannBC(
+            face_set=tip_faces, traction=4.0,
+            direction=np.array([0.0, 1.0]),
+        )],
+        material_type="Elastic", material_params=[1000.0, 0.3],
+        geometric_nonlinear=True,
+        time_incs=dict(ini_inc=0.5, max_time=1.0, min_inc=1e-4, max_inc=0.5),
+    )
+
+    ref = FEMSystem(mesh, mat, geometric_nonlinear=True,
+                    config=SolverConfig())
+    ref_report = ref.solve(inp)
+    assert ref_report.success
+
+    mb = MultiBlockSystem(
+        nodes, [ElementBlock(quads, get_element("CPS4"), mat)]
+    )
+    mb_report = mb.solve_nonlinear(inp)
+    assert mb_report.success
+    assert mb_report.n_increments == ref_report.n_increments
+    assert [r.newton_iters for r in mb_report.increments] == [
+        r.newton_iters for r in ref_report.increments
+    ]
+    np.testing.assert_allclose(
+        np.asarray(mb.dof), np.asarray(ref.dof), rtol=1e-9, atol=1e-14
+    )
+    # large-deformation stress recovery matches too
+    _, ref_stress, ref_mises = ref.compute_strain_stress()
+    _, mb_stress, mb_mises = mb.block_stress(0)
+    np.testing.assert_allclose(
+        np.asarray(mb_stress), np.asarray(ref_stress), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        mb.elastic_energy(), ref.elastic_energy(), rtol=1e-9
+    )
+
+
+def test_nonlinear_mixed_type_two_material(tmp_path):
+    """Geometric-nonlinear analysis of the CPS4+CPS3 two-material series bar:
+    converges, and at a small load the answer approaches the linear series-
+    spring solution while keeping interface compatibility."""
+    inp_path = tmp_path / "mixed_nl.inp"
+    _write_mixed_neumann_inp(inp_path, nlgeom_no=False)
+    model = read_inp_multi(str(inp_path))
+    assert model.geometric_nonlinear
+
+    # scale the traction down so the geometrically-nonlinear answer is
+    # within ~0.2% of the linear one
+    model.neumann_bcs[0] = __import__("dataclasses").replace(
+        model.neumann_bcs[0], traction=0.5
+    )
+    system = system_from_model(model)
+    dof = np.asarray(system.solve_model(model))
+    report = system.last_report
+    assert report.success
+    assert all(r.converged for r in report.increments)
+    assert report.increments[-1].residual < 1e-2
+
+    nodes, _, _, _ = _mixed_rect(4, 2)
+    interface = np.nonzero(np.abs(nodes[:, 0] - 1.0) < 1e-12)[0]
+    right = np.nonzero(nodes[:, 0] > 2.0 - 1e-12)[0]
+    np.testing.assert_allclose(
+        dof[interface * 2], 0.5 / 100.0, rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        dof[right * 2], 0.5 / 100.0 + 0.5 / 300.0, rtol=2e-3
+    )
+    # both blocks carry the same axial Cauchy stress (equilibrium across
+    # the material interface)
+    s0 = np.asarray(system.block_stress(0)[1])[:, :, 0, 0]
+    s1 = np.asarray(system.block_stress(1)[1])[:, :, 0, 0]
+    np.testing.assert_allclose(s0.mean(), s1.mean(), rtol=5e-3)
+    # Cauchy stress vs the nominal traction differs by the area change (~1%)
+    np.testing.assert_allclose(s0.mean(), 0.5, rtol=2e-2)
+
+
+def test_nonlinear_neo_hookean_steel_sandwich():
+    """3D two-material nonlinear bar: left half compressible neo-Hookean
+    rubber, right half stiff linear-elastic steel, 10% end stretch with
+    nlgeom.  The rubber absorbs nearly the whole stretch and the axial
+    Cauchy stress is continuous across the material interface."""
+    from types import SimpleNamespace
+
+    from femcy_tpu.materials import LinearIsotropic, NeoHookean
+
+    nx, ny, nz, lx = 4, 2, 2, 2.0
+    xs = np.linspace(0.0, lx, nx + 1)
+    ys = np.linspace(0.0, 1.0, ny + 1)
+    zs = np.linspace(0.0, 1.0, nz + 1)
+    nodes = np.array([[x, y, z] for x in xs for y in ys for z in zs])
+
+    def nid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    left_hexes, right_hexes = [], []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                # Abaqus C3D8 node order: bottom face CCW, then top face
+                conn = [
+                    nid(i, j, k), nid(i + 1, j, k),
+                    nid(i + 1, j + 1, k), nid(i, j + 1, k),
+                    nid(i, j, k + 1), nid(i + 1, j, k + 1),
+                    nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1),
+                ]
+                (left_hexes if i < nx // 2 else right_hexes).append(conn)
+    rubber = NeoHookean(C1=0.4, D1=0.5)     # mu=0.8, K=1.0 -> E ~ 1.9
+    steel = LinearIsotropic(1000.0, 0.3)
+    system = MultiBlockSystem(
+        nodes,
+        [
+            ElementBlock(
+                np.asarray(left_hexes, np.int32),
+                get_element("C3D8"), rubber, "rubber",
+            ),
+            ElementBlock(
+                np.asarray(right_hexes, np.int32),
+                get_element("C3D8"), steel, "steel",
+            ),
+        ],
+    )
+    left_n = np.nonzero(nodes[:, 0] < 1e-12)[0]
+    right_n = np.nonzero(nodes[:, 0] > lx - 1e-12)[0]
+    from femcy_tpu.io.inp import DirichletBC
+
+    def run(stretch):
+        model = SimpleNamespace(
+            dirichlet_bcs=(
+                [DirichletBC(left_n, d, 0.0) for d in range(3)]
+                + [DirichletBC(right_n, 0, stretch),
+                   DirichletBC(right_n, 1, 0.0),
+                   DirichletBC(right_n, 2, 0.0)]
+            ),
+            neumann_bcs=[],
+            geometric_nonlinear=True,
+            time_incs=dict(
+                ini_inc=0.5, max_time=1.0, min_inc=1e-4, max_inc=0.5
+            ),
+        )
+        system._ini_residual = None
+        report = system.solve_nonlinear(model)
+        assert report.success
+        return np.asarray(system.dof)
+
+    interface = np.nonzero(np.abs(nodes[:, 0] - lx / 2) < 1e-12)[0]
+
+    # small stretch: near-uniaxial state -- interface equilibrium pins the
+    # mean axial Cauchy stress of both materials to each other
+    dof = run(0.02)
+    assert dof[interface * 3].min() > 0.95 * 0.02
+    s_rubber = np.asarray(system.block_stress(0)[1])[:, :, 0, 0]
+    s_steel = np.asarray(system.block_stress(1)[1])[:, :, 0, 0]
+    np.testing.assert_allclose(s_rubber.mean(), s_steel.mean(), rtol=5e-2)
+    assert s_rubber.mean() > 0  # tension
+
+    # 10% global stretch (~20% in the rubber): finite deformation with the
+    # clamped ends driving a genuinely 3D state near the interface
+    dof = run(0.2)
+    assert dof[interface * 3].min() > 0.95 * 0.2
+    s_rubber = np.asarray(system.block_stress(0)[1])[:, :, 0, 0]
+    assert s_rubber.mean() > 0
+    e = system.elastic_energy()
+    assert np.isfinite(e) and e > 0
 
 
 def test_solve_model_with_neumann(tmp_path):
@@ -407,10 +623,14 @@ def test_solve_model_with_neumann(tmp_path):
         ),
         rightcol=", ".join(str(nq + i + 1) for i in right_tris),
     )
+    # this test pins the LINEAR series-bar answer (bare *Step defaults to
+    # nlgeom per the reference quirk, and solve_model now honors it)
+    txt = txt.replace("*Step", "*Step, nlgeom=NO", 1)
     path = tmp_path / "mixed_neumann.inp"
     path.write_text(txt)
 
     model = read_inp_multi(str(path))
+    assert not model.geometric_nonlinear
     assert model.materials["rubber"][1][0] == 100.0  # UPPERCASE *MATERIAL
     assert len(model.neumann_bcs) == 1
     assert model.neumann_bcs[0].traction == 5.0

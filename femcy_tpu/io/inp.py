@@ -124,6 +124,12 @@ class InpBlockModel:
         default_factory=dict
     )
     neumann_bcs: List[NeumannBC] = dataclasses.field(default_factory=list)
+    #: standalone *Elset blocks (0-based file element ids); used to resolve
+    #: *Solid Section assignments written in the Abaqus-CAE layout
+    ele_sets: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    #: per block, the 0-based file ids of its elements (file id - 1, the
+    #: reference's blanket renumbering at inp_info.py:164-167)
+    block_element_ids: Optional[List[np.ndarray]] = None
 
     @property
     def dm(self) -> int:
@@ -131,16 +137,37 @@ class InpBlockModel:
 
     def material_of_block(self, bi: int) -> Tuple[str, List[float]]:
         """Resolve block bi's material via its elset's *Solid Section;
-        models with a single material fall back to it (the reference's
-        only mode)."""
+        blocks without an inline ``elset=`` resolve through any standalone
+        ``*Elset`` containing all of the block's elements (the Abaqus-CAE
+        layout); models with a single material fall back to it (the
+        reference's only mode)."""
         _, elset, _ = self.element_blocks[bi]
         key = elset.lower()
         sections = {k.lower(): v for k, v in self.sections.items()}
+        mats = {k.lower(): v for k, v in self.materials.items()}
         if key in sections:
-            mats = {k.lower(): v for k, v in self.materials.items()}
             name = sections[key].lower()
             if name in mats:
                 return mats[name]
+        if self.block_element_ids is not None and self.ele_sets:
+            ids = self.block_element_ids[bi]
+            elsets = {k.lower(): v for k, v in self.ele_sets.items()}
+            resolved = []
+            for sec_elset, mat_name in sections.items():
+                members = elsets.get(sec_elset)
+                if (
+                    members is not None
+                    and mat_name.lower() in mats
+                    and np.isin(ids, members).all()
+                ):
+                    resolved.append(mat_name.lower())
+            if len(set(resolved)) == 1:
+                return mats[resolved[0]]
+            if len(set(resolved)) > 1:
+                raise ValueError(
+                    f"element block {bi} (elset={elset!r}) is covered by "
+                    f"*Solid Sections with different materials {resolved}"
+                )
         if len(self.materials) == 1:
             return next(iter(self.materials.values()))
         raise ValueError(
@@ -204,30 +231,93 @@ def read_inp_multi(file_name: str) -> InpBlockModel:
     nodes, key2id = _sequence_nodes(nodes_dict)
     raw_blocks = _read_element_blocks(lines)
     blocks = []
-    for etype, elset, arr in raw_blocks:
+    block_ids = []
+    for etype, elset, arr, ids in raw_blocks:
         conv = np.vectorize(key2id.__getitem__, otypes=[np.int64])(arr)
         blocks.append((etype, elset, conv.astype(np.int32)))
-    node_sets, ele_sets = _read_sets(lines, key2id)
+        block_ids.append(ids)
+    # beyond the reference's quirk: the multi-block schema also accepts
+    # plain *Nset/*Elset lines (no "instance" mention required)
+    node_sets, ele_sets = _read_sets(lines, key2id, require_instance=False)
+    sections = _read_sections(lines)
+    blocks, block_ids = _split_blocks_by_sections(
+        blocks, block_ids, sections, ele_sets
+    )
     dirichlet_bcs = _read_dirichlet(lines, node_sets)
-    face_sets = _read_face_sets_multi(lines, blocks, ele_sets)
+    face_sets = _read_face_sets_multi(lines, blocks, ele_sets, block_ids)
     return InpBlockModel(
         nodes=nodes,
         element_blocks=blocks,
         materials=_read_materials_named(lines),
-        sections=_read_sections(lines),
+        sections=sections,
         node_sets=node_sets,
         dirichlet_bcs=dirichlet_bcs,
         geometric_nonlinear=_read_nlgeom(lines),
         time_incs=_read_time_incs(lines),
         face_sets=face_sets,
         neumann_bcs=_read_neumann(lines, face_sets),
+        ele_sets=ele_sets,
+        block_element_ids=block_ids,
     )
+
+
+def _split_blocks_by_sections(
+    blocks: List[Tuple[str, str, np.ndarray]],
+    block_ids: List[np.ndarray],
+    sections: Dict[str, str],
+    ele_sets: Dict[str, np.ndarray],
+) -> Tuple[List[Tuple[str, str, np.ndarray]], List[np.ndarray]]:
+    """Split ``*Element`` blocks addressed by more than one ``*Solid
+    Section`` elset — the Abaqus-CAE layout, where a part is ONE *Element
+    block and materials are assigned through standalone *Elset blocks.
+
+    Blocks whose keyword line names an elset with its own section are left
+    whole (the inline layout); others are partitioned by the section elsets
+    that intersect them, any uncovered remainder staying an anonymous block
+    (resolvable only when the model has a single material)."""
+    inline = {k.lower() for k in sections}
+    elsets_l = {k.lower(): v for k, v in ele_sets.items()}
+    out_blocks: List[Tuple[str, str, np.ndarray]] = []
+    out_ids: List[np.ndarray] = []
+    for (etype, elset, conn), ids in zip(blocks, block_ids):
+        if elset and elset.lower() in inline:
+            out_blocks.append((etype, elset, conn))
+            out_ids.append(ids)
+            continue
+        hits = []
+        for sec_elset in sections:
+            members = elsets_l.get(sec_elset.lower())
+            if members is None:
+                continue
+            mask = np.isin(ids, members)
+            if mask.any():
+                hits.append((sec_elset, mask))
+        if len(hits) <= 1:
+            out_blocks.append((etype, elset, conn))
+            out_ids.append(ids)
+            continue
+        covered = np.zeros(ids.shape[0], dtype=bool)
+        for sec_elset, mask in hits:
+            dup = mask & covered
+            if dup.any():
+                raise ValueError(
+                    f"element(s) {ids[dup][:5] + 1} are claimed by more "
+                    "than one *Solid Section elset"
+                )
+            covered |= mask
+            out_blocks.append((etype, sec_elset, conn[mask]))
+            out_ids.append(ids[mask])
+        if not covered.all():
+            out_blocks.append((etype, "", conn[~covered]))
+            out_ids.append(ids[~covered])
+    return out_blocks, out_ids
 
 
 def _read_element_blocks(
     lines: Sequence[str],
-) -> List[Tuple[str, str, np.ndarray]]:
-    """Every supported ``*Element`` block, in file order, with elset name."""
+) -> List[Tuple[str, str, np.ndarray, np.ndarray]]:
+    """Every supported ``*Element`` block, in file order, with elset name
+    and the block's 0-based file element ids (file id - 1)."""
     blocks: List[Tuple[str, str, List[int]]] = []
     current: Optional[List[int]] = None
     for line in lines:
@@ -258,7 +348,7 @@ def _read_element_blocks(
     for etype, elset, flat in blocks:
         row, keep = _ROW_WIDTHS[etype]
         arr = np.asarray(flat, dtype=np.int64).reshape(-1, row)
-        out.append((etype, elset, arr[:, 1 : 1 + keep]))
+        out.append((etype, elset, arr[:, 1 : 1 + keep], arr[:, 0] - 1))
     return out
 
 
@@ -374,8 +464,14 @@ def _sequence_nodes(nodes: Dict[int, List[float]]) -> Tuple[np.ndarray, Dict[int
 
 
 def _read_sets(
-    lines: Sequence[str], key2id: Dict[int, int]
+    lines: Sequence[str],
+    key2id: Dict[int, int],
+    require_instance: bool = True,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """``require_instance=True`` keeps the reference's quirk of only
+    collecting sets whose keyword line mentions ``instance``
+    (inp_info.py:140); the multi-block reader passes False and accepts the
+    plain ``*Nset/*Elset`` layout too."""
     node_sets: Dict[str, set] = {}
     ele_sets: Dict[str, set] = {}
     target: Optional[set] = None
@@ -386,7 +482,9 @@ def _read_sets(
             continue
         if line[:1] == "*":
             toks = _split(line)
-            if toks[0] in ("*Nset", "*Elset") and "instance" in line:
+            if toks[0] in ("*Nset", "*Elset") and (
+                "instance" in line or not require_instance
+            ):
                 name = toks[1].split("=")[1]
                 is_node_set = toks[0] == "*Nset"
                 sets = node_sets if is_node_set else ele_sets
@@ -463,18 +561,23 @@ def _read_face_sets_multi(
     lines: Sequence[str],
     blocks: List[Tuple[str, str, np.ndarray]],
     ele_sets: Dict[str, np.ndarray],
+    block_ids: List[np.ndarray],
 ) -> Dict[str, List[Tuple[int, ...]]]:
     """``*Surface`` expansion for multi-block models.
 
-    A global element id (file order, like the reference's blanket -1 at
-    inp_info.py:164-167) maps to (block, local row) by cumulative block
-    sizes; each block's OWN element type supplies the Abaqus face-number
-    -> facet-node map, so surfaces may span blocks of different types.
+    A 0-based file element id (the reference's blanket -1 at
+    inp_info.py:164-167) maps to (block, local row) through the blocks'
+    own id arrays; each block's OWN element type supplies the Abaqus
+    face-number -> facet-node map, so surfaces may span blocks of
+    different types.
     """
     raw = _read_raw_surfaces(lines)
     if not raw:
         return {}
-    offsets = np.cumsum([0] + [arr.shape[0] for _, _, arr in blocks])
+    id2loc: Dict[int, Tuple[int, int]] = {}
+    for bi, ids in enumerate(block_ids):
+        for row, eid in enumerate(ids.tolist()):
+            id2loc[eid] = (bi, row)
     ele_cache: Dict[str, ElementType] = {}
 
     def _ele(etype: str) -> ElementType:
@@ -488,9 +591,9 @@ def _read_face_sets_multi(
         for ele_set_name, face_tag in entries:
             fnum = int(face_tag.split("S")[1]) - 1
             for iele in ele_sets[ele_set_name]:
-                bi = int(np.searchsorted(offsets, iele, side="right")) - 1
+                bi, row = id2loc[int(iele)]
                 etype, _, conn = blocks[bi]
-                elem = conn[int(iele) - int(offsets[bi])]
+                elem = conn[row]
                 for local_nodes in _ele(etype).inp_surface_num[fnum]:
                     facets.add(
                         tuple(sorted(int(elem[ln]) for ln in local_nodes))

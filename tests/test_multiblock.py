@@ -651,3 +651,171 @@ def test_solve_model_with_neumann(tmp_path):
         _, stress, _ = system.block_stress(bi)
         sxx = np.asarray(stress)[:, :, 0, 0]
         np.testing.assert_allclose(sxx, 5.0, rtol=1e-9)
+
+
+# --------------------------------------------------------------------------- #
+# Abaqus-CAE section layout: standalone *Elset + *Solid Section (no inline
+# elset on the *Element keyword line, no "instance" mention on the sets)
+# --------------------------------------------------------------------------- #
+def _cae_layout_deck(sections_block):
+    """The two-material CPS4+CPS3 bar written the way Abaqus CAE writes it:
+    bare *Element blocks, standalone *Elset blocks, *Solid Section mapping."""
+    nid = {}
+    nodes = []
+    k = 1
+    for j in range(3):
+        for i in range(5):
+            nid[(i, j)] = k
+            nodes.append(f"{k}, {i * 0.5}, {j * 0.5}")
+            k += 1
+    quads, tris = [], []
+    e = 1
+    for j in range(2):
+        for i in range(2):
+            n1, n2 = nid[(i, j)], nid[(i + 1, j)]
+            n3, n4 = nid[(i + 1, j + 1)], nid[(i, j + 1)]
+            quads.append(f"{e}, {n1}, {n2}, {n3}, {n4}")
+            e += 1
+    for j in range(2):
+        for i in range(2, 4):
+            n1, n2 = nid[(i, j)], nid[(i + 1, j)]
+            n3, n4 = nid[(i + 1, j + 1)], nid[(i, j + 1)]
+            tris.append(f"{e}, {n1}, {n2}, {n3}")
+            e += 1
+            tris.append(f"{e}, {n1}, {n3}, {n4}")
+            e += 1
+    left = ", ".join(str(nid[(0, j)]) for j in range(3))
+    right = ", ".join(str(nid[(4, j)]) for j in range(3))
+    return (
+        "*Heading\nbar\n*Node\n" + "\n".join(nodes)
+        + "\n*Element, type=CPS4\n" + "\n".join(quads)
+        + "\n*Element, type=CPS3\n" + "\n".join(tris)
+        + sections_block
+        + f"""*Nset, nset=fix
+{left}
+*Nset, nset=pull
+{right}
+*Material, name=hard
+*Elastic
+300., 0.
+*Material, name=soft
+*Elastic
+100., 0.
+*Step, nlgeom=NO
+*Static
+1., 1., 1e-4, 1.
+*Boundary
+fix, 1, 2, 0.
+pull, 1, 1, 0.4
+pull, 2, 2, 0.
+*End Step
+"""
+    )
+
+
+def test_cae_layout_standalone_elset_sections(tmp_path):
+    """Blocks with NO inline elset resolve their material through a
+    standalone *Elset fully containing them (and plain *Nset/*Elset lines
+    without 'instance' are accepted by the multi-block reader)."""
+    path = tmp_path / "cae_plain.inp"
+    path.write_text(
+        _cae_layout_deck(
+            """
+*Elset, elset=setq, generate
+1, 4, 1
+*Elset, elset=sett, generate
+5, 12, 1
+*Solid Section, elset=setq, material=hard
+*Solid Section, elset=sett, material=soft
+"""
+        )
+    )
+    model = read_inp_multi(str(path))
+    assert [(b[0], b[2].shape[0]) for b in model.element_blocks] == [
+        ("CPS4", 4),
+        ("CPS3", 8),
+    ]
+    assert model.material_of_block(0) == ("Elastic", [300.0, 0.0])
+    assert model.material_of_block(1) == ("Elastic", [100.0, 0.0])
+    system = system_from_model(model)
+    dof = np.asarray(system.solve_model(model))
+    # series bar (nu=0): strain partitions 3:1:... check interface u
+    nodes = np.array(
+        [[i * 0.5, j * 0.5] for j in range(3) for i in range(5)]
+    )
+    # hard [0,1] + soft [1,2] under end displacement 0.4:
+    # eps_h*E_h = eps_s*E_s, eps_h + eps_s = 0.4  (unit half-lengths)
+    eps_s = 0.4 / (1.0 + 100.0 / 300.0)
+    interface = np.nonzero(np.abs(nodes[:, 0] - 1.0) < 1e-12)[0]
+    np.testing.assert_allclose(
+        dof[interface * 2], 0.4 - eps_s, rtol=1e-9
+    )
+
+
+def test_cae_layout_block_split_by_sections(tmp_path):
+    """ONE *Element block addressed by two *Solid Section elsets splits
+    into per-section sub-blocks with the right materials."""
+    path = tmp_path / "cae_split.inp"
+    path.write_text(
+        _cae_layout_deck(
+            """
+*Elset, elset=setq, generate
+1, 4, 1
+*Elset, elset=sett1
+5, 6, 9, 10
+*Elset, elset=sett2
+7, 8, 11, 12
+*Solid Section, elset=setq, material=hard
+*Solid Section, elset=sett1, material=hard
+*Solid Section, elset=sett2, material=soft
+"""
+        )
+    )
+    model = read_inp_multi(str(path))
+    assert [(b[0], b[1], b[2].shape[0]) for b in model.element_blocks] == [
+        ("CPS4", "", 4),
+        ("CPS3", "sett1", 4),
+        ("CPS3", "sett2", 4),
+    ]
+    mats = [model.material_of_block(bi)[1][0] for bi in range(3)]
+    assert mats == [300.0, 300.0, 100.0]
+    system = system_from_model(model)
+    dof = np.asarray(system.solve_model(model))
+    # hard on [0,1.5], soft on [1.5,2]: eps_h*3 + eps_s = 0.4 with
+    # eps_h*E_h = eps_s*E_s -> eps_s = 0.4/(1.5/0.5 * (100/300) + 1) ... use
+    # total compliance: u = sxx*(1.5/300 + 0.5/100); sxx = 0.4/(1.5/300+0.5/100)
+    sxx = 0.4 / (1.5 / 300.0 + 0.5 / 100.0)
+    nodes = np.array(
+        [[i * 0.5, j * 0.5] for j in range(3) for i in range(5)]
+    )
+    interface = np.nonzero(np.abs(nodes[:, 0] - 1.5) < 1e-12)[0]
+    np.testing.assert_allclose(
+        dof[interface * 2], sxx * 1.5 / 300.0, rtol=1e-9
+    )
+    for bi, E in enumerate([300.0, 300.0, 100.0]):
+        _, stress, _ = system.block_stress(bi)
+        np.testing.assert_allclose(
+            np.asarray(stress)[:, :, 0, 0], sxx, rtol=1e-9
+        )
+
+
+def test_cae_layout_overlapping_sections_raise(tmp_path):
+    """Two sections claiming the same element is a model error."""
+    path = tmp_path / "cae_dup.inp"
+    path.write_text(
+        _cae_layout_deck(
+            """
+*Elset, elset=setq, generate
+1, 4, 1
+*Elset, elset=sett1, generate
+5, 10, 1
+*Elset, elset=sett2, generate
+9, 12, 1
+*Solid Section, elset=setq, material=hard
+*Solid Section, elset=sett1, material=hard
+*Solid Section, elset=sett2, material=soft
+"""
+        )
+    )
+    with pytest.raises(ValueError, match="more than one"):
+        read_inp_multi(str(path))

@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["secant", "consistent"],
         help="Newton Jacobian (consistent = exact autodiff tangent)",
     )
+    p.add_argument(
+        "--predictor",
+        default="previous",
+        choices=["previous", "extrapolate"],
+        help="increment initial guess (extrapolate = Abaqus-style linear "
+        "extrapolation of the previous solution increment)",
+    )
     p.add_argument("--cg-eps", type=float, default=1.0e-3)
     p.add_argument(
         "--preconditioner",
@@ -131,6 +138,7 @@ def main(argv=None) -> int:
         cg_eps=args.cg_eps,
         preconditioner=args.preconditioner,
         tangent=args.tangent,
+        predictor=args.predictor,
         verbose=args.verbose,
         checkpoint_path=args.checkpoint,
     )
@@ -235,6 +243,7 @@ def _main_multiblock(args, model, t0: float) -> int:
     config = SolverConfig(
         linear_solver=args.solver,
         cg_eps=args.cg_eps,
+        tangent=args.tangent,
         verbose=args.verbose,
     )
     system = system_from_model(model, config)

@@ -142,6 +142,15 @@ class SolverConfig:
     #: line-search reuses the fused program as its evaluator, so each boost
     #: probe pays one (discarded) CG.
     fused_newton: bool = False
+    #: initial guess for each increment's Newton iteration: "previous"
+    #: starts from the last converged state (reference parity -- the
+    #: reference always continues from the current dof); "extrapolate" is
+    #: Abaqus/Standard's default linear extrapolation -- start from
+    #: dof + (dt/dt_prev) * (dof - dof_prev_converged).  Fewer Newton
+    #: iterations on smooth load paths, and it can carry large-rotation
+    #: displacement-driven analyses through states the unpredicted Newton
+    #: cannot reach.  Prescribed dofs are pinned exactly either way.
+    predictor: str = "previous"
     #: what the relative Newton tolerance is measured against:
     #: "increment" (default) = the first residual of each increment;
     #: "global" = the first residual of the whole analysis, cached forever --

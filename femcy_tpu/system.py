@@ -828,6 +828,11 @@ class FEMSystem:
 
         records: List[IncrementRecord] = []
         dof_old = self.dof
+        # linear-extrapolation predictor state (config.predictor): the
+        # previous converged solution and the time step that produced
+        # dof_old from it
+        dof_prev: Optional[jax.Array] = None
+        dt_prev = 0.0
         kinc = -1
         success = True
         message = "converged"
@@ -836,6 +841,14 @@ class FEMSystem:
             kinc += 1
             self.time1 = min(self.time0 + self.dt, max_time)
             load_ratio = self.time1 / max_time
+            if (
+                cfg.predictor == "extrapolate"
+                and self.geometric_nonlinear
+                and dof_prev is not None
+                and dt_prev > 0.0
+            ):
+                alpha = (self.time1 - self.time0) / dt_prev
+                self.dof = dof_old + alpha * (dof_old - dof_prev)
             if cfg.verbose:
                 logger.info(
                     "kinc=%d time0=%.6g dt=%.6g", kinc, self.time0, self.dt
@@ -886,6 +899,7 @@ class FEMSystem:
             # grow dt after fast convergence (ref: stiffnessMtrx.py:702-704)
             if newton_loops <= cfg.newton_fast_iters:
                 self.dt = min(self.dt * cfg.dt_growth, max_inc)
+            dof_prev, dt_prev = dof_old, self.time1 - self.time0
             dof_old = self.dof
             self.time0 = self.time1
             records.append(

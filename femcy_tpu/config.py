@@ -158,6 +158,23 @@ class SolverConfig:
     #: small increments "converge" with zero Newton work and accumulate error.
     newton_residual_ref: str = "increment"
 
+    # --- failure diagnostics ----------------------------------------------
+    #: when a nonlinear analysis aborts (dt cut below min_inc), diagnose WHY
+    #: and append the finding to ``SolveReport.message``: element inversion
+    #: (min det(J)·w over all Gauss points of the failed trial
+    #: configuration), and -- below the dof cap -- the smallest eigenvalue
+    #: of the BC-constrained tangent at the last converged state.
+    #: lambda_min <= 0 (or collapsing toward 0) means a limit/bifurcation
+    #: point (e.g. buckling): load-stepped Newton cannot traverse it at ANY
+    #: dt, so cutting dt further is futile -- use Riks arc-length
+    #: continuation (load-driven folds), stabilization, or stop the schedule
+    #: at the instability.  The reference aborts with no diagnosis
+    #: (stiffnessMtrx.py:698-701).
+    diagnose_failure: bool = True
+    #: skip the eigenvalue probe above this many dofs (it runs a host
+    #: shift-invert eigsh on the assembled tangent)
+    diagnose_eig_max_dof: int = 50_000
+
     # --- observability ----------------------------------------------------
     verbose: bool = False
 

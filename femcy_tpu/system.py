@@ -296,6 +296,9 @@ class FEMSystem:
         self._refine_K = None
         self._refine_reuse: Optional[dict] = None
         self._suppress_cg_warn = False
+        # last Dirichlet (fixed, sval) arrays applied by solve(), kept for
+        # post-hoc diagnostics (tangent_min_eigenvalue)
+        self._last_dirichlet = None
 
         # --- jitted steps ---------------------------------------------------
         self._jit_linear_system = jax.jit(self._linear_system_impl)
@@ -859,6 +862,7 @@ class FEMSystem:
             )
             fixed_d = jnp.asarray(fixed)
             sval_d = jnp.asarray(sval)
+            self._last_dirichlet = (fixed_d, sval_d)
             if patterns.shape[0]:
                 rhs = jnp.einsum("b,bn->n", tractions_d * load_ratio, patterns_d)
             else:
@@ -879,6 +883,7 @@ class FEMSystem:
 
             if not converged:
                 # cut back (ref: stiffnessMtrx.py:692-701)
+                dof_trial = self.dof  # the failed trial state, pre-rollback
                 self.time1 = self.time0
                 self.dt *= cfg.dt_cutback
                 self.dof = dof_old
@@ -892,6 +897,10 @@ class FEMSystem:
                         "allowable minimum dt reached; Newton's method did not "
                         "converge"
                     )
+                    if cfg.diagnose_failure:
+                        diag = self._diagnose_failure(dof_trial, fixed_d, sval_d)
+                        if diag:
+                            message += "; " + diag
                     logger.warning(message)
                     break
                 continue
@@ -1037,6 +1046,124 @@ class FEMSystem:
             dof0, evaluate, lin_solve, finish, cfg, self._ini_residual
         )
         return converged, newton_loop, residual_val
+
+    # ------------------------------------------------------------------ #
+    # failure diagnostics (config.diagnose_failure; no reference
+    # counterpart -- the reference aborts with a bare message,
+    # stiffnessMtrx.py:698-701)
+    # ------------------------------------------------------------------ #
+    def min_element_volume(self, dof=None) -> float:
+        """Smallest det(J)·w over all (element, Gauss point) at the given
+        configuration (default: the current ``self.dof``).  Non-positive
+        means the element is inverted there -- the constitutive evaluation
+        is meaningless and no time step is small enough to fix it."""
+        dof = self.dof if dof is None else jnp.asarray(dof)
+        coords = self._arrs["nodes"] + dof.reshape(-1, self.mesh.dm)
+        _, vol = assembly.gradients_and_volume(
+            coords, self._arrs["elements"], self._arrs["dN"], self._arrs["w"]
+        )
+        return float(jnp.min(vol))
+
+    def tangent_min_eigenvalue(self, fixed=None, sval=None):
+        """Smallest eigenvalue of the BC-constrained Newton tangent at the
+        current ``self.dof`` (host shift-invert Lanczos on the free-dof
+        block).  Negative or ~0 at a converged equilibrium state means a
+        limit/bifurcation point (e.g. buckling): the static branch is
+        unstable and load-stepped Newton cannot advance past it at any dt.
+        Returns None when the tangent is numerically singular (the
+        factorization itself fails -- the strongest form of the same
+        verdict).  ``fixed``/``sval`` default to the last Dirichlet arrays
+        applied by ``solve``."""
+        import scipy.sparse.linalg as spla
+
+        if fixed is None or sval is None:
+            if self._last_dirichlet is None:
+                raise ValueError(
+                    "no Dirichlet state available: pass fixed/sval or call "
+                    "solve() first"
+                )
+            fixed, sval = self._last_dirichlet
+        fixed = jnp.asarray(fixed)
+        sval = jnp.asarray(sval)
+        zeros = jnp.zeros(self.mesh.n_dof)
+        _, values, _, _, _ = self._jit_newton_eval(
+            self._arrs, self.dof, zeros, fixed, sval
+        )
+        layout = self.dia if self.dia is not None else self.pattern
+        K = layout.to_scipy(np.asarray(values))
+        free = ~np.asarray(fixed, dtype=bool)
+        Kf = K[free][:, free].tocsc()
+        if Kf.shape[0] == 0:
+            return None
+        try:
+            lam = spla.eigsh(
+                Kf, k=1, sigma=0.0, which="LM", return_eigenvectors=False
+            )
+            return float(lam[0])
+        except Exception as exc:  # singular splu / ARPACK breakdown
+            logger.info("tangent eigenvalue probe failed: %s", exc)
+            return None
+
+    def _diagnose_failure(self, dof_trial, fixed, sval) -> str:
+        """Classify WHY Newton could not converge at the minimum time step.
+
+        Two mechanical causes dominate in practice:
+
+        - **element inversion**: det(J) <= 0 at some Gauss point of the
+          trial configuration (typically driven there by prescribed
+          displacements or a snapped-through trial step) -- re-mesh or
+          reduce the load schedule;
+        - **loss of positive definiteness** of the constrained tangent at
+          the last CONVERGED state: a limit or bifurcation point (e.g. the
+          C3D10 twist plate's torsional instability near 174.6 degrees,
+          where lambda_min collapses toward 0 as t approaches the critical
+          point).  Cutting dt is futile; use Riks arc-length
+          (solvers/riks.py) for load-driven folds, or stop the schedule at
+          the instability.
+        """
+        parts = []
+        try:
+            vmin = self.min_element_volume(dof_trial)
+            if np.isnan(vmin):
+                parts.append("trial state diverged to NaN")
+            elif vmin <= 0.0:
+                parts.append(
+                    "element inversion at the trial configuration "
+                    f"(min det(J)w = {vmin:.3e})"
+                )
+        except Exception as exc:  # diagnostics must never mask the abort
+            logger.info("element-volume probe failed: %s", exc)
+        if (
+            self._shard_sys is None
+            and self.mesh.n_dof <= self.config.diagnose_eig_max_dof
+        ):
+            try:
+                lam = self.tangent_min_eigenvalue(fixed, sval)
+            except Exception as exc:
+                logger.info("tangent eigenvalue probe failed: %s", exc)
+                lam = False  # sentinel: skip reporting
+            if lam is None:
+                parts.append(
+                    "tangent stiffness numerically singular at the last "
+                    "converged state: limit/bifurcation point -- consider "
+                    "Riks arc-length or stopping the schedule here"
+                )
+            elif lam is not False:
+                if lam <= 0.0:
+                    parts.append(
+                        "tangent stiffness not positive definite at the last "
+                        f"converged state (lambda_min = {lam:.3e}): "
+                        "limit/bifurcation point -- the static branch is "
+                        "unstable; consider Riks arc-length or stopping the "
+                        "schedule here"
+                    )
+                elif not parts:
+                    parts.append(
+                        "tangent positive definite at the last converged "
+                        f"state (lambda_min = {lam:.3e}); Newton divergence "
+                        "without inversion or instability"
+                    )
+        return "; ".join(parts)
 
     # ------------------------------------------------------------------ #
     # post-processing (ref: stiffnessMtrx.py:436-606)

@@ -49,6 +49,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="increment initial guess (extrapolate = Abaqus-style linear "
         "extrapolation of the previous solution increment)",
     )
+    p.add_argument(
+        "--stabilize",
+        type=float,
+        default=0.0,
+        metavar="FRACTION",
+        help="static stabilization: volume-proportional viscous damping "
+        "calibrated to this dissipated-energy fraction (Abaqus *Static, "
+        "stabilize; try 2e-4). Carries nonlinear analyses through local "
+        "instabilities. 0 = off",
+    )
     p.add_argument("--cg-eps", type=float, default=1.0e-3)
     p.add_argument(
         "--preconditioner",
@@ -139,6 +149,7 @@ def main(argv=None) -> int:
         preconditioner=args.preconditioner,
         tangent=args.tangent,
         predictor=args.predictor,
+        stabilize_factor=args.stabilize,
         verbose=args.verbose,
         checkpoint_path=args.checkpoint,
     )
@@ -240,6 +251,11 @@ def _main_multiblock(args, model, t0: float) -> int:
     from femcy_tpu import SolverConfig
     from femcy_tpu.multiblock import system_from_model
 
+    if args.stabilize > 0.0:
+        print(
+            "warning: --stabilize is only supported for single-block "
+            "models; ignoring it for this multi-block analysis"
+        )
     config = SolverConfig(
         linear_solver=args.solver,
         cg_eps=args.cg_eps,

@@ -158,6 +158,31 @@ class SolverConfig:
     #: small increments "converge" with zero Newton work and accumulate error.
     newton_residual_ref: str = "increment"
 
+    # --- static stabilization ----------------------------------------------
+    #: viscous damping that carries a static analysis through LOCAL
+    #: instabilities -- the same scheme as Abaqus ``*Static, stabilize``
+    #: with a constant damping factor.  The damping matrix is the
+    #: volume-lumped (unit-density mass) diagonal M_v; the damping force
+    #: (C/dt)*M_v*(u - u_conv) is added to the residual and (C/dt)*M_v to
+    #: the tangent diagonal.  The coefficient C is CALIBRATED from the first
+    #: converged increment so that the energy it would have dissipated there
+    #: equals ``stabilize_factor`` times that increment's elastic energy
+    #: (Abaqus's "dissipated energy fraction", default there 2e-4); damping
+    #: is inactive during that calibration increment.  At a bifurcation the
+    #: tangent's soft mode (lambda_min -> 0) is regularized proportionally
+    #: to 1/dt, so the adaptive stepping machine automatically finds the dt
+    #: where Newton converges, crosses the unstable segment on a damped
+    #: quasi-dynamic path, and normal statics resume beyond it (e.g. the
+    #: C3D10 twist plate's torsional bifurcation at 174.6 deg, which no
+    #: load-stepped Newton can cross undamped).  The dissipated energy
+    #: accumulates in ``SolveReport.stabilization_energy`` and a warning
+    #: fires when it exceeds ``stabilize_energy_warn`` of the elastic
+    #: energy.  0 disables (default).  Geometric-nonlinear, non-sharded
+    #: analyses only.
+    stabilize_factor: float = 0.0
+    #: warn when stabilization_energy / elastic_energy exceeds this
+    stabilize_energy_warn: float = 0.05
+
     # --- failure diagnostics ----------------------------------------------
     #: when a nonlinear analysis aborts (dt cut below min_inc), diagnose WHY
     #: and append the finding to ``SolveReport.message``: element inversion

@@ -58,6 +58,9 @@ class SolveReport:
     increments: List[IncrementRecord]
     wall_time: float
     message: str = ""
+    #: energy dissipated by static stabilization (config.stabilize_factor);
+    #: 0 when stabilization is off
+    stabilization_energy: float = 0.0
 
     @property
     def n_increments(self) -> int:
@@ -568,6 +571,17 @@ class FEMSystem:
             values = self._scatter(a, Ke)
         else:
             values = self._assemble_values(a, dsdx, vol, coords=coords)
+        if "stab_diag" in a:
+            # static stabilization (config.stabilize_factor): viscous force
+            # + matching tangent regularization.  Applied BEFORE the
+            # Dirichlet treatment so constrained rows stay zero-one.
+            d = a["stab_scale"] * a["stab_diag"]
+            f_int = f_int + d * (dof - a["stab_ref"])
+            if self.dia is not None:
+                values = values.at[:, self.dia.diag_idx].add(d)
+            else:
+                flat = values.reshape(-1)
+                values = flat.at[a["diag_slot"]].add(d).reshape(values.shape)
         residual = f_int - rhs
         values, residual = self._dirichlet_newton(a, values, residual, fixed)
         return dof, values, residual, _rms(residual), vol
@@ -829,6 +843,39 @@ class FEMSystem:
         patterns_d = jnp.asarray(patterns)
         tractions_d = jnp.asarray(tractions)
 
+        # static stabilization setup (config.stabilize_factor): the damping
+        # matrix is the volume-lumped diagonal; the coefficient C is
+        # calibrated from the first converged increment's elastic energy
+        stab_on = cfg.stabilize_factor > 0.0 and self.geometric_nonlinear
+        stab_energy = 0.0
+        stab_c: Optional[float] = None  # calibrated (C); None until then
+        if stab_on:
+            if self._shard_sys is not None:
+                raise ValueError(
+                    "stabilize_factor is not supported with sharding"
+                )
+            if "stab_diag" not in self._arrs:
+                # unit-density lumped mass: element volume spread over its
+                # nodes, repeated per dof
+                ev = np.asarray(self._arrs["vol0"]).sum(axis=1)
+                nodal = np.zeros(self.mesh.n_nodes)
+                np.add.at(
+                    nodal,
+                    self.mesh.elements.reshape(-1),
+                    np.repeat(ev / self.mesh.element.n_nodes,
+                              self.mesh.element.n_nodes),
+                )
+                self._arrs["stab_diag"] = jnp.asarray(
+                    np.repeat(nodal, self.mesh.dm), dtype=self.dof.dtype
+                )
+                self._arrs["stab_ref"] = self.dof
+                self._arrs["stab_scale"] = jnp.zeros((), dtype=self.dof.dtype)
+        elif "stab_diag" in self._arrs:
+            # stabilization switched off since a previous solve: restore the
+            # original jit signature
+            for k in ("stab_diag", "stab_ref", "stab_scale"):
+                self._arrs.pop(k, None)
+
         records: List[IncrementRecord] = []
         dof_old = self.dof
         # linear-extrapolation predictor state (config.predictor): the
@@ -867,6 +914,15 @@ class FEMSystem:
                 rhs = jnp.einsum("b,bn->n", tractions_d * load_ratio, patterns_d)
             else:
                 rhs = jnp.zeros(self.mesh.n_dof)
+            if stab_on:
+                self._arrs["stab_ref"] = dof_old
+                scale_now = (
+                    0.0 if stab_c is None  # calibration increment: undamped
+                    else stab_c / (self.time1 - self.time0)
+                )
+                self._arrs["stab_scale"] = jnp.asarray(
+                    scale_now, dtype=self.dof.dtype
+                )
             self._host_bc = None
             if cfg.mixed_precision_refine and not self.geometric_nonlinear:
                 # f64 host copies feed the refinement's exact residual
@@ -908,6 +964,29 @@ class FEMSystem:
             # grow dt after fast convergence (ref: stiffnessMtrx.py:702-704)
             if newton_loops <= cfg.newton_fast_iters:
                 self.dt = min(self.dt * cfg.dt_growth, max_inc)
+            if stab_on:
+                du_inc = np.asarray(self.dof) - np.asarray(dof_old)
+                mduu = float(
+                    np.sum(np.asarray(self._arrs["stab_diag"]) * du_inc * du_inc)
+                )
+                if stab_c is None:
+                    # calibrate C so this increment WOULD have dissipated
+                    # stabilize_factor x its elastic energy (Abaqus's
+                    # dissipated-energy-fraction scheme, constant factor)
+                    elas0 = abs(self.elastic_energy())
+                    if mduu > 0.0 and elas0 > 0.0:
+                        stab_c = (
+                            cfg.stabilize_factor * elas0
+                            * (self.time1 - self.time0) / mduu
+                        )
+                        logger.info(
+                            "stabilization calibrated: C=%.3e "
+                            "(dissipated-energy fraction %.1e)",
+                            stab_c, cfg.stabilize_factor,
+                        )
+                else:
+                    # dissipated energy of this increment: f_damp . du
+                    stab_energy += float(self._arrs["stab_scale"]) * mduu
             dof_prev, dt_prev = dof_old, self.time1 - self.time0
             dof_old = self.dof
             self.time0 = self.time1
@@ -919,11 +998,21 @@ class FEMSystem:
             if on_increment is not None:
                 on_increment(self, records[-1])
 
+        if stab_on and success and stab_energy > 0.0:
+            elas = abs(self.elastic_energy())
+            if stab_energy > cfg.stabilize_energy_warn * max(elas, 1e-300):
+                logger.warning(
+                    "stabilization dissipated %.3e of energy (%.1f%% of the "
+                    "elastic energy %.3e) -- the viscous bias is NOT small; "
+                    "reduce stabilize_factor",
+                    stab_energy, 100.0 * stab_energy / max(elas, 1e-300), elas,
+                )
         return SolveReport(
             success=success,
             increments=records,
             wall_time=_time.time() - t_start,
             message=message,
+            stabilization_energy=stab_energy,
         )
 
     # ------------------------------------------------------------------ #
@@ -1114,12 +1203,18 @@ class FEMSystem:
           displacements or a snapped-through trial step) -- re-mesh or
           reduce the load schedule;
         - **loss of positive definiteness** of the constrained tangent at
-          the last CONVERGED state: a limit or bifurcation point (e.g. the
-          C3D10 twist plate's torsional instability near 174.6 degrees,
-          where lambda_min collapses toward 0 as t approaches the critical
-          point).  Cutting dt is futile; use Riks arc-length
-          (solvers/riks.py) for load-driven folds, or stop the schedule at
-          the instability.
+          the last CONVERGED state: a limit or bifurcation point.  Cutting
+          dt is futile; use Riks arc-length (solvers/riks.py) for
+          load-driven folds, static stabilization (stabilize_factor) for
+          local instabilities, or stop the schedule at the instability.
+
+        A third class reports itself by elimination: the tangent is
+        positive definite at the converged state, nothing inverts, yet
+        Newton diverges for arbitrarily small dt -- a snap that develops
+        WITHIN the increment (e.g. the C3D10 twist plate at 174.55 degrees,
+        lambda_min ~ 8e9 at the converged state; measured to survive line
+        search, extrapolation and stabilization -- see PARITY.md).  Crossing
+        such an event needs inertia (dynamics) or contact.
         """
         parts = []
         try:
@@ -1146,7 +1241,8 @@ class FEMSystem:
                 parts.append(
                     "tangent stiffness numerically singular at the last "
                     "converged state: limit/bifurcation point -- consider "
-                    "Riks arc-length or stopping the schedule here"
+                    "Riks arc-length, static stabilization "
+                    "(stabilize_factor), or stopping the schedule here"
                 )
             elif lam is not False:
                 if lam <= 0.0:
@@ -1154,14 +1250,17 @@ class FEMSystem:
                         "tangent stiffness not positive definite at the last "
                         f"converged state (lambda_min = {lam:.3e}): "
                         "limit/bifurcation point -- the static branch is "
-                        "unstable; consider Riks arc-length or stopping the "
+                        "unstable; consider Riks arc-length, static "
+                        "stabilization (stabilize_factor), or stopping the "
                         "schedule here"
                     )
                 elif not parts:
                     parts.append(
                         "tangent positive definite at the last converged "
                         f"state (lambda_min = {lam:.3e}); Newton divergence "
-                        "without inversion or instability"
+                        "without inversion or instability at the converged "
+                        "state -- the instability develops WITHIN the "
+                        "increment (within-increment snap; see PARITY.md)"
                     )
         return "; ".join(parts)
 

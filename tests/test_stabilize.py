@@ -1,0 +1,52 @@
+"""Static stabilization (config.stabilize_factor).
+
+Volume-proportional viscous damping calibrated to a dissipated-energy
+fraction -- the Abaqus ``*Static, stabilize`` scheme.  The reference has no
+counterpart: its only answer to a non-converging increment is dt cutback
+(stiffnessMtrx.py:693-701), which cannot cross a bifurcation.
+"""
+
+import numpy as np
+
+from femcy_tpu import FEMesh, FEMSystem, SolverConfig, read_inp
+from femcy_tpu.materials import material_from_inp
+
+BEAM_LARGE = (
+    "beam_deflection/load800_freeEnd_largeDef/"
+    "beamDeflec_quadPSE_largeD_load800.inp"
+)
+
+
+def _solve_beam(fixtures_dir, **cfg_kwargs):
+    inp = read_inp(fixtures_dir / BEAM_LARGE)
+    mat = material_from_inp(
+        inp.material_type, inp.material_params, inp.element_type
+    )
+    system = FEMSystem(
+        FEMesh(inp.nodes, inp.elements, inp.element),
+        mat,
+        True,
+        SolverConfig(tangent="consistent", **cfg_kwargs),
+    )
+    report = system.solve(inp)
+    return system, report
+
+
+def test_stabilized_beam_matches_unstabilized(fixtures_dir):
+    """On a stable problem the damping bias must be negligible: the
+    calibration pins the dissipated energy to stabilize_factor times the
+    first increment's elastic energy."""
+    sys0, rep0 = _solve_beam(fixtures_dir)
+    sys1, rep1 = _solve_beam(fixtures_dir, stabilize_factor=1.0e-4)
+    assert rep0.success and rep1.success
+    assert rep0.stabilization_energy == 0.0
+    tip0 = float(np.abs(np.asarray(sys0.dof)).max())
+    tip1 = float(np.abs(np.asarray(sys1.dof)).max())
+    assert abs(tip1 - tip0) / tip0 < 1.0e-4
+    # dissipated energy stays a tiny fraction of the elastic energy
+    assert rep1.stabilization_energy > 0.0
+    assert rep1.stabilization_energy < 1.0e-3 * abs(sys1.elastic_energy())
+
+
+def test_stabilize_default_off():
+    assert SolverConfig().stabilize_factor == 0.0

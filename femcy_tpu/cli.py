@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
         "stabilize; try 2e-4). Carries nonlinear analyses through local "
         "instabilities. 0 = off",
     )
+    p.add_argument(
+        "--dynamic-rescue",
+        action="store_true",
+        help="when a nonlinear increment fails at the minimum dt, traverse "
+        "the snap with implicit dynamics (Newmark with numerical "
+        "dissipation) and resume statics on the far side",
+    )
     p.add_argument("--cg-eps", type=float, default=1.0e-3)
     p.add_argument(
         "--preconditioner",
@@ -150,6 +157,7 @@ def main(argv=None) -> int:
         tangent=args.tangent,
         predictor=args.predictor,
         stabilize_factor=args.stabilize,
+        dynamic_rescue=args.dynamic_rescue,
         verbose=args.verbose,
         checkpoint_path=args.checkpoint,
     )
@@ -251,10 +259,11 @@ def _main_multiblock(args, model, t0: float) -> int:
     from femcy_tpu import SolverConfig
     from femcy_tpu.multiblock import system_from_model
 
-    if args.stabilize > 0.0:
+    if args.stabilize > 0.0 or args.dynamic_rescue:
         print(
-            "warning: --stabilize is only supported for single-block "
-            "models; ignoring it for this multi-block analysis"
+            "warning: --stabilize/--dynamic-rescue are only supported for "
+            "single-block models; ignoring them for this multi-block "
+            "analysis"
         )
     config = SolverConfig(
         linear_solver=args.solver,

@@ -168,20 +168,51 @@ class SolverConfig:
     #: converged increment so that the energy it would have dissipated there
     #: equals ``stabilize_factor`` times that increment's elastic energy
     #: (Abaqus's "dissipated energy fraction", default there 2e-4); damping
-    #: is inactive during that calibration increment.  At a bifurcation the
-    #: tangent's soft mode (lambda_min -> 0) is regularized proportionally
-    #: to 1/dt, so the adaptive stepping machine automatically finds the dt
-    #: where Newton converges, crosses the unstable segment on a damped
-    #: quasi-dynamic path, and normal statics resume beyond it (e.g. the
-    #: C3D10 twist plate's torsional bifurcation at 174.6 deg, which no
-    #: load-stepped Newton can cross undamped).  The dissipated energy
-    #: accumulates in ``SolveReport.stabilization_energy`` and a warning
-    #: fires when it exceeds ``stabilize_energy_warn`` of the elastic
-    #: energy.  0 disables (default).  Geometric-nonlinear, non-sharded
-    #: analyses only.
+    #: is inactive during that calibration increment.  At a LOCAL
+    #: instability the tangent's soft mode is regularized proportionally to
+    #: 1/dt, so the adaptive stepping machine finds the dt where Newton
+    #: converges and crosses on a damped quasi-static path.  It cannot cross
+    #: a within-increment SNAP (no nearby equilibrium: the C/dt term then
+    #: degenerates to a frozen crawl -- measured on the C3D10 twist at
+    #: 174.55 deg, see PARITY.md); use ``dynamic_rescue`` for those.  The
+    #: dissipated energy accumulates in
+    #: ``SolveReport.stabilization_energy`` and a warning fires when it
+    #: exceeds ``stabilize_energy_warn`` of the elastic energy.  0 disables
+    #: (default).  Geometric-nonlinear, non-sharded analyses only.
     stabilize_factor: float = 0.0
     #: warn when stabilization_energy / elastic_energy exceeds this
     stabilize_energy_warn: float = 0.05
+
+    # --- implicit-dynamics snap traversal ----------------------------------
+    #: when a geometric-nonlinear static analysis aborts (dt cut below
+    #: min_inc) at a state where the structure SNAPS -- no nearby static
+    #: equilibrium, so neither dt cutback nor viscous stabilization can
+    #: help -- traverse the event with implicit dynamics instead of giving
+    #: up: hold the loads/BCs just past the failure point, give the mesh a
+    #: unit-density lumped mass, integrate Newmark-beta with numerical
+    #: dissipation (``dynamic_gamma`` > 1/2) until the kinetic energy decays
+    #: below ``dynamic_settle_tol`` of the elastic energy, then polish with
+    #: a pure static Newton solve and resume the normal adaptive-stepping
+    #: analysis from the far side.  This is the standard engineering answer
+    #: to snap-through (Abaqus: restart the step as *Dynamic); the reference
+    #: can only abort (stiffnessMtrx.py:698-701).  Each Newmark step reuses
+    #: the full Newton machinery -- the effective tangent K + M/(beta h^2)
+    #: rides the same code path as stabilize_factor.  Off by default.
+    #: Geometric-nonlinear, non-sharded analyses only.
+    dynamic_rescue: bool = False
+    #: Newmark gamma; > 1/2 adds numerical (high-frequency) dissipation.
+    #: beta is derived as (gamma + 1/2)^2 / 4 (unconditionally stable pair).
+    dynamic_gamma: float = 0.75
+    #: rescue settles when kinetic energy < this fraction of elastic energy
+    #: for two consecutive steps
+    dynamic_settle_tol: float = 1.0e-7
+    #: abort the rescue after this many converged Newmark steps
+    dynamic_max_steps: int = 400
+    #: how far past the failure point to hold the schedule during a rescue
+    #: (fraction of total time); 0 = the step's ini_inc
+    dynamic_rescue_dt: float = 0.0
+    #: maximum number of distinct rescues per solve()
+    dynamic_max_rescues: int = 4
 
     # --- failure diagnostics ----------------------------------------------
     #: when a nonlinear analysis aborts (dt cut below min_inc), diagnose WHY

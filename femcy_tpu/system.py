@@ -14,9 +14,10 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 import time as _time
 from functools import partial
-from typing import Callable, List, Optional
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -855,19 +856,7 @@ class FEMSystem:
                     "stabilize_factor is not supported with sharding"
                 )
             if "stab_diag" not in self._arrs:
-                # unit-density lumped mass: element volume spread over its
-                # nodes, repeated per dof
-                ev = np.asarray(self._arrs["vol0"]).sum(axis=1)
-                nodal = np.zeros(self.mesh.n_nodes)
-                np.add.at(
-                    nodal,
-                    self.mesh.elements.reshape(-1),
-                    np.repeat(ev / self.mesh.element.n_nodes,
-                              self.mesh.element.n_nodes),
-                )
-                self._arrs["stab_diag"] = jnp.asarray(
-                    np.repeat(nodal, self.mesh.dm), dtype=self.dof.dtype
-                )
+                self._arrs["stab_diag"] = self._lumped_volume_diag()
                 self._arrs["stab_ref"] = self.dof
                 self._arrs["stab_scale"] = jnp.zeros((), dtype=self.dof.dtype)
         elif "stab_diag" in self._arrs:
@@ -886,6 +875,7 @@ class FEMSystem:
         kinc = -1
         success = True
         message = "converged"
+        rescues = 0
 
         while self.time1 < max_time:
             kinc += 1
@@ -948,6 +938,74 @@ class FEMSystem:
                     IncrementRecord(kinc + 1, self.time0, self.dt, newton_loops, res, False)
                 )
                 if self.dt < min_inc:
+                    if (
+                        cfg.dynamic_rescue
+                        and self.geometric_nonlinear
+                        and self._shard_sys is None
+                        and rescues < cfg.dynamic_max_rescues
+                    ):
+                        # implicit-dynamics traversal (config.dynamic_rescue):
+                        # hold the schedule just past the failure point and
+                        # integrate the snap in pseudo-time
+                        rescues += 1
+                        step_dt = (
+                            cfg.dynamic_rescue_dt * max_time
+                            if cfg.dynamic_rescue_dt > 0.0
+                            else incs["ini_inc"]
+                        )
+                        t_resc = min(self.time0 + step_dt, max_time)
+                        lr = t_resc / max_time
+                        fixed_r, sval_r = bc_mod.build_dirichlet_arrays(
+                            inp.dirichlet_bcs, self.mesh, t_resc, lr,
+                            user_dirichlet,
+                        )
+                        fixed_rd = jnp.asarray(fixed_r)
+                        sval_rd = jnp.asarray(sval_r)
+                        self._last_dirichlet = (fixed_rd, sval_rd)
+                        rhs_r = (
+                            jnp.einsum(
+                                "b,bn->n", tractions_d * lr, patterns_d
+                            )
+                            if patterns.shape[0]
+                            else jnp.zeros(self.mesh.n_dof)
+                        )
+                        logger.warning(
+                            "static increment failed at t=%.6g; attempting "
+                            "implicit-dynamics traversal to t=%.6g "
+                            "(rescue %d/%d)",
+                            self.time0, t_resc, rescues,
+                            cfg.dynamic_max_rescues,
+                        )
+                        ok, nsteps, detail = self._dynamic_traverse(
+                            rhs_r, fixed_rd, sval_rd, on_newton
+                        )
+                        if ok:
+                            logger.warning(
+                                "dynamic rescue at t=%.6g -> %.6g: %s; "
+                                "resuming statics",
+                                self.time0, t_resc, detail,
+                            )
+                            self.time0 = self.time1 = t_resc
+                            self.dt = incs["ini_inc"]
+                            dof_old = self.dof
+                            dof_prev, dt_prev = None, 0.0
+                            kinc += 1
+                            records.append(
+                                IncrementRecord(
+                                    kinc, t_resc, self.dt, nsteps, 0.0, True
+                                )
+                            )
+                            if cfg.checkpoint_path:
+                                self._write_checkpoint(
+                                    cfg.checkpoint_path, kinc
+                                )
+                            if on_increment is not None:
+                                on_increment(self, records[-1])
+                            continue
+                        logger.warning("%s", detail)
+                        message_extra = "; " + detail
+                    else:
+                        message_extra = ""
                     success = False
                     message = (
                         "allowable minimum dt reached; Newton's method did not "
@@ -957,6 +1015,7 @@ class FEMSystem:
                         diag = self._diagnose_failure(dof_trial, fixed_d, sval_d)
                         if diag:
                             message += "; " + diag
+                    message += message_extra
                     logger.warning(message)
                     break
                 continue
@@ -1135,6 +1194,185 @@ class FEMSystem:
             dof0, evaluate, lin_solve, finish, cfg, self._ini_residual
         )
         return converged, newton_loop, residual_val
+
+    # ------------------------------------------------------------------ #
+    # implicit-dynamics snap traversal (config.dynamic_rescue; no
+    # reference counterpart -- the reference can only abort,
+    # stiffnessMtrx.py:698-701)
+    # ------------------------------------------------------------------ #
+    def _lumped_volume_diag(self):
+        """Unit-density volume-lumped nodal diagonal, one entry per dof:
+        each element spreads its volume equally over its nodes.  Serves as
+        the damping matrix of ``stabilize_factor`` and the mass matrix of
+        ``dynamic_rescue`` (the absolute scale cancels against the
+        respective calibrated coefficient / pseudo-time step)."""
+        ev = np.asarray(self._arrs["vol0"]).sum(axis=1)
+        nodal = np.zeros(self.mesh.n_nodes)
+        np.add.at(
+            nodal,
+            self.mesh.elements.reshape(-1),
+            np.repeat(ev / self.mesh.element.n_nodes,
+                      self.mesh.element.n_nodes),
+        )
+        return jnp.asarray(
+            np.repeat(nodal, self.mesh.dm), dtype=self.dof.dtype
+        )
+
+    def _tangent_diag_host(self, rhs, fixed_d, sval_d) -> np.ndarray:
+        """Diagonal of the BC-treated Newton tangent at the current state
+        (host copy).  Used to pick the Newmark pseudo-time scale so the
+        inertia term M/(beta h^2) initially matches the stiffness."""
+        _, values, _, _, _ = self._jit_newton_eval(
+            self._arrs, self.dof, rhs, fixed_d, sval_d
+        )
+        if self.dia is not None:
+            d = values[:, self.dia.diag_idx]
+        else:
+            d = values.reshape(-1)[self._arrs["diag_slot"]]
+        return np.asarray(d)
+
+    def _dynamic_traverse(
+        self, rhs, fixed_d, sval_d, on_newton
+    ) -> Tuple[bool, int, str]:
+        """Traverse a within-increment snap with implicit dynamics.
+
+        Loads and Dirichlet values are HELD at the target time (the caller
+        builds ``rhs``/``fixed_d``/``sval_d`` there); the mesh gets a
+        unit-density lumped mass and Newmark-beta with numerical
+        dissipation (gamma > 1/2, beta = (gamma + 1/2)^2/4) integrates the
+        jump in pseudo-time until the kinetic energy decays below
+        ``config.dynamic_settle_tol`` of the elastic energy, after which a
+        pure static Newton polish confirms the far-side equilibrium.  Each
+        Newmark step rides the existing Newton machinery: the effective
+        residual/tangent contribution (u - u_pred) * M/(beta h^2) is exactly
+        the ``stab_*`` hook of ``_newton_eval_impl``.
+
+        Returns (settled, n_steps, detail).  The system's ``dof`` holds the
+        settled state on success and is rolled back to the entry state on
+        failure."""
+        cfg = self.config
+        gamma = cfg.dynamic_gamma
+        beta = 0.25 * (gamma + 0.5) ** 2
+        u_entry = self.dof
+
+        had_keys = "stab_diag" in self._arrs
+        saved = {
+            k: self._arrs.get(k)
+            for k in ("stab_diag", "stab_ref", "stab_scale")
+        }
+        if had_keys:
+            # a huge leftover stabilization scale (C/dt at dt -> min_inc)
+            # would corrupt the stiffness probe below
+            self._arrs["stab_scale"] = jnp.zeros((), dtype=self.dof.dtype)
+            self._arrs["stab_ref"] = u_entry
+
+        def _restore():
+            if had_keys:
+                for k, v in saved.items():
+                    self._arrs[k] = v
+            else:
+                for k in ("stab_diag", "stab_ref", "stab_scale"):
+                    self._arrs.pop(k, None)
+
+        # pseudo-time scale: M/(beta h0^2) ~ diag(K) at the median free dof,
+        # i.e. the first step is strongly inertia-regularized; the adaptive
+        # growth below relaxes it as the structure settles
+        kdiag = self._tangent_diag_host(rhs, fixed_d, sval_d)
+        m = self._lumped_volume_diag()
+        m_np = np.asarray(m)
+        free = ~np.asarray(fixed_d)
+        ratio = kdiag[free] / np.maximum(m_np[free], 1e-300)
+        w2 = float(np.median(ratio))
+        if not np.isfinite(w2) or w2 <= 0.0:
+            _restore()
+            return False, 0, "dynamic rescue: degenerate stiffness/mass ratio"
+        h0 = 1.0 / math.sqrt(beta * w2)
+        h = h0
+        self._arrs["stab_diag"] = m
+
+        u = u_entry
+        v = jnp.zeros_like(u)
+        acc = jnp.zeros_like(u)
+        notfix = jnp.asarray(free, dtype=u.dtype)
+        steps = 0
+        attempts = 0
+        settled = 0
+        e_kin = np.inf
+        while steps < cfg.dynamic_max_steps:
+            attempts += 1
+            if attempts > 4 * cfg.dynamic_max_steps or h < 1e-8 * h0:
+                self.dof = u_entry
+                _restore()
+                return False, steps, (
+                    "dynamic rescue: Newmark Newton could not converge "
+                    f"(h collapsed to {h:.3e} of h0={h0:.3e})"
+                )
+            pred = u + h * v + (0.5 - beta) * h * h * acc
+            self._arrs["stab_ref"] = pred
+            self._arrs["stab_scale"] = jnp.asarray(
+                1.0 / (beta * h * h), dtype=u.dtype
+            )
+            self.dof = u
+            converged, loops, _res = self._advance_inc(
+                rhs, fixed_d, sval_d, on_newton
+            )
+            if not converged:
+                self.dof = u
+                h *= 0.25
+                continue
+            steps += 1
+            u_new = self.dof
+            # prescribed dofs move by pin_dof, not by dynamics: their
+            # fictitious acceleration must not pollute the energy budget
+            a_new = notfix * (u_new - pred) / (beta * h * h)
+            v = notfix * (v + h * ((1.0 - gamma) * acc + gamma * a_new))
+            acc = a_new
+            u = u_new
+            e_kin = 0.5 * float(jnp.sum(m * v * v))
+            e_el = abs(self.elastic_energy())
+            if cfg.verbose:
+                logger.info(
+                    "rescue step %d: h=%.3e E_kin=%.3e E_elas=%.3e",
+                    steps, h, e_kin, e_el,
+                )
+            if e_kin < cfg.dynamic_settle_tol * max(e_el, 1e-300):
+                settled += 1
+                if settled >= 2:
+                    break
+            else:
+                settled = 0
+            if loops <= cfg.newton_fast_iters:
+                # no upper cap: h must reach the FUNDAMENTAL period of the
+                # snap mode (orders of magnitude above h0, which tracks the
+                # median stiffness) for the gamma-dissipation to kill the
+                # macroscopic swing; Newton divergence at too-large h is
+                # the regulator (h *= 0.25 above)
+                h *= 2.0
+        if settled < 2:
+            self.dof = u_entry
+            _restore()
+            return False, steps, (
+                "dynamic rescue: kinetic energy did not settle within "
+                f"{cfg.dynamic_max_steps} steps (E_kin/E_elas ~ "
+                f"{e_kin / max(abs(self.elastic_energy()), 1e-300):.1e})"
+            )
+        # static polish: confirm the settled state is a true equilibrium
+        _restore()
+        if "stab_scale" in self._arrs:
+            self._arrs["stab_scale"] = jnp.zeros((), dtype=u.dtype)
+            self._arrs["stab_ref"] = u
+        self.dof = u
+        converged, loops, _res = self._advance_inc(
+            rhs, fixed_d, sval_d, on_newton
+        )
+        if not converged:
+            self.dof = u_entry
+            return False, steps, (
+                "dynamic rescue: settled dynamically but the static polish "
+                "did not converge (the settled state is not in a static "
+                "equilibrium basin)"
+            )
+        return True, steps, f"settled in {steps} Newmark steps"
 
     # ------------------------------------------------------------------ #
     # failure diagnostics (config.diagnose_failure; no reference

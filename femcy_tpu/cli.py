@@ -259,16 +259,16 @@ def _main_multiblock(args, model, t0: float) -> int:
     from femcy_tpu import SolverConfig
     from femcy_tpu.multiblock import system_from_model
 
-    if args.stabilize > 0.0 or args.dynamic_rescue:
+    if args.stabilize > 0.0:
         print(
-            "warning: --stabilize/--dynamic-rescue are only supported for "
-            "single-block models; ignoring them for this multi-block "
-            "analysis"
+            "warning: --stabilize is only supported for single-block "
+            "models; ignoring it for this multi-block analysis"
         )
     config = SolverConfig(
         linear_solver=args.solver,
         cg_eps=args.cg_eps,
         tangent=args.tangent,
+        dynamic_rescue=args.dynamic_rescue,
         verbose=args.verbose,
     )
     system = system_from_model(model, config)

@@ -26,6 +26,7 @@ io.inp ``read_inp_multi`` parses the multi-block/multi-material schema.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time as _time
 from types import SimpleNamespace
 from typing import List, Optional, Tuple
@@ -41,6 +42,8 @@ from femcy_tpu.materials import Material
 from femcy_tpu.solvers.cg import pcg_solve
 from femcy_tpu.solvers.direct import direct_solve
 from femcy_tpu.topology import ELLPattern, colidx_valid_mask
+
+logger = logging.getLogger("femcy_tpu")
 
 
 @dataclasses.dataclass
@@ -257,6 +260,16 @@ class MultiBlockSystem:
                 num_segments=p.n_dof * p.width,
             )
         values = values.reshape(p.n_dof, p.width)
+        if "stab_diag" in a:
+            # the stabilization/Newmark hook (same contract as
+            # FEMSystem._newton_eval_impl): viscous/inertia force
+            # scale*M*(dof - ref) + matching tangent diagonal, applied
+            # BEFORE the Dirichlet treatment so constrained rows stay
+            # zero-one.  Used by dynamic_rescue's Newmark steps.
+            d = a["stab_scale"] * a["stab_diag"]
+            f_int = f_int + d * (dof - a["stab_ref"])
+            flat = values.reshape(-1)
+            values = flat.at[a["diag_slot"]].add(d).reshape(values.shape)
         residual = f_int - rhs
         values, residual = bc_mod.apply_dirichlet_newton(
             values, a["colidx"], a["diag_slot"], residual, fixed
@@ -375,6 +388,38 @@ class MultiBlockSystem:
         )
         return converged, loops, res
 
+    # --- implicit-dynamics snap traversal (config.dynamic_rescue) ------- #
+    # the Newmark integrator is shared with FEMSystem: it is duck-typed
+    # over (config, dof, _arrs, _advance_inc, elastic_energy,
+    # _tangent_diag_host, _lumped_volume_diag), all of which this class
+    # provides with multi-block semantics below
+    def _lumped_volume_diag(self):
+        """Unit-density volume-lumped nodal diagonal summed over blocks,
+        one entry per dof (the multi-block twin of
+        FEMSystem._lumped_volume_diag)."""
+        nodal = np.zeros(self.nodes.shape[0])
+        for bi, blk in enumerate(self.blocks):
+            _, vol = assembly.gradients_and_volume(
+                self._arrs["nodes"],
+                self._arrs[f"elements_{bi}"],
+                self._arrs[f"dN_{bi}"],
+                self._arrs[f"w_{bi}"],
+            )
+            ev = np.asarray(vol).sum(axis=1)
+            np.add.at(
+                nodal,
+                blk.elements.reshape(-1),
+                np.repeat(ev / blk.element.n_nodes, blk.element.n_nodes),
+            )
+        return jnp.asarray(np.repeat(nodal, self.dm), dtype=self.dof.dtype)
+
+    def _tangent_diag_host(self, rhs, fixed_d, sval_d) -> np.ndarray:
+        """Diagonal of the BC-treated union tangent at the current state."""
+        _, values, _, _ = self._jit_newton_eval(
+            self._arrs, self.dof, rhs, fixed_d, sval_d
+        )
+        return np.asarray(values.reshape(-1)[self._arrs["diag_slot"]])
+
     def solve_nonlinear(
         self,
         model,
@@ -417,6 +462,7 @@ class MultiBlockSystem:
         kinc = -1
         success = True
         message = "converged"
+        rescues = 0
 
         while self.time1 < max_time:
             kinc += 1
@@ -447,11 +493,70 @@ class MultiBlockSystem:
                     kinc + 1, self.time0, self.dt, newton_loops, res, False
                 ))
                 if self.dt < min_inc:
+                    if (
+                        cfg.dynamic_rescue
+                        and rescues < cfg.dynamic_max_rescues
+                    ):
+                        # implicit-dynamics snap traversal, shared with
+                        # FEMSystem (duck-typed Newmark integrator over the
+                        # stab_* hook of _newton_eval_impl)
+                        from femcy_tpu.system import FEMSystem
+
+                        rescues += 1
+                        step_dt = (
+                            cfg.dynamic_rescue_dt * max_time
+                            if cfg.dynamic_rescue_dt > 0.0
+                            else incs["ini_inc"]
+                        )
+                        t_resc = min(self.time0 + step_dt, max_time)
+                        lr = t_resc / max_time
+                        fixed_r, sval_r = bc_mod.build_dirichlet_arrays(
+                            model.dirichlet_bcs, mesh_view, t_resc, lr,
+                            user_dirichlet,
+                        )
+                        rhs_r = (
+                            jnp.einsum(
+                                "b,bn->n", tractions_d * lr, patterns_d
+                            )
+                            if patterns.shape[0]
+                            else jnp.zeros(self.n_dof)
+                        )
+                        logger.warning(
+                            "static increment failed at t=%.6g; attempting "
+                            "implicit-dynamics traversal to t=%.6g "
+                            "(rescue %d/%d)",
+                            self.time0, t_resc, rescues,
+                            cfg.dynamic_max_rescues,
+                        )
+                        ok, nsteps, detail = FEMSystem._dynamic_traverse(
+                            self, rhs_r, jnp.asarray(fixed_r),
+                            jnp.asarray(sval_r), on_newton,
+                        )
+                        if ok:
+                            logger.warning(
+                                "dynamic rescue at t=%.6g -> %.6g: %s; "
+                                "resuming statics",
+                                self.time0, t_resc, detail,
+                            )
+                            self.time0 = self.time1 = t_resc
+                            self.dt = incs["ini_inc"]
+                            dof_old = self.dof
+                            kinc += 1
+                            records.append(IncrementRecord(
+                                kinc, t_resc, self.dt, nsteps, 0.0, True
+                            ))
+                            if on_increment is not None:
+                                on_increment(self, records[-1])
+                            continue
+                        logger.warning("%s", detail)
+                        message_extra = "; " + detail
+                    else:
+                        message_extra = ""
                     success = False
                     message = (
                         "allowable minimum dt reached; Newton's method did "
                         "not converge"
-                    )
+                    ) + message_extra
                     break
                 continue
 

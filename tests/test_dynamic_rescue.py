@@ -138,3 +138,29 @@ def test_rescued_state_is_a_static_equilibrium(rescued_run):
 
 def test_dynamic_rescue_default_off():
     assert SolverConfig().dynamic_rescue is False
+
+
+def test_multiblock_dynamic_rescue():
+    """The rescue is shared with MultiBlockSystem (duck-typed Newmark
+    integrator): the same arch split into two same-type blocks at midspan
+    snaps through and completes, matching the single-block answer."""
+    from femcy_tpu.elements import get_element
+    from femcy_tpu.multiblock import ElementBlock, MultiBlockSystem
+
+    inp = _arch_inp()
+    mat = material_from_inp(
+        inp.material_type, inp.material_params, inp.element_type
+    )
+    half = len(inp.elements) // 2
+    system = MultiBlockSystem(
+        inp.nodes,
+        [
+            ElementBlock(inp.elements[:half], get_element("CPE4"), mat, "l"),
+            ElementBlock(inp.elements[half:], get_element("CPE4"), mat, "r"),
+        ],
+        SolverConfig(tangent="consistent", dynamic_rescue=True),
+    )
+    report = system.solve_nonlinear(inp)
+    assert report.success
+    uy = np.asarray(system.dof).reshape(-1, 2)[:, 1]
+    assert uy.min() < -2 * RISE

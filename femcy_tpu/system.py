@@ -1290,6 +1290,17 @@ class FEMSystem:
         h = h0
         self._arrs["stab_diag"] = m
 
+        def _polish(u):
+            """Static Newton at the settled state: scale=0 turns the
+            Newmark evaluation into pure statics (same jit signature, so
+            no recompile).  The TRUE acceptance gate -- kinetic energy
+            alone can accept a state outside any static basin."""
+            self._arrs["stab_scale"] = jnp.zeros((), dtype=u.dtype)
+            self._arrs["stab_ref"] = u
+            self.dof = u
+            conv, _, _ = self._advance_inc(rhs, fixed_d, sval_d, on_newton)
+            return conv
+
         u = u_entry
         v = jnp.zeros_like(u)
         acc = jnp.zeros_like(u)
@@ -1297,6 +1308,8 @@ class FEMSystem:
         steps = 0
         attempts = 0
         settled = 0
+        settle_tol = cfg.dynamic_settle_tol
+        polish_fails = 0
         e_kin = np.inf
         while steps < cfg.dynamic_max_steps:
             attempts += 1
@@ -1330,15 +1343,37 @@ class FEMSystem:
             u = u_new
             e_kin = 0.5 * float(jnp.sum(m * v * v))
             e_el = abs(self.elastic_energy())
-            if cfg.verbose:
+            if cfg.verbose or steps % 25 == 0:
                 logger.info(
-                    "rescue step %d: h=%.3e E_kin=%.3e E_elas=%.3e",
-                    steps, h, e_kin, e_el,
+                    "rescue step %d: h/h0=%.2e E_kin/E_elas=%.2e",
+                    steps, h / h0, e_kin / max(e_el, 1e-300),
                 )
-            if e_kin < cfg.dynamic_settle_tol * max(e_el, 1e-300):
+            if e_kin < settle_tol * max(e_el, 1e-300):
                 settled += 1
                 if settled >= 2:
-                    break
+                    if _polish(u):
+                        _restore()
+                        return True, steps, (
+                            f"settled in {steps} Newmark steps"
+                            + (
+                                f" ({polish_fails} settle(s) rejected by "
+                                "the static polish)"
+                                if polish_fails
+                                else ""
+                            )
+                        )
+                    # settled kinetically but not statically: tighten the
+                    # settle tolerance and keep integrating toward the
+                    # attractor (h -> inf is the static limit)
+                    polish_fails += 1
+                    settle_tol *= 1e-2
+                    settled = 0
+                    self.dof = u
+                    logger.info(
+                        "rescue step %d: static polish rejected the "
+                        "settled state; tightening settle tol to %.1e",
+                        steps, settle_tol,
+                    )
             else:
                 settled = 0
             if loops <= cfg.newton_fast_iters:
@@ -1348,31 +1383,20 @@ class FEMSystem:
                 # macroscopic swing; Newton divergence at too-large h is
                 # the regulator (h *= 0.25 above)
                 h *= 2.0
-        if settled < 2:
-            self.dof = u_entry
-            _restore()
-            return False, steps, (
-                "dynamic rescue: kinetic energy did not settle within "
-                f"{cfg.dynamic_max_steps} steps (E_kin/E_elas ~ "
-                f"{e_kin / max(abs(self.elastic_energy()), 1e-300):.1e})"
-            )
-        # static polish: confirm the settled state is a true equilibrium
+        self.dof = u_entry
         _restore()
-        if "stab_scale" in self._arrs:
-            self._arrs["stab_scale"] = jnp.zeros((), dtype=u.dtype)
-            self._arrs["stab_ref"] = u
-        self.dof = u
-        converged, loops, _res = self._advance_inc(
-            rhs, fixed_d, sval_d, on_newton
-        )
-        if not converged:
-            self.dof = u_entry
+        if polish_fails:
             return False, steps, (
-                "dynamic rescue: settled dynamically but the static polish "
-                "did not converge (the settled state is not in a static "
-                "equilibrium basin)"
+                "dynamic rescue: settled dynamically "
+                f"{polish_fails} time(s) but the static polish never "
+                "converged (no static equilibrium basin reached within "
+                f"{cfg.dynamic_max_steps} steps)"
             )
-        return True, steps, f"settled in {steps} Newmark steps"
+        return False, steps, (
+            "dynamic rescue: kinetic energy did not settle within "
+            f"{cfg.dynamic_max_steps} steps (E_kin/E_elas ~ "
+            f"{e_kin / max(abs(self.elastic_energy()), 1e-300):.1e})"
+        )
 
     # ------------------------------------------------------------------ #
     # failure diagnostics (config.diagnose_failure; no reference

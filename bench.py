@@ -34,6 +34,18 @@ import time
 if os.environ.get("BENCH_DTYPE", "f32") == "f32":
     os.environ["FEMCY_TPU_X64"] = "0"
 
+# persistent XLA compilation cache (repo-local, shared with the twist
+# subprocesses via the environment): the TPU twist analysis compiles in
+# ~20-60 s on the shared remote service but its HLO is stable, so every
+# run after the first skips the compile.  BENCH_COMPILE_CACHE="" disables.
+os.environ.setdefault(
+    "FEMCY_TPU_COMPILE_CACHE",
+    os.environ.get(
+        "BENCH_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    ),
+)
+
 import jax
 
 if os.environ.get("BENCH_PLATFORM"):
@@ -186,7 +198,11 @@ def bench_twist():
     cfg = SolverConfig(
         tangent="consistent",
         newton_boost_max=0,
-        fused_newton=fused,
+        # device residency (fused runs): the WHOLE analysis -- adaptive
+        # stepping + Newton + relaxation + CG -- as ONE XLA program
+        # (config.device_loop); a single dispatch instead of ~60, each of
+        # which pays 0.3-5 s of shared-tunnel queueing latency
+        device_loop=fused,
         linear_solver="cg" if fused else "auto",
         # small-model device residency: dense gather-free CG (fused runs)
         dense_operator_max_dof=8192 if fused else 0,

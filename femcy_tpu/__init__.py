@@ -41,6 +41,19 @@ _jax.config.update(
     os.environ.get("FEMCY_TPU_MATMUL_PRECISION", "highest"),
 )
 
+# Persistent XLA compilation cache: FEM programs are large (a fused Newton
+# step or device-resident analysis loop compiles 20-60 s on the remote TPU
+# service) but their HLO is stable across processes for a fixed mesh --
+# caching makes every run after the first skip the compile entirely
+# (verified to work through the remote-TPU backend).  Set
+# FEMCY_TPU_COMPILE_CACHE to a directory to enable ("" disables; default
+# off to keep library behaviour unsurprising -- bench.py and the CLI
+# enable it).
+_cache_dir = os.environ.get("FEMCY_TPU_COMPILE_CACHE", "")
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 __version__ = "0.1.0"
 
 from femcy_tpu.config import SolverConfig  # noqa: E402

@@ -151,6 +151,23 @@ class SolverConfig:
     #: displacement-driven analyses through states the unpredicted Newton
     #: cannot reach.  Prescribed dofs are pinned exactly either way.
     predictor: str = "previous"
+    #: compile the ENTIRE nonlinear analysis -- adaptive load stepping,
+    #: Newton with relaxation backtracking, and the inner CG -- into ONE
+    #: XLA program (device_loop.py): one device dispatch per solve() and one
+    #: (persistently cacheable) compile, instead of one dispatch per Newton
+    #: evaluation.  This is what makes small latency-bound models fast on a
+    #: remote TPU, where each dispatch pays 0.3-5 s of shared-service
+    #: queueing latency.  Constraints (raises otherwise): geometric
+    #: nonlinearity, no sharding/stabilization/rescue/refinement/boost, the
+    #: increment residual reference, the "previous" predictor, no
+    #: per-increment callbacks, and traceable user-Dirichlet callables
+    #: (user.make_rotation_dirichlet qualifies).  The linear solve is the
+    #: in-program CG dispatch (dense/DIA/ELL by the same rules as
+    #: fused_newton).
+    device_loop: bool = False
+    #: per-solve cap on recorded (attempted) increments of the device loop;
+    #: hitting it aborts with status 3 rather than looping unboundedly
+    device_loop_max_records: int = 512
     #: what the relative Newton tolerance is measured against:
     #: "increment" (default) = the first residual of each increment;
     #: "global" = the first residual of the whole analysis, cached forever --

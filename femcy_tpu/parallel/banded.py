@@ -248,20 +248,39 @@ def _btd_dirichlet_linear(D: int, V, rhs_local, fixed_local, sval_local):
     return V, rhs_local
 
 
-def _btd_pcg(D: int, V, b_local, eps: float, max_iters: int):
-    """Jacobi-PCG on the block-tridiagonal operator, one while_loop, psum
-    reductions -- the compiled program is gather/scatter-free."""
+def _btd_pcg(D: int, V, b_local, eps: float, max_iters: int, minv_blocks=None):
+    """PCG on the block-tridiagonal operator, one while_loop, psum
+    reductions -- the compiled program is gather/scatter-free.
+
+    ``minv_blocks`` (nbl, B, B) applies the BLOCK-Jacobi preconditioner
+    z = D_I^-1 r_I -- the diagonal blocks are already materialized, so the
+    apply is one more batched MXU matmul per iteration (+1/3 SpMV cost) for
+    a ~10x iteration cut at 50k dofs (measured; scalar Jacobi needed 721
+    iterations there, MULTICHIP_r03).  None falls back to scalar Jacobi."""
     nbl, _, B, _ = V.shape
-    # identity-masked reduction, NOT V[:, 1, i, i] advanced indexing -- the
-    # latter lowers to an HLO gather, which this program must not contain
-    diag = jnp.sum(V[:, 1] * jnp.eye(B, dtype=V.dtype), axis=2).reshape(-1)
-    minv = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
+
+    if minv_blocks is not None:
+
+        def apply_m(r):
+            return jnp.einsum(
+                "bij,bj->bi", minv_blocks, r.reshape(nbl, B)
+            ).reshape(-1)
+
+    else:
+        # identity-masked reduction, NOT V[:, 1, i, i] advanced indexing --
+        # the latter lowers to an HLO gather, which this program must not
+        # contain
+        diag = jnp.sum(V[:, 1] * jnp.eye(B, dtype=V.dtype), axis=2).reshape(-1)
+        minv = jnp.where(diag != 0.0, 1.0 / diag, 0.0)
+
+        def apply_m(r):
+            return minv * r
 
     def pdot(u, v):
         return jax.lax.psum(jnp.dot(u, v), AXIS)
 
     r0 = b_local
-    d0 = minv * r0
+    d0 = apply_m(r0)
     x0 = jnp.zeros_like(b_local)
     rmax0 = jax.lax.pmax(jnp.max(jnp.abs(r0)), AXIS)
 
@@ -275,7 +294,7 @@ def _btd_pcg(D: int, V, b_local, eps: float, max_iters: int):
         alpha = rmr / pdot(d, Ad)
         x = x + alpha * d
         r = r - alpha * Ad
-        z = minv * r
+        z = apply_m(r)
         rmr_new = pdot(r, z)
         d = z + (rmr_new / rmr) * d
         rmax = jax.lax.pmax(jnp.max(jnp.abs(r)), AXIS)
@@ -286,6 +305,22 @@ def _btd_pcg(D: int, V, b_local, eps: float, max_iters: int):
         cond, body, (x0, r0, d0, rmr0, jnp.int32(0), rmax0)
     )
     return x, k, rmax
+
+
+def _btd_block_inv(V):
+    """(nbl, 3, B, B) local blocks -> D_I^-1 (nbl, B, B): the block-Jacobi
+    preconditioner setup.  LU-based inverse (not Cholesky) so near-limit
+    indefinite tangents don't NaN.  Padding rows past n_dof are all-zero in
+    the Newton path (their residual is identically zero, so scalar Jacobi
+    ignored them silently); a unit diagonal is inserted there to keep the
+    block invertible -- the zero row/column makes the patched block exactly
+    [[A, 0], [0, I]], whose inverse leaves the live dofs untouched."""
+    Dg = V[0][:, 1]
+    B = Dg.shape[-1]
+    eye = jnp.eye(B, dtype=Dg.dtype)
+    diag = jnp.sum(Dg * eye, axis=2)  # (nbl, B), no gather
+    Dg = Dg + jnp.where(diag == 0.0, 1.0, 0.0)[:, :, None] * eye[None]
+    return jnp.linalg.inv(Dg)[None]
 
 
 def _btd_dirichlet_newton(D: int, V, fixed_local):
@@ -400,10 +435,13 @@ def _btd_assemble(D, nbl, B, n_dof,
     return V[None], b[None]
 
 
-def _btd_solve(D, eps, max_iters, V, b):
+def _btd_solve(D, eps, max_iters, V, b, minv=None):
     V = V[0]
     b = b[0]
-    x, k, rmax = _btd_pcg(D, V, b, eps, max_iters)
+    x, k, rmax = _btd_pcg(
+        D, V, b, eps, max_iters,
+        minv_blocks=None if minv is None else minv[0],
+    )
     return x[None], k, rmax
 
 
@@ -426,6 +464,7 @@ class BandedShardedSolver:
         block: Optional[int] = None,
         geometric_stiffness: bool = True,
         pattern=None,
+        preconditioner: str = "block",
     ):
         devices = devices if devices is not None else jax.devices()
         D = len(devices)
@@ -440,6 +479,18 @@ class BandedShardedSolver:
             cg_iters = ops.n_dof
         self._cg_cfg = (cg_eps, cg_iters)
         self._newton_step = None
+        # block-Jacobi preconditioner (the default): z = D_I^-1 r_I from the
+        # already-materialized diagonal blocks.  The batched inverse costs
+        # ~nbl*B^3 flops, so it is computed once per INCREMENT (Newton's
+        # tangent drifts slowly; CG still converges on the exact operator)
+        # and invalidated by new_increment().  "jacobi" = scalar 1/diag.
+        if preconditioner not in ("block", "jacobi"):
+            raise ValueError(
+                f"banded preconditioner must be 'block' or 'jacobi', got "
+                f"{preconditioner!r}"
+            )
+        self._block_precond = preconditioner == "block"
+        self._minv_cache = None
 
         shard = NamedSharding(self.device_mesh, P(AXIS))
         repl = NamedSharding(self.device_mesh, P())
@@ -481,6 +532,24 @@ class BandedShardedSolver:
                 check_vma=False,
             )
         )
+        self._cg_precond = jax.jit(
+            shard_map(
+                partial(_btd_solve, D, *self._cg_cfg),
+                mesh=self.device_mesh,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS), P(), P()),
+                check_vma=False,
+            )
+        )
+        self._block_inv = jax.jit(
+            shard_map(
+                _btd_block_inv,
+                mesh=self.device_mesh,
+                in_specs=(P(AXIS),),
+                out_specs=P(AXIS),
+                check_vma=False,
+            )
+        )
 
     # ------------------------------------------------------------------ #
     def _stack(self, v, fill=0.0):
@@ -507,11 +576,25 @@ class BandedShardedSolver:
             self._nodes, self._dN, self._w, self._C,
             rhs_s, fixed_s, sval_s, dof_full,
         )
-        x_s, iters, rmax = self._cg(V, b)
+        x_s, iters, rmax = self._run_cg(V, b, fresh=True)
         xp = np.asarray(x_s).reshape(-1)[: ops.n_dof]
         x = np.empty(ops.n_dof)
         x[ops.perm] = xp
         return x, int(iters)
+
+    def _run_cg(self, V, b, fresh: bool = False):
+        """CG dispatch with the (per-increment cached) block-Jacobi
+        preconditioner; ``fresh=True`` recomputes D_I^-1 from this V."""
+        if not self._block_precond:
+            return self._cg(V, b)
+        if fresh or self._minv_cache is None:
+            self._minv_cache = self._block_inv(V)
+        return self._cg_precond(V, b, self._minv_cache)
+
+    def new_increment(self):
+        """Invalidate the cached block-Jacobi preconditioner (called by the
+        host state machine at the start of every load increment)."""
+        self._minv_cache = None
 
     # ------------------------------------------------------------------ #
     # Newton path (used by FEMSystem when SolverConfig.sharding="banded"):
@@ -567,4 +650,4 @@ class BandedShardedSolver:
         """Sharded gather-free CG on BC'd block-tridiagonal values (the
         Newton linear solve).  fixed/fixed_s accepted for protocol parity
         with the slab solver (the banded operator is already eliminated)."""
-        return self._cg(values_s, b_s)
+        return self._run_cg(values_s, b_s)

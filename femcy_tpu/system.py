@@ -73,6 +73,13 @@ def _rms(x):
     return jnp.sqrt(jnp.sum(x * x) / x.shape[0])
 
 
+#: module-level jit so every FEMSystem ctor shares one compiled program per
+#: shape -- run EAGERLY this computation is ~30 op-by-op dispatches, each of
+#: which pays the remote-TPU tunnel's 0.3-5 s queueing latency (measured
+#: 9.3 s for the ctor's dsdX0 alone)
+_gradients_jit = jax.jit(assembly.gradients_and_volume)
+
+
 def run_newton(dof0, evaluate, lin_solve, finish, cfg, ini_residual):
     """The Newton-Raphson state machine with boost/relax line search
     (ref: stiffnessMtrx.py:756-822), abstracted over three callables so every
@@ -280,7 +287,7 @@ class FEMSystem:
             )
             arrs["force_targets"] = jnp.asarray(p.force_targets)
         # initial-configuration gradients are constant: precompute once
-        dsdX0, vol0 = assembly.gradients_and_volume(
+        dsdX0, vol0 = _gradients_jit(
             arrs["nodes"], arrs["elements"], arrs["dN"], arrs["w"]
         )
         arrs["dsdX0"] = dsdX0
@@ -303,6 +310,11 @@ class FEMSystem:
         # last Dirichlet (fixed, sval) arrays applied by solve(), kept for
         # post-hoc diagnostics (tangent_min_eigenvalue)
         self._last_dirichlet = None
+        # cached one-program analysis (config.device_loop)
+        self._device_loop_prog = None
+        # lazily-jitted post-processing programs
+        self._jit_strain_stress = None
+        self._jit_energy = None
 
         # --- jitted steps ---------------------------------------------------
         self._jit_linear_system = jax.jit(self._linear_system_impl)
@@ -521,14 +533,12 @@ class FEMSystem:
     def _deformation_gradient_impl(self, a, dof):
         return assembly.deformation_gradient(dof, a["elements"], a["dsdX0"])
 
-    def _newton_eval_impl(self, a, dof, rhs, fixed, sval):
-        """One full residual/Jacobian evaluation of the Newton method.
-
-        Pins the prescribed dofs, computes internal force and stiffness on
-        the current configuration, applies the Newton Dirichlet treatment and
-        returns (pinned dof, K_bc, residual_bc, rms residual)
-        (ref: stiffnessMtrx.py:609-644 + 756-758 + 310-341).
-        """
+    def _internal_force_parts(self, a, dof, fixed, sval):
+        """Shared first half of every Newton evaluation: pin prescribed
+        dofs, compute current-configuration kinematics, Cauchy stress and
+        the internal nodal force (ref: stiffnessMtrx.py:609-644).  Returns
+        (pinned dof, coords, dsdx, vol, sigma, f_int) -- the stabilization
+        term (``stab_diag`` hook) is already folded into ``f_int``."""
         dof = bc_mod.pin_dof(dof, fixed, sval)
         coords = a["nodes"] + dof.reshape(-1, self.mesh.dm)
         if self._structured_plan is not None:
@@ -558,6 +568,37 @@ class FEMSystem:
             f_int = assembly.internal_force(
                 dsdx, sigma, vol, a["force_targets"], self.pattern.n_dof
             )
+        if "stab_diag" in a:
+            # static stabilization (config.stabilize_factor): viscous force.
+            # Applied BEFORE the Dirichlet treatment so constrained rows stay
+            # zero-one; the matching tangent add happens in _newton_eval_impl.
+            d = a["stab_scale"] * a["stab_diag"]
+            f_int = f_int + d * (dof - a["stab_ref"])
+        return dof, coords, dsdx, vol, sigma, f_int
+
+    def _residual_rms_impl(self, a, dof, rhs, fixed, sval):
+        """RMS of the BC-zeroed Newton residual at ``dof`` WITHOUT
+        assembling a tangent: the cheap line-search/convergence probe of the
+        device-resident analysis loop (device_loop.py).  With the consistent
+        tangent (edof JVPs per element) this costs ~1/edof of a full
+        ``_newton_eval_impl``."""
+        dof, _, _, _, _, f_int = self._internal_force_parts(
+            a, dof, fixed, sval
+        )
+        residual = jnp.where(fixed, 0.0, f_int - rhs)
+        return dof, _rms(residual)
+
+    def _newton_eval_impl(self, a, dof, rhs, fixed, sval):
+        """One full residual/Jacobian evaluation of the Newton method.
+
+        Pins the prescribed dofs, computes internal force and stiffness on
+        the current configuration, applies the Newton Dirichlet treatment and
+        returns (pinned dof, K_bc, residual_bc, rms residual)
+        (ref: stiffnessMtrx.py:609-644 + 756-758 + 310-341).
+        """
+        dof, coords, dsdx, vol, sigma, f_int = self._internal_force_parts(
+            a, dof, fixed, sval
+        )
         if self.config.tangent == "consistent":
             Ke = assembly.consistent_tangent(
                 dof, a["elements"], a["nodes"], a["dN"], a["w"], self.material
@@ -573,11 +614,10 @@ class FEMSystem:
         else:
             values = self._assemble_values(a, dsdx, vol, coords=coords)
         if "stab_diag" in a:
-            # static stabilization (config.stabilize_factor): viscous force
-            # + matching tangent regularization.  Applied BEFORE the
-            # Dirichlet treatment so constrained rows stay zero-one.
+            # static stabilization (config.stabilize_factor): the tangent
+            # regularization matching the viscous force already folded into
+            # f_int by _internal_force_parts.
             d = a["stab_scale"] * a["stab_diag"]
-            f_int = f_int + d * (dof - a["stab_ref"])
             if self.dia is not None:
                 values = values.at[:, self.dia.diag_idx].add(d)
             else:
@@ -831,6 +871,15 @@ class FEMSystem:
         """
         t_start = _time.time()
         cfg = self.config
+        if cfg.device_loop:
+            # whole-analysis device residency: ONE program, one dispatch
+            # (device_loop.py); raises on configurations it cannot express
+            from femcy_tpu.device_loop import _unsupported, device_solve
+
+            why = _unsupported(cfg, self, on_increment, on_newton)
+            if why is not None:
+                raise ValueError(f"device_loop: {why}")
+            return device_solve(self, inp, user_dirichlet, resume=resume)
         incs = inp.time_incs
         max_time = incs["max_time"]
         min_inc = incs["min_inc"]
@@ -1082,6 +1131,10 @@ class FEMSystem:
         """
         cfg = self.config
         sh = self._shard_sys
+        if sh is not None and hasattr(sh, "new_increment"):
+            # refresh per-increment solver caches (e.g. the banded
+            # block-Jacobi preconditioner, parallel/banded.py)
+            sh.new_increment()
         if not self.geometric_nonlinear:
             if sh is not None:
                 with self.timer.section("sharded_linear"):
@@ -1532,9 +1585,11 @@ class FEMSystem:
     def deformation_gradient(self):
         return self._jit_F(self._arrs, self.dof)
 
-    def compute_strain_stress(self):
-        """(strain, cauchy stress, mises) at every (element, GP)."""
-        F = self._jit_F(self._arrs, self.dof)
+    def _strain_stress_impl(self, a, dof):
+        """(strain, stress, mises) as ONE program -- eager, these ~40 small
+        ops cost one tunnel dispatch each on a remote TPU (measured ~20 s
+        for one stress recovery)."""
+        F = self._deformation_gradient_impl(a, dof)
         dm = self.mesh.dm
         eye = jnp.eye(dm)
         if self.geometric_nonlinear:
@@ -1546,12 +1601,21 @@ class FEMSystem:
         mises = mises_stress(stress, self.material)
         return strain, stress, mises
 
+    def compute_strain_stress(self):
+        """(strain, cauchy stress, mises) at every (element, GP)."""
+        if self._jit_strain_stress is None:
+            self._jit_strain_stress = jax.jit(self._strain_stress_impl)
+        return self._jit_strain_stress(self._arrs, self.dof)
+
+    def _energy_impl(self, a, dof, vol):
+        F = self._deformation_gradient_impl(a, dof)
+        dens = assembly.gp_energy_density(F, self.material)
+        return jnp.sum(dens * vol)
+
     def elastic_energy(self):
         """Total elastic energy = sum psi(F) * vol
         (ref: stiffnessMtrx.py:592-606, integrated over the most recently
         assembled configuration's volumes)."""
-        F = self._jit_F(self._arrs, self.dof)
-        dens = assembly.gp_energy_density(F, self.material)
         vol = self._last_vol
         if self._shard_sys is not None and self.geometric_nonlinear:
             # the sharded path never materialises a global volume array;
@@ -1566,11 +1630,13 @@ class FEMSystem:
                     x_e, self._arrs["dN"], self._arrs["w"]
                 )
             else:  # sharding="banded": general connectivity gather
-                _, vol = assembly.gradients_and_volume(
+                _, vol = _gradients_jit(
                     coords, self._arrs["elements"],
                     self._arrs["dN"], self._arrs["w"],
                 )
-        return float(jnp.sum(dens * vol))
+        if self._jit_energy is None:
+            self._jit_energy = jax.jit(self._energy_impl)
+        return float(self._jit_energy(self._arrs, self.dof, vol))
 
     def extrapolate(self, gp_vals):
         """GP -> nodal patch extrapolation, (E, G) -> (E, n_nodes)

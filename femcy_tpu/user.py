@@ -18,20 +18,30 @@ import numpy as np
 
 
 def make_rotation_dirichlet(center, axis: str = "z"):
-    """Rigid rotation about ``center`` by angle ``time * pi`` (host, numpy)."""
+    """Rigid rotation about ``center`` by angle ``time * pi``.
+
+    Written with ``jnp`` ops so the SAME callable serves both the host state
+    machine (numpy inputs, float time) and the device-resident analysis loop
+    (``SolverConfig.device_loop``), where ``time`` is a traced scalar inside
+    one XLA program.  User-supplied hooks that should work with
+    ``device_loop`` must follow the same rule: no data-dependent Python
+    control flow on ``time``.
+    """
     center = np.asarray(center, dtype=np.float64)
 
-    def user_fn(nodes: np.ndarray, dof_dim: int, time: float) -> np.ndarray:
+    def user_fn(nodes: np.ndarray, dof_dim: int, time) -> np.ndarray:
+        import jax.numpy as jnp
+
         angle = time * np.pi
-        c, s = np.cos(angle), np.sin(angle)
-        # ref rotation matrix (user_api.py:22-26): rows [cos, sin, 0; -sin, cos, 0; 0,0,1]
-        rot = np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
-        rel = nodes - center[: nodes.shape[1]]
-        if nodes.shape[1] == 2:
-            new = rel @ rot[:2, :2].T
-        else:
-            new = rel @ rot.T
-        disp = new - rel
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        # ref rotation matrix (user_api.py:22-26):
+        # rows [cos, sin, 0; -sin, cos, 0; 0,0,1]; applied as rel @ rot.T
+        rel = jnp.asarray(nodes - center[: nodes.shape[1]])
+        x, y = rel[:, 0], rel[:, 1]
+        new_cols = [c * x + s * y, -s * x + c * y]
+        if nodes.shape[1] == 3:
+            new_cols.append(rel[:, 2])
+        disp = jnp.stack(new_cols, axis=1) - rel
         return disp[:, dof_dim]
 
     return user_fn

@@ -1,0 +1,191 @@
+"""Smoothed-aggregation AMG (solvers/amg.py) on genuinely unstructured
+operators: setup sanity, V-cycle convergence, and mesh-size-robust PCG
+iteration counts (the property Jacobi lacks: 415 iterations at 273k dofs,
+measured on TPU; the reference's only solver is Jacobi-PCG,
+conjugateGradientSolver.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from femcy_tpu import assembly
+from femcy_tpu import bc as bc_mod
+from femcy_tpu.materials import LinearIsotropic
+from femcy_tpu.mesh import FEMesh
+from femcy_tpu.meshgen import box_tets
+from femcy_tpu.solvers.amg import AlgebraicMultigrid
+from femcy_tpu.solvers.cg import ell_spmv, pcg_solve
+from femcy_tpu.topology import build_pattern
+
+
+def _unstructured_box(nx, seed=0, jitter=0.2):
+    """box_tets with randomized node numbering + interior coordinate jitter:
+    no structure metadata, general ELL path, RCM-unfriendly ordering."""
+    m0 = box_tets(nx, nx, nx)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(m0.n_nodes)
+    iperm = np.empty_like(perm)
+    iperm[perm] = np.arange(m0.n_nodes)
+    nodes = m0.nodes[perm].copy()
+    h = 1.0 / nx
+    interior = (nodes > 1e-9) & (nodes < 1 - 1e-9)
+    nodes += interior * (rng.uniform(-jitter, jitter, nodes.shape) * h)
+    return FEMesh(nodes, iperm[m0.elements], m0.element)
+
+
+def _operator(mesh, material):
+    """BC-eliminated ELL operator + rhs for a clamped-bottom shear load."""
+    pattern = build_pattern(mesh)
+    nodes = jnp.asarray(mesh.nodes)
+    dN = jnp.asarray(mesh.element.dshape_at_gp)
+    w = jnp.asarray(mesh.element.gauss_weights)
+    C = jnp.asarray(material.C)
+    dsdx, vol = assembly.gradients_and_volume(
+        nodes, jnp.asarray(mesh.elements), dN, w
+    )
+    Ke = assembly.element_stiffness(dsdx, vol, C)
+    values = assembly.scatter_stiffness(
+        Ke, jnp.asarray(pattern.scatter_targets), mesh.n_dof, pattern.width
+    )
+    fixed = np.zeros(mesh.n_dof, dtype=bool)
+    bot = np.nonzero(mesh.nodes[:, 2] < 1e-9)[0]
+    for d in range(3):
+        fixed[bot * 3 + d] = True
+    rhs = np.zeros(mesh.n_dof)
+    top = np.nonzero(mesh.nodes[:, 2] > mesh.nodes[:, 2].max() - 1e-9)[0]
+    rhs[top * 3] = 1.0
+    values_bc, b = bc_mod.apply_dirichlet_linear(
+        values, jnp.asarray(pattern.colidx), jnp.asarray(pattern.diag_slot),
+        jnp.asarray(rhs), jnp.asarray(fixed), jnp.zeros(mesh.n_dof),
+    )
+    return pattern, values_bc, b, fixed
+
+
+def _build_amg(mesh, pattern, values_bc, fixed, **kw):
+    A = pattern.to_scipy(np.asarray(values_bc, dtype=np.float64))
+    return AlgebraicMultigrid(A, mesh.dm, mesh.nodes, fixed, **kw)
+
+
+def test_amg_setup_coarsens():
+    mesh = _unstructured_box(6)
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+    pattern, values_bc, b, fixed = _operator(mesh, material)
+    amg = _build_amg(mesh, pattern, values_bc, fixed, coarse_max_dof=200)
+    assert amg.n_levels >= 2
+    sizes = [lv.n_dof for lv in amg.levels]
+    assert sizes == sorted(sizes, reverse=True)
+    assert sizes[-1] <= 6 * 200  # aggregation factor bound, not exact
+    # rigid-body candidate: 6 coarse dofs per aggregate
+    assert sizes[1] % 6 == 0
+
+
+def test_amg_vcycle_contracts_energy_error():
+    """One V-cycle must contract the ERROR in the energy norm (the multigrid
+    convergence statement; the plain residual 2-norm of M^-1 b is NOT
+    guaranteed to shrink and in fact grows here)."""
+    mesh = _unstructured_box(6)
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+    pattern, values_bc, b, fixed = _operator(mesh, material)
+    amg = _build_amg(mesh, pattern, values_bc, fixed, coarse_max_dof=200)
+    colidx = jnp.asarray(pattern.colidx)
+
+    def apply0(x):
+        return ell_spmv(values_bc, colidx, x)
+
+    ops = amg.operands()
+    rng = np.random.default_rng(0)
+    e = jnp.asarray(rng.standard_normal(mesh.n_dof))
+    z = amg.precondition(apply0(e), ops=ops, apply0=apply0)
+    e_new = e - z
+
+    def energy(v):
+        return float(jnp.dot(v, apply0(v)))
+
+    contraction = energy(e_new) / energy(e)
+    # measured 0.022 on this fixture; 0.25 leaves headroom without letting
+    # a broken transfer (contraction ~1) pass
+    assert 0.0 <= contraction < 0.25, contraction
+
+
+@pytest.mark.parametrize("nx", [6, 10])
+def test_amg_pcg_matches_direct_and_iterations_bounded(nx):
+    mesh = _unstructured_box(nx)
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+    pattern, values_bc, b, fixed = _operator(mesh, material)
+    amg = _build_amg(mesh, pattern, values_bc, fixed, coarse_max_dof=400)
+    colidx = jnp.asarray(pattern.colidx)
+
+    def apply0(x):
+        return ell_spmv(values_bc, colidx, x)
+
+    x, iters, rmax = jax.jit(
+        lambda values, b, ops: amg.pcg_solve(
+            b,
+            lambda v: ell_spmv(values, colidx, v),
+            eps=1.0e-8,
+            ops=ops,
+        )
+    )(values_bc, b, amg.operands())
+    # direct reference
+    A = pattern.to_scipy(np.asarray(values_bc, dtype=np.float64))
+    import scipy.sparse.linalg as spla
+
+    x_ref = spla.spsolve(A.tocsc(), np.asarray(b, dtype=np.float64))
+    err = np.abs(np.asarray(x) - x_ref).max() / np.abs(x_ref).max()
+    assert err < 1e-5, err
+    # mesh-size robustness: far below the Jacobi count (~3.4 * nx dofs deep)
+    assert int(iters) < 60, int(iters)
+
+
+def test_amg_iteration_count_mesh_independent():
+    """The defining multigrid property: iterations stay ~flat as the mesh
+    refines (Jacobi grows like the diameter)."""
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+    counts = {}
+    for nx in (6, 12):
+        mesh = _unstructured_box(nx)
+        pattern, values_bc, b, fixed = _operator(mesh, material)
+        amg = _build_amg(mesh, pattern, values_bc, fixed, coarse_max_dof=400)
+        colidx = jnp.asarray(pattern.colidx)
+        _, iters, _ = amg.pcg_solve(
+            b, lambda v: ell_spmv(values_bc, colidx, v), eps=1.0e-6,
+        )
+        counts[nx] = int(iters)
+    # measured 16/19 with the power-iteration lambda_max; the Gershgorin
+    # bound regressed this to 20/34 (growing like the diameter)
+    assert counts[12] <= counts[6] + 6, counts
+
+
+def test_amg_fully_fixed_aggregate_is_regularized():
+    """A mesh where one region is entirely Dirichlet-fixed: its candidate
+    rows are zero, the QR rank guard fires, and the coarse operator gets
+    unit diagonals instead of going singular."""
+    mesh = _unstructured_box(5)
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+    pattern, values_bc, b, fixed = _operator(mesh, material)
+    # fix EVERYTHING below mid-height
+    fixed = fixed.copy()
+    low = np.nonzero(mesh.nodes[:, 2] < 0.5)[0]
+    for d in range(3):
+        fixed[low * 3 + d] = True
+    values_bc, b = bc_mod.apply_dirichlet_linear(
+        jnp.asarray(
+            pattern.to_scipy(
+                np.asarray(values_bc, np.float64)
+            ).toarray()[np.arange(mesh.n_dof)[:, None], np.asarray(pattern.colidx)]
+        ),
+        jnp.asarray(pattern.colidx), jnp.asarray(pattern.diag_slot),
+        b, jnp.asarray(fixed), jnp.zeros(mesh.n_dof),
+    )
+    amg = _build_amg(mesh, pattern, values_bc, fixed, coarse_max_dof=150)
+    colidx = jnp.asarray(pattern.colidx)
+    x, iters, rmax = amg.pcg_solve(
+        b, lambda v: ell_spmv(values_bc, colidx, v), eps=1.0e-6,
+    )
+    assert np.isfinite(np.asarray(x)).all()
+    A = pattern.to_scipy(np.asarray(values_bc, dtype=np.float64))
+    import scipy.sparse.linalg as spla
+
+    x_ref = spla.spsolve(A.tocsc(), np.asarray(b, dtype=np.float64))
+    assert np.abs(np.asarray(x) - x_ref).max() / (np.abs(x_ref).max() + 1e-30) < 1e-4

@@ -251,6 +251,57 @@ def test_twist_c3d10_full_mesh_90deg(fixtures_dir):
     assert outer > 1.5 * inner
 
 
+@pytest.mark.slow
+def test_twist_c3d10_full_180deg_with_dynamic_rescue(fixtures_dir):
+    """The reference-PUBLISHED analysis neither static machine can finish:
+    the full C3D10 twist mesh at its SHIPPED 180-degree schedule
+    (/root/reference/README.md:110-120, twist_plate_C3D10.inp).  Statics
+    march to t=0.975 (175.5 degrees); the within-increment snap there (the
+    174.55-degree event characterized in PARITY.md) defeats dt cutback at
+    every dt (the reference aborts here, stiffnessMtrx.py:698-701).  With
+    ``dynamic_rescue`` the implicit-dynamics traversal crosses the snap
+    (measured: 90 Newmark steps, 4 candidate states rejected by the static
+    polish before a true far-side equilibrium), statics resume, and the
+    analysis CONVERGES at exactly 180 degrees -- a result beyond both
+    frameworks' static toolboxes.  Runtime ~8 min on one CPU (slow tier)."""
+    inp = read_inp(fixtures_dir / "twist/twist_plate_C3D10.inp")
+    # the bench schedule (4.5-degree steps, consistent tangent, no boost) --
+    # same converged states as the parity schedule at ~1/15 the evaluations
+    inp.time_incs = dict(inp.time_incs, max_inc=0.05, ini_inc=0.025)
+    cfg = SolverConfig(
+        tangent="consistent", newton_boost_max=0, dynamic_rescue=True
+    )
+    mat = material_from_inp(inp.material_type, inp.material_params, inp.element_type)
+    system = FEMSystem(
+        FEMesh(inp.nodes, inp.elements, inp.element), mat,
+        inp.geometric_nonlinear, cfg,
+    )
+    report = system.solve(inp)
+    assert report.success, report.message
+    assert system.time0 == 1.0
+
+    # exactly one rescue, at the documented snap (t in (0.96, 1.0))
+    # (a converged record above the 24-iteration Newton cap can only be a
+    # rescue: its iteration slot records the Newmark step count)
+    rescue_incs = [r for r in report.increments
+                   if r.converged and r.newton_iters > 24]
+    assert len(rescue_incs) == 1
+    assert 0.96 < rescue_incs[0].time <= 1.0
+
+    # 180 degrees: the prescribed set's chord is the full diameter 2*r
+    rset = np.unique(
+        np.concatenate([b.node_set for b in inp.dirichlet_bcs if b.user])
+    )
+    r_xy = np.linalg.norm(inp.nodes[rset][:, :2] - np.array([40.0, 5.0]), axis=1)
+    dof = np.asarray(system.dof).reshape(-1, 3)
+    u_rot = np.linalg.norm(dof[rset][:, :2], axis=1).max()
+    np.testing.assert_allclose(u_rot, 2.0 * r_xy.max(), rtol=1e-9)
+
+    # the far-side state is a genuine static equilibrium with finite stress
+    _, _, mises = system.compute_strain_stress()
+    assert np.isfinite(np.asarray(mises)).all()
+
+
 def test_fused_newton_matches_default(fixtures_dir):
     """config.fused_newton (one program per Newton iteration: eval + CG)
     converges the large-deformation beam to the same state as the default

@@ -56,10 +56,14 @@ class SolverConfig:
     dense_operator_max_dof: int = 0
     #: CG preconditioner: "jacobi" (reference parity,
     #: conjugateGradientSolver.py:48-51), "block_jacobi" (dm x dm node
-    #: blocks; fewer iterations for elasticity; DIA layout only) or
+    #: blocks; fewer iterations for elasticity; DIA layout only),
     #: "multigrid" (geometric V-cycle; structured box_tets meshes with
-    #: dyadically coarsenable dims only; mesh-independent iteration counts).
-    #: Applies to the CG path -- the direct solver ignores it.
+    #: dyadically coarsenable dims only; mesh-independent iteration counts)
+    #: or "amg" (smoothed-aggregation ALGEBRAIC multigrid, solvers/amg.py:
+    #: any unstructured mesh on the general ELL path; host setup from an
+    #: f64 twin assembly, device V-cycle; near-mesh-independent counts --
+    #: 16/19/24/26 PCG iterations where Jacobi needs hundreds).  Applies to
+    #: the CG path -- the direct solver ignores it.
     preconditioner: str = "jacobi"
 
     # --- mixed-precision refinement ---------------------------------------

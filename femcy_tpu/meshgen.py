@@ -207,6 +207,37 @@ def box_wedges(
     return FEMesh(nodes, wedges.astype(np.int32), WEDGE6)
 
 
+def unstructured_box_tets(
+    nx: int,
+    ny: int = 0,
+    nz: int = 0,
+    seed: int = 0,
+    jitter: float = 0.2,
+) -> FEMesh:
+    """A genuinely UNSTRUCTURED tet4 box: box_tets topology with randomized
+    node numbering and jittered interior coordinates.
+
+    No ``structure`` metadata is attached, so FEMSystem routes it through
+    the general ELL path -- the same code every real .inp mesh exercises
+    (irregular numbering defeats the DIA offset detection; the jitter makes
+    element geometry non-uniform).  Used by the large-unstructured bench
+    metric and the AMG tests; ``jitter`` is the interior displacement as a
+    fraction of the cell size (< 0.5 keeps all tets positive-volume).
+    """
+    ny = ny or nx
+    nz = nz or nx
+    m0 = box_tets(nx, ny, nz)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(m0.n_nodes)
+    iperm = np.empty_like(perm)
+    iperm[perm] = np.arange(m0.n_nodes)
+    nodes = m0.nodes[perm].copy()
+    h = np.array([1.0 / nx, 1.0 / ny, 1.0 / nz])
+    interior = (nodes > 1e-9) & (nodes < 1.0 - 1e-9)
+    nodes += interior * (rng.uniform(-jitter, jitter, nodes.shape) * h)
+    return FEMesh(nodes, iperm[m0.elements], m0.element)
+
+
 def cantilever_tets(
     n_long: int, n_thick: int, length: float = 10.0, thickness: float = 1.0
 ) -> Tuple[FEMesh, np.ndarray, np.ndarray]:

@@ -391,6 +391,17 @@ class FEMSystem:
 
             info = mesh.structure
             coarsen_grids((info["nx"], info["ny"], info["nz"]))
+        # algebraic multigrid (lazy like _mg: needs the fixed mask)
+        self._amg = None
+        self._amg_fixed_key: Optional[bytes] = None
+        self._amg_fixed_obj = None
+        self._amg_raw_csr = None  # cached no-BC f64 host operator
+        self._jit_amg_cg = None
+        if config.preconditioner == "amg" and self.pattern is None:
+            raise ValueError(
+                "preconditioner='amg' runs on the general ELL path; this "
+                "structured mesh already has the geometric 'multigrid'"
+            )
 
         # --- multi-chip slab sharding (config.sharding="slab") --------------
         # The reference is strictly single-device (SURVEY.md §2.5).  With
@@ -708,6 +719,17 @@ class FEMSystem:
                 )
             self._warn_cg_cap(iters, rmax, b)
             return x
+        if cfg.preconditioner == "amg" and fixed is not None:
+            self._ensure_amg(fixed)
+            x, iters, rmax = self._jit_amg_cg(
+                values, self._arrs["colidx"], b, self._amg_ops
+            )
+            if cfg.verbose:
+                logger.info(
+                    "AMG-CG: %d iters, ||r||_inf=%.3e", int(iters), float(rmax)
+                )
+            self._warn_cg_cap(iters, rmax, b)
+            return x
         if self._use_dense_cg:
             x, iters, rmax = self._jit_dense_cg(
                 values, b,
@@ -848,6 +870,58 @@ class FEMSystem:
             )
 
         self._jit_mg_cg = jax.jit(_mg_cg)
+
+    def _ensure_amg(self, fixed):
+        """Build (or rebuild on a changed fixed-dof mask) the smoothed-
+        aggregation hierarchy (solvers/amg.py) and its jitted PCG.
+
+        The hierarchy is built from the f64 HOST twin of the operator
+        (assembly_host, initial configuration) and kept across increments
+        and Newton iterations; the PCG always iterates on the CALLER's
+        exact current device operator, so on the nonlinear path this acts
+        as a frozen-hierarchy preconditioner (still SPD, still convergent;
+        iteration counts rise gradually with tangent drift)."""
+        if self._amg is not None and fixed is self._amg_fixed_obj:
+            return
+        key = np.asarray(fixed).tobytes()
+        if self._amg is not None and self._amg_fixed_key == key:
+            self._amg_fixed_obj = fixed
+            return
+        from femcy_tpu import assembly_host
+        from femcy_tpu.solvers.amg import AlgebraicMultigrid
+        from femcy_tpu.solvers.cg import ell_spmv
+
+        if self._amg_raw_csr is None:
+            self._amg_raw_csr = assembly_host.assemble_csr_host(
+                self.mesh, self.pattern, np.asarray(self.material.C)
+            )
+        fixed_np = np.asarray(fixed, dtype=bool)
+        zeros = np.zeros(self.mesh.n_dof)
+        K_bc, _ = assembly_host.dirichlet_csr_host(
+            self._amg_raw_csr, zeros, fixed_np, zeros
+        )
+        self._amg = AlgebraicMultigrid(
+            K_bc, self.mesh.dm, self.mesh.nodes, fixed_np
+        )
+        self._amg_fixed_key = key
+        self._amg_fixed_obj = fixed
+        self._amg_ops = self._amg.operands()
+        amg = self._amg
+        cfg = self.config
+        max_iters = (
+            cfg.cg_max_iters if cfg.cg_max_iters > 0 else self.mesh.n_dof
+        )
+
+        def _amg_cg(values, colidx, b, ops):
+            return amg.pcg_solve(
+                b,
+                lambda x: ell_spmv(values, colidx, x),
+                eps=cfg.cg_eps,
+                max_iters=max_iters,
+                ops=ops,
+            )
+
+        self._jit_amg_cg = jax.jit(_amg_cg)
 
     # ------------------------------------------------------------------ #
     # public API

@@ -19,19 +19,7 @@ from femcy_tpu.solvers.cg import ell_spmv, pcg_solve
 from femcy_tpu.topology import build_pattern
 
 
-def _unstructured_box(nx, seed=0, jitter=0.2):
-    """box_tets with randomized node numbering + interior coordinate jitter:
-    no structure metadata, general ELL path, RCM-unfriendly ordering."""
-    m0 = box_tets(nx, nx, nx)
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(m0.n_nodes)
-    iperm = np.empty_like(perm)
-    iperm[perm] = np.arange(m0.n_nodes)
-    nodes = m0.nodes[perm].copy()
-    h = 1.0 / nx
-    interior = (nodes > 1e-9) & (nodes < 1 - 1e-9)
-    nodes += interior * (rng.uniform(-jitter, jitter, nodes.shape) * h)
-    return FEMesh(nodes, iperm[m0.elements], m0.element)
+from femcy_tpu.meshgen import unstructured_box_tets as _unstructured_box
 
 
 def _operator(mesh, material):
@@ -155,6 +143,38 @@ def test_amg_iteration_count_mesh_independent():
     # measured 16/19 with the power-iteration lambda_max; the Gershgorin
     # bound regressed this to 20/34 (growing like the diameter)
     assert counts[12] <= counts[6] + 6, counts
+
+
+def test_femsystem_amg_preconditioner_linear_solve():
+    """SolverConfig(preconditioner='amg', linear_solver='cg') end-to-end on
+    an unstructured mesh matches the host direct answer."""
+    from femcy_tpu import FEMSystem, SolverConfig
+    from femcy_tpu.io.inp import InpModel
+
+    mesh = _unstructured_box(6)
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+    pattern, values_bc, b, fixed = _operator(mesh, material)
+
+    sys_amg = FEMSystem(
+        mesh, material, False,
+        SolverConfig(preconditioner="amg", linear_solver="cg", cg_eps=1e-8),
+    )
+    x = sys_amg._solve_linear_system(values_bc, b, jnp.asarray(fixed))
+
+    A = pattern.to_scipy(np.asarray(values_bc, dtype=np.float64))
+    import scipy.sparse.linalg as spla
+
+    x_ref = spla.spsolve(A.tocsc(), np.asarray(b, dtype=np.float64))
+    assert np.abs(np.asarray(x) - x_ref).max() / np.abs(x_ref).max() < 1e-5
+
+
+def test_femsystem_amg_rejects_structured_mesh():
+    from femcy_tpu import FEMSystem, SolverConfig
+
+    mesh = box_tets(4, 4, 4)
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+    with pytest.raises(ValueError, match="amg"):
+        FEMSystem(mesh, material, False, SolverConfig(preconditioner="amg"))
 
 
 def test_amg_fully_fixed_aggregate_is_regularized():

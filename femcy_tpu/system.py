@@ -207,24 +207,27 @@ class FEMSystem:
         # while f64 matches the literature anchor.  f64 per-system is not
         # representable while x64 is globally off, so warn loudly instead.
         nu = getattr(material, "poisson_ratio", 0.0)
-        # refinement only engages on the linear path (_advance_inc guards on
-        # `not geometric_nonlinear`), so it must not silence the warning for
-        # nonlinear analyses where it is inert
+        # refinement engages on the linear path (_refine_linear_solve) and
+        # the standard Newton path (_newton_refine); fused_newton has no
+        # host residual hook, so the warning stays live there
         if (
             nu >= 0.495
             and not jax.config.jax_enable_x64
-            and (self.geometric_nonlinear or not config.mixed_precision_refine)
+            and (
+                not config.mixed_precision_refine
+                or (self.geometric_nonlinear and config.fused_newton)
+            )
         ):
             logger.warning(
                 "near-incompressible material (nu=%.4f) in f32 mode: "
                 "expect O(1%%) stress error; set "
                 "SolverConfig(mixed_precision_refine=True) to recover f64 "
-                "accuracy with f32 bulk work (LINEAR analyses only%s), or "
-                "enable x64 (FEMCY_TPU_X64=1, 26x slower element math on "
-                "TPU)",
+                "accuracy with f32 bulk work (linear and standard-Newton "
+                "analyses%s), or enable x64 (FEMCY_TPU_X64=1, 26x slower "
+                "element math on TPU)",
                 nu,
-                " -- this analysis is nonlinear, refinement will not engage"
-                if self.geometric_nonlinear and config.mixed_precision_refine
+                " -- NOT the fused_newton path used here"
+                if self.geometric_nonlinear and config.fused_newton
                 else "",
             )
 
@@ -314,6 +317,11 @@ class FEMSystem:
         self._device_loop_prog = None
         # lazily-jitted post-processing programs
         self._jit_strain_stress = None
+        self._jit_refine_eval = None  # lazy consistent-tangent eval (_newton_refine)
+        #: f64 master state written by _newton_refine (mixed-precision
+        #: Newton): the certified-equilibrium solution, exact beyond the
+        #: f32 representation floor of ``self.dof``
+        self.dof_refined: Optional[np.ndarray] = None
         self._jit_energy = None
 
         # --- jitted steps ---------------------------------------------------
@@ -809,6 +817,106 @@ class FEMSystem:
             )
         return jnp.asarray(x)
 
+    def _newton_refine(self, rhs, fixed, sval):
+        """Mixed-precision refinement of a CONVERGED Newton increment
+        (config.mixed_precision_refine on the geometric-nonlinear path).
+
+        The f32 Newton loop stops at res/ini < 1e-2 with the residual
+        EVALUATED in f32 -- near-incompressible tangents amplify that
+        evaluation noise into O(1%) stress error.  This polishes the
+        equilibrium with extra modified-Newton iterations whose residual is
+        the f64 HOST internal force (assembly_host.internal_force_host, an
+        exact twin of the device path) while every linear solve stays in
+        the device dtype against the frozen f32 tangent: the nonlinear
+        sibling of _refine_linear_solve.  Each iteration contracts the
+        error by ~kappa * eps_f32 until the f64 residual bottoms out at the
+        f32 solve's noise floor.
+        """
+        from femcy_tpu import assembly_host
+
+        cfg = self.config
+        rhs_np, fixed_np, sval_np = self._host_bc
+        fixed_np = np.asarray(fixed_np, bool)
+        dof = np.asarray(self.dof, np.float64)
+        dof = np.where(fixed_np, np.asarray(sval_np, np.float64), dof)
+
+        # frozen f32 CONSISTENT tangent at the converged state (one device
+        # eval); the LU (direct path) is cached across the refinement via
+        # ``reuse``.  The secant tangent is NOT contractive here (measured:
+        # the modified-Newton residual GROWS 2.5e-3 -> 4.2e-3 with the
+        # secant, vs 2.6e-5 -> 2.6e-13 in two steps with the exact
+        # tangent), so refinement assembles the consistent one regardless
+        # of config.tangent.
+        if self._jit_refine_eval is None:
+            def _consistent_eval(a, dof_d, rhs_d, fixed_d, sval_d):
+                dof_d = bc_mod.pin_dof(dof_d, fixed_d, sval_d)
+                Ke = assembly.consistent_tangent(
+                    dof_d, a["elements"], a["nodes"], a["dN"], a["w"],
+                    self.material,
+                )
+                values = self._scatter(a, Ke)
+                zero = jnp.zeros(self.mesh.n_dof, dtype=values.dtype)
+                values, _ = self._dirichlet_newton(a, values, zero, fixed_d)
+                return values
+
+            self._jit_refine_eval = jax.jit(_consistent_eval)
+        values = self._jit_refine_eval(
+            self._arrs, jnp.asarray(dof), rhs, fixed, sval
+        )
+        reuse = {}  # one LU for the whole refinement (modified Newton)
+
+        def f64_residual(d):
+            f = assembly_host.internal_force_host(
+                self.mesh, self.material, d, large=True
+            )
+            r = f - rhs_np
+            r[fixed_np] = 0.0
+            return r, float(np.sqrt(np.mean(f * f)))
+
+        r, scale = f64_residual(dof)
+        rms = float(np.sqrt(np.mean(r * r)))
+        floor = cfg.refine_tol * max(scale, 1e-300)
+        it = 0
+        self._suppress_cg_warn = True
+        try:
+            for it in range(cfg.refine_max_iters):
+                if rms <= floor:
+                    break
+                du = self._solve_linear_system(
+                    values, jnp.asarray(r, dtype=values.dtype), fixed,
+                    reuse=reuse,
+                )
+                dof_new = dof - np.asarray(du, np.float64)
+                r_new, _ = f64_residual(dof_new)
+                rms_new = float(np.sqrt(np.mean(r_new * r_new)))
+                if rms_new >= rms:
+                    # no progress: the f32 solve's noise floor
+                    break
+                contraction = rms_new / max(rms, 1e-300)
+                dof, r, rms = dof_new, r_new, rms_new
+                if rms > floor and contraction > 0.1:
+                    # frozen-tangent contraction is linear once the f32
+                    # Newton left a sizable residual; refresh the
+                    # consistent tangent at the current state to restore
+                    # the quadratic rate (one device eval + one LU)
+                    values = self._jit_refine_eval(
+                        self._arrs, jnp.asarray(dof), rhs, fixed, sval
+                    )
+                    reuse["refresh"] = True
+        finally:
+            self._suppress_cg_warn = False
+        if cfg.verbose:
+            logger.info(
+                "newton refinement: %d iterations, rms(r64)/rms(f)=%.3e",
+                it, rms / max(scale, 1e-300),
+            )
+        self.dof = jnp.asarray(dof)
+        # the f32 copy above re-rounds the state to the device dtype, whose
+        # representation floor alone measures rms(r64)/rms(f) ~ 6e-5 on the
+        # nu=0.4999 Cook; the f64 master state keeps the certified
+        # equilibrium (rms ~ 1e-12) for host-side recovery
+        self.dof_refined = dof
+
     def _warn_cg_cap(self, iters, rmax, b):
         """Warn when the CG while_loop exited on its iteration cap with the
         residual still above tolerance -- the returned solution is silently
@@ -1037,8 +1145,9 @@ class FEMSystem:
                     scale_now, dtype=self.dof.dtype
                 )
             self._host_bc = None
-            if cfg.mixed_precision_refine and not self.geometric_nonlinear:
+            if cfg.mixed_precision_refine:
                 # f64 host copies feed the refinement's exact residual
+                # (linear: _refine_linear_solve; nonlinear: _newton_refine)
                 rhs_np = (
                     (tractions * load_ratio) @ patterns
                     if patterns.shape[0]
@@ -1320,6 +1429,24 @@ class FEMSystem:
         converged, newton_loop, residual_val, self._ini_residual = run_newton(
             dof0, evaluate, lin_solve, finish, cfg, self._ini_residual
         )
+        if (
+            converged
+            and cfg.mixed_precision_refine
+            and self.geometric_nonlinear
+            and sh is None
+            and self._host_bc is not None
+        ):
+            if cfg.fused_newton:
+                if not getattr(self, "_warned_fused_refine", False):
+                    logger.warning(
+                        "mixed_precision_refine is skipped under "
+                        "fused_newton (no host residual hook in the fused "
+                        "program); use the standard Newton path"
+                    )
+                    self._warned_fused_refine = True
+            else:
+                with self.timer.section("newton_refine"):
+                    self._newton_refine(rhs, fixed, sval)
         return converged, newton_loop, residual_val
 
     # ------------------------------------------------------------------ #

@@ -176,3 +176,67 @@ def test_mixed_precision_refine_near_incompressible(
     # plain f32 really is far off (the contrast that motivates refinement)
     _, plain = _solve(fixtures_dir, COOK_NU4999, linear_solver=inner)
     assert abs(_tip_uy(inp, plain) - 27.4931) / 27.4931 > 0.005
+
+
+def _equilibrium_quality(inp, system, dof=None):
+    """rms of the f64 host residual at the given state (default: the f32
+    ``system.dof``), relative to the rms internal-force scale: the
+    certified equilibrium error."""
+    from femcy_tpu import assembly_host
+    from femcy_tpu import bc as bc_mod
+
+    patterns, tractions = bc_mod.build_neumann_patterns(
+        system.mesh, inp.neumann_bcs
+    )
+    rhs = (
+        tractions @ patterns
+        if patterns.shape[0]
+        else np.zeros(system.mesh.n_dof)
+    )
+    fixed, _ = system._last_dirichlet
+    if dof is None:
+        dof = np.asarray(system.dof, np.float64)
+    f = assembly_host.internal_force_host(system.mesh, system.material, dof)
+    r = f - rhs
+    r[np.asarray(fixed, bool)] = 0.0
+    return float(np.sqrt(np.mean(r * r)) / np.sqrt(np.mean(f * f)))
+
+
+def test_mixed_precision_refine_nonlinear_newton(fixtures_dir, f32_mode):
+    """Round-4 extension (VERDICT item 5): refinement engages on the NEWTON
+    path.  On the large-deformation nu=0.4999 Cook (3.5 MPa, E=70 plane
+    strain -- the reference's own fixture), a plain f32 run stops where the
+    Newton tolerance stops it -- the f64 HOST residual of its final state
+    measures ~2.5e-3 of the internal-force scale -- while
+    mixed_precision_refine polishes every converged increment with
+    f64-host-residual modified-Newton steps (frozen f32 CONSISTENT tangent;
+    the secant is not contractive here) down to ~1e-12: a certified f64
+    equilibrium with all bulk work in f32.  The tip displacement stays
+    within 0.1% of the in-test f64 anchor."""
+    import jax as _jax
+
+    # f64 anchor
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        inp, sys64 = _solve(fixtures_dir, COOK_35MPA_LARGE)
+        ref = _tip_uy(inp, sys64)
+    finally:
+        _jax.config.update("jax_enable_x64", False)
+
+    inp, system = _solve(
+        fixtures_dir, COOK_35MPA_LARGE, mixed_precision_refine=True
+    )
+    uy = _tip_uy(inp, system)
+    assert abs(uy - ref) / abs(ref) < 0.001, (uy, ref)
+    # the f64 master state carries the certified equilibrium (the f32
+    # system.dof re-rounds it to the representation floor, rms ~ 6e-5)
+    assert system.dof_refined is not None
+    q_ref = _equilibrium_quality(inp, system, dof=system.dof_refined)
+    assert q_ref < 1.0e-9, q_ref
+
+    # the contrast: an unrefined run's f64 equilibrium error is set by the
+    # Newton tolerance, orders of magnitude above the refined one
+    _, plain = _solve(fixtures_dir, COOK_35MPA_LARGE)
+    assert plain.dof_refined is None
+    q_plain = _equilibrium_quality(inp, plain)
+    assert q_plain > 1.0e4 * q_ref, (q_plain, q_ref)

@@ -47,11 +47,14 @@ def b_matrix_host(dsdx: np.ndarray) -> np.ndarray:
     return B
 
 
-def element_stiffness_host(mesh: FEMesh, C: np.ndarray) -> np.ndarray:
-    """f64 element stiffnesses on the initial configuration: (E, edof, edof)."""
-    x = np.asarray(mesh.nodes, np.float64)[mesh.elements]
-    dN = np.asarray(mesh.element.dshape_at_gp, np.float64)
-    w = np.asarray(mesh.element.gauss_weights, np.float64)
+def element_stiffness_block_host(
+    nodes: np.ndarray, elements: np.ndarray, element, C: np.ndarray
+) -> np.ndarray:
+    """f64 element stiffnesses of ONE homogeneous block (shared-node models:
+    multiblock.ElementBlock) on the initial configuration."""
+    x = np.asarray(nodes, np.float64)[elements]
+    dN = np.asarray(element.dshape_at_gp, np.float64)
+    w = np.asarray(element.gauss_weights, np.float64)
     dxdn = np.einsum("enD,gnd->egDd", x, dN)
     inv = np.linalg.inv(dxdn)
     vol = np.linalg.det(dxdn) * w[None]
@@ -59,6 +62,13 @@ def element_stiffness_host(mesh: FEMesh, C: np.ndarray) -> np.ndarray:
     B = b_matrix_host(dsdx)
     return np.einsum(
         "egai,ab,egbj,eg->eij", B, np.asarray(C, np.float64), B, vol
+    )
+
+
+def element_stiffness_host(mesh: FEMesh, C: np.ndarray) -> np.ndarray:
+    """f64 element stiffnesses on the initial configuration: (E, edof, edof)."""
+    return element_stiffness_block_host(
+        mesh.nodes, mesh.elements, mesh.element, C
     )
 
 

@@ -43,42 +43,51 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from femcy_tpu.solvers.cg import ell_spmv
+from femcy_tpu.solvers.bell import bell_spmv, csr_to_bell
 
 
-# --------------------------------------------------------------------------- #
-# host setup
-# --------------------------------------------------------------------------- #
-def _csr_to_ell(A) -> Tuple[np.ndarray, np.ndarray]:
-    """scipy CSR -> padded ELL (values, colidx); padding = value 0, col 0."""
-    A = A.tocsr()
-    A.sum_duplicates()
-    n = A.shape[0]
-    counts = np.diff(A.indptr)
-    width = max(int(counts.max()), 1)
-    values = np.zeros((n, width), dtype=A.data.dtype)
-    colidx = np.zeros((n, width), dtype=np.int32)
-    # rank of each nnz within its row
-    ranks = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
-    rows = np.repeat(np.arange(n), counts)
-    values[rows, ranks] = A.data
-    colidx[rows, ranks] = A.indices.astype(np.int32)
-    return values, colidx
+def _node_graph(A, dm: int, theta: float = 0.0):
+    """Dof CSR -> node adjacency CSR (no self loops).
 
-
-def _node_graph(A, dm: int):
-    """Dof CSR -> node adjacency CSR (boolean, no self loops)."""
+    ``theta`` > 0 applies classical strength-of-connection filtering on the
+    node-block Frobenius norms: keep edge (i, j) only when
+    ||A_ij||_F > theta * sqrt(||A_ii||_F ||A_jj||_F).  Without it the
+    coarse-level Galerkin operators (whose graphs densify with each smoothed
+    transfer) aggregate catastrophically -- measured at 273k dofs: levels
+    stalled at [..., 12468, 12162, 12156] with operator complexity 64.7.
+    """
     import scipy.sparse as sp
 
     Ac = A.tocoo()
     rows = Ac.row // dm
     cols = Ac.col // dm
     n_nodes = A.shape[0] // dm
-    mask = rows != cols
-    G = sp.csr_matrix(
-        (np.ones(mask.sum(), dtype=np.int8), (rows[mask], cols[mask])),
-        shape=(n_nodes, n_nodes),
+    # block Frobenius weights
+    W = sp.csr_matrix(
+        (Ac.data * Ac.data, (rows, cols)), shape=(n_nodes, n_nodes)
     )
+    W.sum_duplicates()
+    W = W.tocsr()
+    if theta > 0.0:
+        d = np.sqrt(W.diagonal())
+        d = np.where(d > 0.0, d, 1.0)
+        Wc = W.tocoo()
+        keep = (Wc.row != Wc.col) & (
+            np.sqrt(Wc.data) > theta * np.sqrt(d[Wc.row] * d[Wc.col])
+        )
+        G = sp.csr_matrix(
+            (np.ones(keep.sum(), dtype=np.int8),
+             (Wc.row[keep], Wc.col[keep])),
+            shape=(n_nodes, n_nodes),
+        )
+    else:
+        Wc = W.tocoo()
+        keep = Wc.row != Wc.col
+        G = sp.csr_matrix(
+            (np.ones(keep.sum(), dtype=np.int8),
+             (Wc.row[keep], Wc.col[keep])),
+            shape=(n_nodes, n_nodes),
+        )
     G.sum_duplicates()
     return G
 
@@ -225,12 +234,15 @@ def _regularize(A):
 @dataclasses.dataclass
 class _AMGLevel:
     n_dof: int
-    # device ELL operands (coarse levels only; level 0 is the caller's)
+    bs: int  # block size of this level (dm on level 0, nb below)
+    # device BLOCK-ELL operands (coarse levels only; level 0 is the
+    # caller's operator): values (N, K, bs, bs), ncol (N, K)
     values: Optional[jax.Array]
     colidx: Optional[jax.Array]
     inv_diag: jax.Array
     lmax: float
-    # transfers DOWN from this level (absent on the coarsest)
+    # block-ELL transfers DOWN from this level (absent on the coarsest):
+    # P maps coarse -> this level (blocks bs x bs_next), R the transpose
     P_values: Optional[jax.Array] = None
     P_colidx: Optional[jax.Array] = None
     R_values: Optional[jax.Array] = None
@@ -266,6 +278,7 @@ class AlgebraicMultigrid:
         coarse_max_dof: int = 2400,
         max_levels: int = 12,
         omega: float = 4.0 / 3.0,
+        strength_theta: float = 0.06,
         dtype=None,
     ):
         import scipy.sparse as sp
@@ -279,20 +292,25 @@ class AlgebraicMultigrid:
         B[np.asarray(fixed, dtype=bool)] = 0.0
 
         self.levels: List[_AMGLevel] = []
+        self._fine_nnz = float(A.nnz)
         li = 0
         while True:
             lmax = _lambda_max_dinv(A)
             d = A.diagonal()
             inv_diag = np.where(d != 0.0, 1.0 / np.where(d != 0.0, d, 1.0), 0.0)
+            blk = dm if li == 0 else B.shape[1]
             if li == 0:
                 lv = _AMGLevel(
-                    n_dof=A.shape[0], values=None, colidx=None,
+                    n_dof=A.shape[0], bs=blk, values=None, colidx=None,
                     inv_diag=jnp.asarray(inv_diag.astype(dtype)), lmax=lmax,
                 )
             else:
-                ev, ec = _csr_to_ell(A)
+                # block-ELL storage (csr_to_bell): the SpMV gathers
+                # (bs,)-vector rows, ~bs^2 x fewer gathered rows than the
+                # dof-scalar ELL (solvers/bell.py module docstring)
+                ev, ec = csr_to_bell(A, blk, blk)
                 lv = _AMGLevel(
-                    n_dof=A.shape[0],
+                    n_dof=A.shape[0], bs=blk,
                     values=jnp.asarray(ev.astype(dtype)),
                     colidx=jnp.asarray(ec),
                     inv_diag=jnp.asarray(inv_diag.astype(dtype)), lmax=lmax,
@@ -302,20 +320,22 @@ class AlgebraicMultigrid:
                 break
 
             # --- coarsen: aggregate -> tentative -> smooth -> Galerkin -----
-            G = _node_graph(A, dm if li == 0 else B.shape[1])
-            blk = dm if li == 0 else B.shape[1]
+            # the FINE mesh graph is already local; coarse Galerkin graphs
+            # densify, so they get the strength filter
+            G = _node_graph(A, blk, theta=strength_theta if li > 0 else 0.0)
             agg, n_agg = _aggregate(G)
-            if n_agg * B.shape[1] >= A.shape[0]:
-                break  # aggregation stopped coarsening; stay here
+            if n_agg * B.shape[1] >= 0.6 * A.shape[0]:
+                break  # coarsening ratio too poor to pay for another level
             P0, Bc = _tentative_prolongator(agg, n_agg, B, blk)
             # one damped-Jacobi smoothing pass on the tentative basis
             Dinv = sp.diags(inv_diag)
             P = (P0 - (omega / lmax) * (Dinv @ (A @ P0))).tocsr()
             P.sum_duplicates()
-            pv, pc = _csr_to_ell(P)
+            nb = B.shape[1]
+            pv, pc = csr_to_bell(P, blk, nb)
             R = P.T.tocsr()
             R.sum_duplicates()
-            rv, rc = _csr_to_ell(R)
+            rv, rc = csr_to_bell(R, nb, blk)
             lv.P_values = jnp.asarray(pv.astype(dtype))
             lv.P_colidx = jnp.asarray(pc)
             lv.R_values = jnp.asarray(rv.astype(dtype))
@@ -339,12 +359,13 @@ class AlgebraicMultigrid:
 
     @property
     def complexity(self) -> float:
-        """Operator complexity: sum of level nnz proxies / fine nnz proxy."""
-        tot = sum(
+        """Operator complexity: total stored level entries / fine entries
+        (the fine ELL size is recorded at build time)."""
+        coarse = sum(
             float(lv.values.size) if lv.values is not None else 0.0
             for lv in self.levels
         )
-        return 1.0 + (tot / max(float(self.levels[0].n_dof), 1.0))
+        return 1.0 + coarse / max(self._fine_nnz, 1.0)
 
     def operands(self):
         """Per-level device arrays as a pytree for jit ARGUMENTS (closure
@@ -369,7 +390,7 @@ class AlgebraicMultigrid:
         if li == 0:
             return apply0(x)
         v, c = ops["A"][li - 1]
-        return ell_spmv(v, c, x)
+        return bell_spmv(v, c, x)[: self.levels[li].n_dof]
 
     def _smooth_cheby(self, ops, li: int, x, b, degree: int, apply0):
         """Chebyshev polynomial in D^-1 A on [lmax/alpha, lmax] (same
@@ -399,10 +420,11 @@ class AlgebraicMultigrid:
             ops, li, jnp.zeros_like(b), b, self.smooth_steps, apply0
         )
         r = b - self._apply(ops, li, x, apply0)
-        lv = self.levels[li]
-        rc = ell_spmv(ops["R"][li][0], ops["R"][li][1], r)
+        rc = bell_spmv(ops["R"][li][0], ops["R"][li][1], r)
+        rc = rc[: self.levels[li + 1].n_dof]
         ec = self._vcycle(ops, li + 1, rc)
-        x = x + ell_spmv(ops["P"][li][0], ops["P"][li][1], ec)
+        e = bell_spmv(ops["P"][li][0], ops["P"][li][1], ec)
+        x = x + e[: self.levels[li].n_dof]
         return self._smooth_cheby(ops, li, x, b, self.smooth_steps, apply0)
 
     def precondition(self, r, ops=None, apply0=None):

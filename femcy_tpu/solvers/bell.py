@@ -97,8 +97,12 @@ def build_bell_plan(pattern, dm: int) -> BellPlan:
     ksort = np.argsort(slot_key, kind="stable")
     pos = np.searchsorted(slot_key[ksort], entry_key)
     nbr_slot = flat_slot[ksort][pos]
-    gather = np.zeros((n_nodes * width, dm, dm), dtype=np.int64)
-    gather[nbr_slot, i_r, j_c] = pattern.csr_slots
+    idx_dtype = (
+        np.int32 if n_dof * pattern.width < np.iinfo(np.int32).max
+        else np.int64
+    )
+    gather = np.zeros((n_nodes * width, dm, dm), dtype=idx_dtype)
+    gather[nbr_slot, i_r, j_c] = pattern.csr_slots.astype(idx_dtype)
     return BellPlan(
         n_nodes=n_nodes, dm=dm, width=width, ncol=ncol,
         gather=gather.reshape(n_nodes, width, dm, dm), valid=valid,

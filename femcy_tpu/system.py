@@ -730,7 +730,7 @@ class FEMSystem:
         if cfg.preconditioner == "amg" and fixed is not None:
             self._ensure_amg(fixed)
             x, iters, rmax = self._jit_amg_cg(
-                values, self._arrs["colidx"], b, self._amg_ops
+                values, self._bell_arrs, b, self._amg_ops
             )
             if cfg.verbose:
                 logger.info(
@@ -997,7 +997,7 @@ class FEMSystem:
             return
         from femcy_tpu import assembly_host
         from femcy_tpu.solvers.amg import AlgebraicMultigrid
-        from femcy_tpu.solvers.cg import ell_spmv
+        from femcy_tpu.solvers.bell import bell_spmv, build_bell_plan
 
         if self._amg_raw_csr is None:
             self._amg_raw_csr = assembly_host.assemble_csr_host(
@@ -1014,16 +1014,32 @@ class FEMSystem:
         self._amg_fixed_key = key
         self._amg_fixed_obj = fixed
         self._amg_ops = self._amg.operands()
+        # fine-level block-ELL plan: the eliminated dof-ELL operator is
+        # converted ONCE per solve (one permutation gather); every CG and
+        # smoothing iteration then gathers (dm,)-vector rows -- measured
+        # 5.4 ms vs 84 ms per iteration at 273k dofs (solvers/bell.py)
+        if getattr(self, "_bell_plan", None) is None:
+            self._bell_plan = build_bell_plan(self.pattern, self.mesh.dm)
+            self._bell_arrs = {
+                "gather": jnp.asarray(self._bell_plan.gather),
+                "valid": jnp.asarray(self._bell_plan.valid),
+                "ncol": jnp.asarray(self._bell_plan.ncol),
+            }
         amg = self._amg
         cfg = self.config
+        plan = self._bell_plan
         max_iters = (
             cfg.cg_max_iters if cfg.cg_max_iters > 0 else self.mesh.n_dof
         )
 
-        def _amg_cg(values, colidx, b, ops):
+        def _amg_cg(values, bell_a, b, ops):
+            flat = values.reshape(-1)
+            bv = flat[bell_a["gather"].reshape(-1)].reshape(
+                plan.n_nodes, plan.width, plan.dm, plan.dm
+            ) * bell_a["valid"].astype(values.dtype)[:, :, None, None]
             return amg.pcg_solve(
                 b,
-                lambda x: ell_spmv(values, colidx, x),
+                lambda x: bell_spmv(bv, bell_a["ncol"], x),
                 eps=cfg.cg_eps,
                 max_iters=max_iters,
                 ops=ops,

@@ -819,3 +819,77 @@ def test_cae_layout_overlapping_sections_raise(tmp_path):
     )
     with pytest.raises(ValueError, match="more than one"):
         read_inp_multi(str(path))
+
+
+def _two_material_box(nx=6):
+    """3D: unstructured box split at z=0.5 into two C3D4 blocks with
+    different moduli -- the fast-solver routing fixture."""
+    from femcy_tpu.meshgen import unstructured_box_tets
+    from femcy_tpu.materials import LinearIsotropic
+
+    mesh = unstructured_box_tets(nx)
+    centers = mesh.nodes[mesh.elements].mean(axis=1)
+    low = centers[:, 2] < 0.5
+    m1 = LinearIsotropic(modulus=100.0, poisson_ratio=0.3)
+    m2 = LinearIsotropic(modulus=300.0, poisson_ratio=0.3)
+    system = MultiBlockSystem(
+        mesh.nodes,
+        [
+            ElementBlock(mesh.elements[low], mesh.element, m1, "soft"),
+            ElementBlock(mesh.elements[~low], mesh.element, m2, "stiff"),
+        ],
+    )
+    n_dof = system.n_dof
+    fixed = np.zeros(n_dof, bool)
+    bot = np.nonzero(mesh.nodes[:, 2] < 1e-9)[0]
+    for d in range(3):
+        fixed[bot * 3 + d] = True
+    rhs = np.zeros(n_dof)
+    top = np.nonzero(mesh.nodes[:, 2] > mesh.nodes[:, 2].max() - 1e-9)[0]
+    rhs[top * 3] = 1.0
+    return mesh, system, rhs, fixed
+
+
+def _direct_reference(system, rhs, fixed):
+    import scipy.sparse.linalg as spla
+    import jax.numpy as jnp
+
+    values, b = system._jit_system(
+        system._arrs, jnp.asarray(rhs), jnp.asarray(fixed),
+        jnp.asarray(np.zeros(system.n_dof)),
+    )
+    A = system.pattern.to_scipy(np.asarray(values, np.float64))
+    return spla.spsolve(A.tocsc(), np.asarray(b, np.float64))
+
+
+def test_multiblock_amg_solver_matches_direct():
+    """Round-4 (VERDICT weakness 6): multi-material models route through
+    the fast solvers.  AMG-PCG over the UNION operator matches the direct
+    answer on a two-material unstructured 3D model."""
+    from femcy_tpu.config import SolverConfig
+
+    # nx=10 -> 3993 dofs: above coarse_max_dof, so a real 2-level hierarchy
+    mesh, system, rhs, fixed = _two_material_box(10)
+    system.config = SolverConfig(
+        preconditioner="amg", linear_solver="cg", cg_eps=1e-8
+    )
+    x = np.asarray(system.solve(rhs, fixed, np.zeros(system.n_dof)))
+    x_ref = _direct_reference(system, rhs, fixed)
+    assert np.abs(x - x_ref).max() / np.abs(x_ref).max() < 1e-5
+    assert system._amg is not None and system._amg.n_levels >= 2
+
+
+def test_multiblock_dense_cg_matches_direct():
+    """The small-model dense gather-free CG (dense_operator_max_dof) is
+    reachable from MultiBlockSystem."""
+    from femcy_tpu.config import SolverConfig
+
+    mesh, system, rhs, fixed = _two_material_box(4)
+    system.config = SolverConfig(
+        linear_solver="cg", dense_operator_max_dof=2000, cg_eps=1e-8
+    )
+    assert system.n_dof <= 2000
+    x = np.asarray(system.solve(rhs, fixed, np.zeros(system.n_dof)))
+    assert system._jit_dense_cg is not None  # the dense path actually ran
+    x_ref = _direct_reference(system, rhs, fixed)
+    assert np.abs(x - x_ref).max() / np.abs(x_ref).max() < 1e-5

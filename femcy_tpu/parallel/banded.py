@@ -340,7 +340,8 @@ def _btd_dirichlet_newton(D: int, V, fixed_local):
 
 def _btd_newton_eval(D, nbl, B, n_dof, material, geometric_stiffness,
                      elements, ele_weight, targets, ftargets, iperm,
-                     nodes, dN, w, C, dof, rhs, fixed, sval):
+                     nodes, dN, w, C, dof, rhs, fixed, sval,
+                     stab_diag=None, stab_ref=None, stab_scale=None):
     """One full Newton residual/Jacobian evaluation on this device's element
     shard -- the general-mesh twin of parallel.structured._shard_newton_eval
     (which mirrors FEMSystem._newton_eval_impl / the reference's
@@ -383,6 +384,13 @@ def _btd_newton_eval(D, nbl, B, n_dof, material, geometric_stiffness,
         fbuf[nbl * B :], AXIS, perm=[(i, i + 1) for i in range(D - 1)]
     )
     f_int = fbuf[: nbl * B].at[:B].add(from_left_f)
+    if stab_diag is not None:
+        # stabilization / Newmark hook in the permuted block-row space:
+        # force scale*M*(dof - ref) on the local rows (padded rows carry
+        # diag 0, so they stay inert); the tangent diagonal add happens
+        # after V is built below.  Gather-free (eye-masked).
+        stab_d = stab_scale[0] * stab_diag[0]
+        f_int = f_int + stab_d * (dof_local - stab_ref[0])
     residual = f_int - rhs_local
     residual = jnp.where(fixed_local, 0.0, residual)
 
@@ -397,6 +405,11 @@ def _btd_newton_eval(D, nbl, B, n_dof, material, geometric_stiffness,
         buf[nbl], AXIS, perm=[(i, i + 1) for i in range(D - 1)]
     )
     V = buf[:nbl].at[0].add(from_left_V)
+    if stab_diag is not None:
+        V = V.at[:, 1].add(
+            jnp.eye(B, dtype=V.dtype)[None]
+            * stab_d.reshape(nbl, B)[:, :, None]
+        )
     V = _btd_dirichlet_newton(D, V, fixed_local)
 
     res = jnp.sqrt(
@@ -479,6 +492,7 @@ class BandedShardedSolver:
             cg_iters = ops.n_dof
         self._cg_cfg = (cg_eps, cg_iters)
         self._newton_step = None
+        self._newton_step_stab = None
         # block-Jacobi preconditioner (the default): z = D_I^-1 r_I from the
         # already-materialized diagonal blocks.  The batched inverse costs
         # ~nbl*B^3 flops, so it is computed once per INCREMENT (Newton's
@@ -616,34 +630,56 @@ class BandedShardedSolver:
         x[ops.perm] = xp
         return x
 
-    def newton_eval(self, dof_s, rhs_s, fixed_s, sval_s):
+    def newton_eval(self, dof_s, rhs_s, fixed_s, sval_s, stab_s=None):
         """(stacked dof, rhs, fixed, sval) -> (pinned dof, BC'd tangent
-        blocks, BC'd residual blocks, rms residual) -- one sharded program."""
-        if self._newton_step is None:
-            from jax import shard_map
+        blocks, BC'd residual blocks, rms residual) -- one sharded program.
 
-            ops = self.ops
-            fn = partial(
-                _btd_newton_eval, ops.n_devices, ops.nbl, ops.B, ops.n_dof,
-                self._material, self._geometric_stiffness,
+        ``stab_s``: optional (stab_diag_s, stab_ref_s, scale) stabilization
+        operands (config.stabilize_factor under sharding): stacked
+        diagonal/reference blocks + a replicated (1,) scale."""
+        from jax import shard_map
+
+        ops = self.ops
+        fn = partial(
+            _btd_newton_eval, ops.n_devices, ops.nbl, ops.B, ops.n_dof,
+            self._material, self._geometric_stiffness,
+        )
+        base_specs = (
+            P(AXIS), P(AXIS), P(AXIS), P(AXIS),  # ele/wt/tgt/ftgt
+            P(), P(), P(), P(), P(),  # iperm, nodes, dN, w, C
+            P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+        )
+        if stab_s is None:
+            if self._newton_step is None:
+                self._newton_step = jax.jit(
+                    shard_map(
+                        fn,
+                        mesh=self.device_mesh,
+                        in_specs=base_specs,
+                        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+                        check_vma=False,
+                    )
+                )
+            return self._newton_step(
+                self._elements, self._ele_weight, self._targets,
+                self._ftargets, self._iperm, self._nodes, self._dN, self._w,
+                self._C, dof_s, rhs_s, fixed_s, sval_s,
             )
-            self._newton_step = jax.jit(
+        if self._newton_step_stab is None:
+            self._newton_step_stab = jax.jit(
                 shard_map(
                     fn,
                     mesh=self.device_mesh,
-                    in_specs=(
-                        P(AXIS), P(AXIS), P(AXIS), P(AXIS),  # ele/wt/tgt/ftgt
-                        P(), P(), P(), P(), P(),  # iperm, nodes, dN, w, C
-                        P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                    ),
+                    in_specs=base_specs + (P(AXIS), P(AXIS), P()),
                     out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
                     check_vma=False,
                 )
             )
-        return self._newton_step(
+        diag_s, ref_s, scale = stab_s
+        return self._newton_step_stab(
             self._elements, self._ele_weight, self._targets, self._ftargets,
             self._iperm, self._nodes, self._dN, self._w, self._C,
-            dof_s, rhs_s, fixed_s, sval_s,
+            dof_s, rhs_s, fixed_s, sval_s, diag_s, ref_s, scale,
         )
 
     def cg(self, values_s, b_s, fixed=None, fixed_s=None):

@@ -420,7 +420,8 @@ def _dirichlet_newton_local(plan: StructuredShardPlan, values_local,
 def _shard_newton_eval(plan, slab, slab_plan, material, geometric_stiffness,
                        n_gp,
                        x0_e, dsdx_cell0, dN, w, C,
-                       dof_local, rhs_local, fixed_local, sval_local, own):
+                       dof_local, rhs_local, fixed_local, sval_local, own,
+                       stab_diag=None, stab_ref=None, stab_scale=None):
     """One full Newton residual/Jacobian evaluation on this device's slab.
 
     The sharded twin of FEMSystem._newton_eval_impl (which mirrors the
@@ -463,6 +464,17 @@ def _shard_newton_eval(plan, slab, slab_plan, material, geometric_stiffness,
     if geometric_stiffness:
         Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
     values = _halo_add(plan, structured_dia_scatter(Ke, slab_plan))
+
+    if stab_diag is not None:
+        # static stabilization / Newmark inertia hook (the sharded twin of
+        # FEMSystem._newton_eval_impl's stab_diag contract): viscous force
+        # scale*M*(dof - ref) on the local rows + the matching tangent
+        # diagonal, BEFORE the Dirichlet treatment.  Elementwise on local
+        # rows, so the duplicated shared plane stays consistent on both
+        # owners; gather-free.
+        d = stab_scale[0] * stab_diag[0]
+        f_int = f_int + d * (dof_local - stab_ref[0])
+        values = values.at[:, plan.diag_idx].add(d)
 
     residual = f_int - rhs_local
     values, residual = _dirichlet_newton_local(plan, values, residual,
@@ -592,6 +604,7 @@ class ShardedStructuredSolver:
         self._mg_bundle = None
         self._step = None  # compiled lazily (multigrid needs the fixed mask)
         self._newton_step = None
+        self._newton_step_stab = None
         self._cg_step = None
 
     def _compile_step(self, mg_bundle, mg_arrs_spec):
@@ -687,31 +700,53 @@ class ShardedStructuredSolver:
         """(D, local_rows) sharded blocks -> global (n_dof,) numpy."""
         return unstack_rows(self.plan, np.asarray(blocks))
 
-    def newton_eval(self, dof_s, rhs_s, fixed_s, sval_s):
+    def newton_eval(self, dof_s, rhs_s, fixed_s, sval_s, stab_s=None):
         """(stacked dof, rhs, fixed, sval) -> (pinned dof, BC'd tangent
-        blocks, BC'd residual blocks, rms residual) -- one sharded program."""
-        if self._newton_step is None:
-            from jax import shard_map
+        blocks, BC'd residual blocks, rms residual) -- one sharded program.
 
-            fn = partial(
-                _shard_newton_eval, self.plan, self._slab, self._slab_plan,
-                self._material, self._geometric_stiffness, self._n_gp,
+        ``stab_s``: optional (stab_diag_s, stab_ref_s, scale) stabilization
+        operands -- stacked diagonal/reference blocks + a replicated (1,)
+        scale (config.stabilize_factor under sharding)."""
+        base_specs = (
+            P(), P(), P(), P(), P(),  # x0_e, dsdx_cell, dN, w, C
+            P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+        )
+        from jax import shard_map
+
+        fn = partial(
+            _shard_newton_eval, self.plan, self._slab, self._slab_plan,
+            self._material, self._geometric_stiffness, self._n_gp,
+        )
+        if stab_s is None:
+            if self._newton_step is None:
+                self._newton_step = jax.jit(
+                    shard_map(
+                        fn,
+                        mesh=self.device_mesh,
+                        in_specs=base_specs,
+                        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+                        check_vma=False,
+                    )
+                )
+            return self._newton_step(
+                self._x0_e, self._dsdx_cell, self._dN, self._w, self._C,
+                dof_s, rhs_s, fixed_s, sval_s, self._own_d,
             )
-            self._newton_step = jax.jit(
+        if self._newton_step_stab is None:
+            self._newton_step_stab = jax.jit(
                 shard_map(
                     fn,
                     mesh=self.device_mesh,
-                    in_specs=(
-                        P(), P(), P(), P(), P(),  # x0_e, dsdx_cell, dN, w, C
-                        P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                    ),
+                    in_specs=base_specs + (P(AXIS), P(AXIS), P()),
                     out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
                     check_vma=False,
                 )
             )
-        return self._newton_step(
+        diag_s, ref_s, scale = stab_s
+        return self._newton_step_stab(
             self._x0_e, self._dsdx_cell, self._dN, self._w, self._C,
             dof_s, rhs_s, fixed_s, sval_s, self._own_d,
+            diag_s, ref_s, scale,
         )
 
     def cg(self, values_s, b_s, fixed: np.ndarray, fixed_s):

@@ -37,6 +37,8 @@ never carry).
 from __future__ import annotations
 
 import dataclasses
+import logging
+import time as _time
 from typing import List, Optional, Tuple
 
 import jax
@@ -44,6 +46,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from femcy_tpu.solvers.bell import bell_spmv, csr_to_bell
+
+logger = logging.getLogger("femcy_tpu")
 
 
 def _node_graph(A, dm: int, theta: float = 0.0):
@@ -321,11 +325,31 @@ class AlgebraicMultigrid:
 
             # --- coarsen: aggregate -> tentative -> smooth -> Galerkin -----
             # the FINE mesh graph is already local; coarse Galerkin graphs
-            # densify, so they get the strength filter
-            G = _node_graph(A, blk, theta=strength_theta if li > 0 else 0.0)
-            agg, n_agg = _aggregate(G)
+            # densify, so they get the strength filter.  The threshold is
+            # ADAPTIVE per level: too strong a filter leaves the graph so
+            # sparse that aggregates degenerate to singletons (measured:
+            # 33k -> 13.7k stall, i.e. a 747 MB dense coarsest inverse and
+            # an 11-minute setup), so halve theta until the ratio is >= 3x
+            # (unfiltered as the last resort).
+            t0 = _time.time()
+            theta = strength_theta if li > 0 else 0.0
+            agg = n_agg = None
+            while True:
+                G = _node_graph(A, blk, theta=theta)
+                agg, n_agg = _aggregate(G)
+                if (
+                    n_agg * B.shape[1] <= A.shape[0] / 3.0
+                    or theta == 0.0
+                ):
+                    break
+                theta = theta / 2.0 if theta > 0.004 else 0.0
             if n_agg * B.shape[1] >= 0.6 * A.shape[0]:
                 break  # coarsening ratio too poor to pay for another level
+            logger.debug(
+                "amg level %d: %d -> %d dofs (theta=%.3g, %.1fs aggregate)",
+                li, A.shape[0], n_agg * B.shape[1], theta,
+                _time.time() - t0,
+            )
             P0, Bc = _tentative_prolongator(agg, n_agg, B, blk)
             # one damped-Jacobi smoothing pass on the tentative basis
             Dinv = sp.diags(inv_diag)

@@ -1098,10 +1098,6 @@ class FEMSystem:
         stab_energy = 0.0
         stab_c: Optional[float] = None  # calibrated (C); None until then
         if stab_on:
-            if self._shard_sys is not None:
-                raise ValueError(
-                    "stabilize_factor is not supported with sharding"
-                )
             if "stab_diag" not in self._arrs:
                 self._arrs["stab_diag"] = self._lumped_volume_diag()
                 self._arrs["stab_ref"] = self.dof
@@ -1373,11 +1369,23 @@ class FEMSystem:
             fixed_s = sh.stack(fixed_np)
             sval_s = sh.stack(np.asarray(sval))
             dof0 = sh.stack(np.asarray(self.dof))
+            # stabilization under sharding: stack the diagonal/reference
+            # blocks per increment (stab_ref changes every increment) and
+            # ship the calibrated scale as a replicated (1,) operand
+            stab_s = None
+            if "stab_diag" in self._arrs:
+                stab_s = (
+                    sh.stack(np.asarray(self._arrs["stab_diag"])),
+                    sh.stack(np.asarray(self._arrs["stab_ref"])),
+                    jnp.asarray(
+                        [float(self._arrs["stab_scale"])], self.dof.dtype
+                    ),
+                )
 
             def evaluate(dof):
                 with self.timer.section("newton_eval"):
                     dof, values, residual, res = sh.newton_eval(
-                        dof, rhs_s, fixed_s, sval_s
+                        dof, rhs_s, fixed_s, sval_s, stab_s=stab_s
                     )
                 newton_count["n"] += 1
                 if on_newton is not None:

@@ -99,13 +99,23 @@ def _node_graph(A, dm: int, theta: float = 0.0):
 def _aggregate(G) -> Tuple[np.ndarray, int]:
     """Greedy node aggregation (the standard two-pass VMB scheme).
 
+    Pass 0 DROPS isolated nodes (agg = -2): in a BC-eliminated operator a
+    fully-Dirichlet-fixed node has no off-diagonal coupling at all, and
+    giving it a coarse representation poisons every level below -- measured
+    on a clamped box: 289 fixed-face nodes became 289 singleton aggregates
+    whose zero candidate rows turned into 289 zombie identity blocks on
+    EVERY coarse level, capping the coarsening ratio at ~2x and forcing a
+    5.9k-dof dense coarsest inverse.  Their residuals are identically zero,
+    so the V-cycle loses nothing by never transferring them.
+
     Pass 1 seeds an aggregate from every node whose whole neighbourhood is
-    untouched; pass 2 attaches leftovers to an adjacent aggregate; isolated
-    leftovers become singletons.
+    untouched; pass 2 attaches leftovers to an adjacent aggregate;
+    connected leftovers with no aggregated neighbour become singletons.
     """
     n = G.shape[0]
     indptr, indices = G.indptr, G.indices
     agg = np.full(n, -1, dtype=np.int64)
+    agg[np.diff(indptr) == 0] = -2  # dropped: no coarse representation
     cnt = 0
     for i in range(n):
         if agg[i] != -1:
@@ -118,7 +128,7 @@ def _aggregate(G) -> Tuple[np.ndarray, int]:
     for i in np.nonzero(agg == -1)[0]:
         nbrs = indices[indptr[i] : indptr[i + 1]]
         cand = agg[nbrs]
-        cand = cand[cand != -1]
+        cand = cand[cand >= 0]
         if cand.size:
             agg[i] = cand[0]
         else:
@@ -165,12 +175,13 @@ def _tentative_prolongator(agg, n_agg, B, dm: int):
 
     n_dof, nb = B.shape
     n_nodes = n_dof // dm
-    order = np.argsort(agg, kind="stable")
-    counts = np.bincount(agg, minlength=n_agg)
+    kept = np.nonzero(agg >= 0)[0]  # dropped (-2) nodes get zero P rows
+    order = kept[np.argsort(agg[kept], kind="stable")]
+    counts = np.bincount(agg[kept], minlength=n_agg)
     max_sz = int(counts.max())
     # (n_agg, max_sz) node ids, padded with -1
     pad = np.full((n_agg, max_sz), -1, dtype=np.int64)
-    pos = np.arange(n_nodes) - np.repeat(
+    pos = np.arange(kept.shape[0]) - np.repeat(
         np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
     )
     pad[agg[order], pos] = order

@@ -187,9 +187,9 @@ def bench_twist():
     # 4.5-degree rotation increments with the exact consistent tangent
     # instead of the fixture's 2.25-degree schedule driven by the secant +
     # boost heuristic: same converged state (gated below against the
-    # parity-schedule anchors) at ~1/15 the evaluations.  Larger steps
-    # (>9 degrees) measurably jump to a spurious buckled branch -- do not
-    # raise max_inc further without re-checking the anchors.
+    # schedule- and tolerance-converged anchor) at ~1/15 the evaluations.
+    # Larger steps (>9 degrees) measurably jump to a spurious buckled
+    # branch -- do not raise max_inc further without re-checking the anchor.
     inp.time_incs = dict(
         inp.time_incs, max_time=0.5, max_inc=0.05, ini_inc=0.025
     )
@@ -198,6 +198,16 @@ def bench_twist():
     cfg = SolverConfig(
         tangent="consistent",
         newton_boost_max=0,
+        # tol 1e-2 (the reference default) leaves a 3.2% equilibrium bias in
+        # the peak Mises (8.92e10 vs the converged 8.6455e10 -- measured:
+        # the fine 2.25-degree schedule lands on 8.64549e10 at BOTH tol
+        # 1e-3 and 1e-4); the benchmark solves to the real equilibrium
+        newton_rel_tol=1.0e-3,
+        # host variant: Abaqus-style linear extrapolation halves the Newton
+        # evaluations on this smooth rotation path (41 -> ~21) AND lands
+        # exactly on the fine-schedule anchor; the device loop requires the
+        # 'previous' predictor (extrapolation state is host-side)
+        predictor="previous" if fused else "extrapolate",
         # device residency (fused runs): the WHOLE analysis -- adaptive
         # stepping + Newton + relaxation + CG -- as ONE XLA program
         # (config.device_loop); a single dispatch instead of ~60, each of
@@ -220,8 +230,9 @@ def bench_twist():
     elapsed = time.time() - t0
     assert report.success, "twist C3D10 did not converge to 90 degrees"
     assert np.isfinite(max_mises)
-    # accuracy gates vs the fine-schedule (2.25-degree secant+boost) run:
-    # prescribed rotation chord exact, peak Mises 8.93e10 within 2 percent
+    # accuracy gates: prescribed rotation chord exact; peak Mises within 1%
+    # of the schedule- AND tolerance-converged anchor (fine 2.25-degree
+    # schedule, identical at tol 1e-3 and 1e-4: 8.64549e10)
     rset = np.unique(
         np.concatenate([b.node_set for b in inp.dirichlet_bcs if b.user])
     )
@@ -235,7 +246,7 @@ def bench_twist():
     assert abs(u_rot - 2 * np.sin(np.pi / 4) * r_xy.max()) < (
         1e-6 if x64 else 5e-5
     )
-    assert abs(max_mises - 8.93e10) / 8.93e10 < 0.02, max_mises
+    assert abs(max_mises - 8.6455e10) / 8.6455e10 < 0.01, max_mises
     log(
         f"twist C3D10 e2e [{label}]: {elapsed:.1f}s, {report.n_increments} "
         f"increments, max mises {max_mises:.3e}"

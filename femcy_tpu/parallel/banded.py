@@ -339,6 +339,7 @@ def _btd_dirichlet_newton(D: int, V, fixed_local):
 
 
 def _btd_newton_eval(D, nbl, B, n_dof, material, geometric_stiffness,
+                     tangent,
                      elements, ele_weight, targets, ftargets, iperm,
                      nodes, dN, w, C, dof, rhs, fixed, sval,
                      stab_diag=None, stab_ref=None, stab_scale=None):
@@ -394,10 +395,19 @@ def _btd_newton_eval(D, nbl, B, n_dof, material, geometric_stiffness,
     residual = f_int - rhs_local
     residual = jnp.where(fixed_local, 0.0, residual)
 
-    # secant (+ geometric) tangent in block-tridiagonal layout
-    Ke = assembly.element_stiffness(dsdx, vol, C)
-    if geometric_stiffness:
-        Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
+    # tangent in block-tridiagonal layout: secant (+ geometric), or the
+    # exact consistent tangent (assembly.consistent_tangent -- edof scanned
+    # JVPs of the per-element internal force, vmapped over this device's
+    # element shard; boundary-duplicated elements scale by ele_weight, legal
+    # because Ke is linear in vol)
+    if tangent == "consistent":
+        Ke = assembly.consistent_tangent(
+            dof_orig, elements, nodes, dN, w, material
+        ) * ele_weight[:, None, None]
+    else:
+        Ke = assembly.element_stiffness(dsdx, vol, C)
+        if geometric_stiffness:
+            Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
     buf = jax.ops.segment_sum(
         Ke.reshape(-1), targets, num_segments=(nbl + 1) * 3 * B * B
     ).reshape(nbl + 1, 3, B, B)
@@ -478,6 +488,7 @@ class BandedShardedSolver:
         geometric_stiffness: bool = True,
         pattern=None,
         preconditioner: str = "block",
+        tangent: str = "secant",
     ):
         devices = devices if devices is not None else jax.devices()
         D = len(devices)
@@ -488,6 +499,12 @@ class BandedShardedSolver:
         self.ops = ops
         self._material = material
         self._geometric_stiffness = geometric_stiffness
+        if tangent not in ("secant", "consistent"):
+            raise ValueError(
+                f"banded tangent must be 'secant' or 'consistent', got "
+                f"{tangent!r}"
+            )
+        self._tangent = tangent
         if cg_iters <= 0:
             cg_iters = ops.n_dof
         self._cg_cfg = (cg_eps, cg_iters)
@@ -642,7 +659,7 @@ class BandedShardedSolver:
         ops = self.ops
         fn = partial(
             _btd_newton_eval, ops.n_devices, ops.nbl, ops.B, ops.n_dof,
-            self._material, self._geometric_stiffness,
+            self._material, self._geometric_stiffness, self._tangent,
         )
         base_specs = (
             P(AXIS), P(AXIS), P(AXIS), P(AXIS),  # ele/wt/tgt/ftgt

@@ -73,12 +73,14 @@ def build_bell_plan(pattern, dm: int) -> BellPlan:
     # entry starts a new neighbor node)
     starts = indptr[rows0]
     nbr_counts = (counts[rows0] // dm).astype(np.int64)
-    take_idx = (
-        np.repeat(starts, nbr_counts)
-        + np.concatenate([np.arange(c) for c in nbr_counts]) * dm
-    )
+    # vectorized per-row aranges (a Python-level concatenate of n_nodes
+    # small aranges measured ~6 s at 91k nodes)
+    total = int(nbr_counts.sum())
+    row_off = np.zeros(n_nodes, dtype=np.int64)
+    np.cumsum(nbr_counts[:-1], out=row_off[1:])
     rowid = np.repeat(np.arange(n_nodes), nbr_counts)
-    posid = np.concatenate([np.arange(c) for c in nbr_counts])
+    posid = np.arange(total, dtype=np.int64) - row_off[rowid]
+    take_idx = np.repeat(starts, nbr_counts) + posid * dm
     ncol = np.zeros((n_nodes, width), dtype=np.int32)
     valid = np.zeros((n_nodes, width), dtype=bool)
     ncol[rowid, posid] = (indices[take_idx] // dm).astype(np.int32)
@@ -159,9 +161,9 @@ def csr_to_bell(
     pos = np.arange(uniq.shape[0]) - start[u_row]
     ncol = np.zeros((nbr_rows, K), dtype=np.int32)
     ncol[u_row, pos] = u_col
-    bvalues = np.zeros((nbr_rows, K, br, bc), dtype=A.data.dtype)
     slot = (u_row * K + pos)[inv]
-    np.add.at(
-        bvalues.reshape(-1, br, bc), (slot, A.row % br, A.col % bc), A.data
-    )
+    flat = (slot * br + A.row % br) * bc + A.col % bc
+    bvalues = np.bincount(
+        flat, weights=A.data, minlength=nbr_rows * K * br * bc
+    ).astype(A.data.dtype).reshape(nbr_rows, K, br, bc)
     return bvalues, ncol

@@ -450,12 +450,9 @@ class FEMSystem:
         elif config.sharding == "banded":
             # general (unstructured) meshes: RCM + block-tridiagonal row
             # shards (parallel/banded.py) behind the SAME host state machine
-            # -- any .inp mesh can now run the full analysis multi-chip
-            if config.tangent == "consistent":
-                raise ValueError(
-                    "sharding='banded' supports the secant (+ geometric "
-                    "stiffness) tangent only"
-                )
+            # -- any .inp mesh can now run the full analysis multi-chip,
+            # with either tangent (the consistent tangent evaluates per
+            # element shard, so it shards exactly like the secant one)
             from femcy_tpu.parallel.banded import BandedShardedSolver
 
             devs = jax.devices()
@@ -468,6 +465,7 @@ class FEMSystem:
                 cg_iters=config.cg_max_iters,
                 geometric_stiffness=config.geometric_stiffness,
                 pattern=self.pattern,  # reuse; don't rebuild the ELL maps
+                tangent=config.tangent,
             )
         elif config.sharding != "none":
             raise ValueError(f"unknown sharding mode {config.sharding!r}")

@@ -192,6 +192,17 @@ def consistent_tangent(dof, elements, coords0, dN, w, material):
     dm = coords0.shape[1]
     u_e = dof.reshape(-1, dm)[elements]  # (E, n, dm)
     x0_e = coords0[elements]
+    return consistent_tangent_elems(u_e, x0_e, dN, w, material)
+
+
+def consistent_tangent_elems(u_e, x0_e, dN, w, material):
+    """consistent_tangent on pre-gathered per-element arrays (E, n, dm).
+
+    Split out so gather-free callers (the structured slab shards, which
+    slice u_e/x0_e from the grid instead of indexing with an elements
+    table) can reuse the same scanned-JVP Jacobian.
+    """
+    dm = x0_e.shape[2]
     edof = u_e.shape[1] * dm
 
     def fe(u_flat, x0):

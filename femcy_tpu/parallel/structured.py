@@ -418,7 +418,7 @@ def _dirichlet_newton_local(plan: StructuredShardPlan, values_local,
 
 
 def _shard_newton_eval(plan, slab, slab_plan, material, geometric_stiffness,
-                       n_gp,
+                       tangent, n_gp,
                        x0_e, dsdx_cell0, dN, w, C,
                        dof_local, rhs_local, fixed_local, sval_local, own,
                        stab_diag=None, stab_ref=None, stab_scale=None):
@@ -460,9 +460,17 @@ def _shard_newton_eval(plan, slab, slab_plan, material, geometric_stiffness,
     f_elem = jnp.einsum("egaj,egji,eg->eai", dsdx, sigma, vol)
     f_int = _halo_add(plan, structured_force_scatter(f_elem, slab_plan, slab))
 
-    Ke = assembly.element_stiffness(dsdx, vol, C)
-    if geometric_stiffness:
-        Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
+    # tangent on this slab's elements: secant (+ geometric), or the exact
+    # consistent tangent (scanned JVPs of the per-element internal force;
+    # elements belong wholly to one slab, so no boundary weighting is
+    # needed -- only the shared node PLANE is duplicated, handled by the
+    # halo-add after the scatter, same as the secant path)
+    if tangent == "consistent":
+        Ke = assembly.consistent_tangent_elems(u_e, x0_e, dN, w, material)
+    else:
+        Ke = assembly.element_stiffness(dsdx, vol, C)
+        if geometric_stiffness:
+            Ke = Ke + assembly.geometric_stiffness(dsdx, sigma, vol)
     values = _halo_add(plan, structured_dia_scatter(Ke, slab_plan))
 
     if stab_diag is not None:
@@ -519,7 +527,14 @@ class ShardedStructuredSolver:
         mg_omega: float = 0.7,
         mg_smooth_steps: int = 2,
         geometric_stiffness: bool = True,
+        tangent: str = "secant",
     ):
+        if tangent not in ("secant", "consistent"):
+            raise ValueError(
+                f"slab tangent must be 'secant' or 'consistent', got "
+                f"{tangent!r}"
+            )
+        self._tangent = tangent
         devices = devices if devices is not None else jax.devices()
         D = len(devices)
         self.device_mesh = Mesh(np.asarray(devices), (AXIS,))
@@ -715,7 +730,8 @@ class ShardedStructuredSolver:
 
         fn = partial(
             _shard_newton_eval, self.plan, self._slab, self._slab_plan,
-            self._material, self._geometric_stiffness, self._n_gp,
+            self._material, self._geometric_stiffness, self._tangent,
+            self._n_gp,
         )
         if stab_s is None:
             if self._newton_step is None:

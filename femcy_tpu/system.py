@@ -425,11 +425,6 @@ class FEMSystem:
                     "(e.g. meshgen.box_tets); unstructured meshes use "
                     "sharding='banded'"
                 )
-            if config.tangent == "consistent":
-                raise ValueError(
-                    "sharding='slab' supports the secant (+ geometric "
-                    "stiffness) tangent only"
-                )
             from femcy_tpu.parallel.structured import ShardedStructuredSolver
 
             devs = jax.devices()
@@ -446,6 +441,7 @@ class FEMSystem:
                     else "jacobi"
                 ),
                 geometric_stiffness=config.geometric_stiffness,
+                tangent=config.tangent,
             )
         elif config.sharding == "banded":
             # general (unstructured) meshes: RCM + block-tridiagonal row

@@ -70,6 +70,7 @@ _SLOW_TESTS = frozenset({
     "test_femsystem_sharded_linear_matches_single_device",
     "test_banded_sharding_e2e_nonlinear_via_femsystem",
     "test_banded_consistent_tangent_matches_single_device",
+    "test_slab_consistent_tangent_matches_single_device",
     "test_banded_neumann_rhs_and_device_counts",
     "test_fused_newton_dense_cg_e2e",
     "test_cutback_parity",

@@ -52,7 +52,13 @@ _jax.config.update(
 _cache_dir = os.environ.get("FEMCY_TPU_COMPILE_CACHE", "")
 if _cache_dir:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache EVERY program, even trivial ones: on the remote-compile TPU
+    # backend a sub-second compile still pays the shared service's queue
+    # latency (observed: seconds to tens of seconds per tiny program on a
+    # busy service), so the default 1 s floor leaves exactly the programs
+    # that dominate a warm run uncached
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 __version__ = "0.1.0"
 

@@ -1179,9 +1179,13 @@ class FEMSystem:
                     if (
                         cfg.dynamic_rescue
                         and self.geometric_nonlinear
-                        and self._shard_sys is None
                         and rescues < cfg.dynamic_max_rescues
                     ):
+                        # sharded runs ride the same path: the Newmark
+                        # inertia term flows through the stab_* operands,
+                        # which both sharded newton_evals implement; only
+                        # the one-off pseudo-time-scale probe
+                        # (_tangent_diag_host) runs single-device
                         # implicit-dynamics traversal (config.dynamic_rescue):
                         # hold the schedule just past the failure point and
                         # integrate the snap in pseudo-time

@@ -77,6 +77,7 @@ _SLOW_TESTS = frozenset({
     "test_mg_pcg_matches_jacobi_and_is_fast",
     "test_matches_host_loop",
     "test_multiblock_dynamic_rescue",
+    "test_dynamic_rescue_under_banded_sharding",
     "test_mixed_precision_refine_near_incompressible",
     "test_fused_newton_matches_default",
     "test_abort_message_reports_element_inversion",

@@ -140,6 +140,41 @@ def test_dynamic_rescue_default_off():
     assert SolverConfig().dynamic_rescue is False
 
 
+def test_dynamic_rescue_under_banded_sharding(rescued_run):
+    """dynamic_rescue composes with sharding='banded': the Newmark inertia
+    term rides the same stab_* operands the sharded newton_evals already
+    implement, so the full snap-through analysis runs multi-chip and lands
+    on the single-device answer (the last r3 nonlinear/multi-chip
+    incompatibility)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (see conftest XLA_FLAGS)")
+    inp = _arch_inp()
+    mat = material_from_inp(
+        inp.material_type, inp.material_params, inp.element_type
+    )
+    system = FEMSystem(
+        FEMesh(inp.nodes, inp.elements, inp.element),
+        mat,
+        True,
+        # 4x n_dof CG cap: the thin-arch block-tridiagonal operator is too
+        # ill-conditioned for block-Jacobi PCG to finish inside the n_dof
+        # default on a few Newmark steps near the snap
+        SolverConfig(tangent="consistent", dynamic_rescue=True,
+                     sharding="banded", sharding_devices=8,
+                     cg_max_iters=4 * inp.nodes.size),
+    )
+    report = system.solve(inp)
+    assert report.success
+    assert system.time0 == 1.0
+    uy = np.asarray(system.dof).reshape(-1, 2)[:, 1]
+    assert uy.min() < -2 * RISE
+    # same inverted equilibrium as the single-device rescue
+    uy_single = np.asarray(rescued_run[0].dof).reshape(-1, 2)[:, 1]
+    np.testing.assert_allclose(uy.min(), uy_single.min(), rtol=1e-6)
+
+
 def test_multiblock_dynamic_rescue():
     """The rescue is shared with MultiBlockSystem (duck-typed Newmark
     integrator): the same arch split into two same-type blocks at midspan

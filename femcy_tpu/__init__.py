@@ -84,8 +84,18 @@ from femcy_tpu.materials import (  # noqa: E402
     material_from_inp,
 )
 from femcy_tpu import meshgen  # noqa: E402
+from femcy_tpu.beam import (  # noqa: E402
+    BeamModel,
+    BeamSection,
+    read_beam_inp,
+    solve_beam,
+)
 
 __all__ = [
+    "BeamModel",
+    "BeamSection",
+    "read_beam_inp",
+    "solve_beam",
     "SolverConfig",
     "FEMesh",
     "FEMSystem",

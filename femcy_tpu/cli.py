@@ -126,6 +126,12 @@ def main(argv=None) -> int:
     from femcy_tpu.materials import material_from_inp
 
     t0 = time.time()
+    # B31 beam models route to the dedicated 6-dof/node beam system (the
+    # reference parses B31 then crashes, inp_info.py:98-100/118-123)
+    with open(args.inp, "r") as fh:
+        _head = fh.read()
+    if "b31" in _head.lower():
+        return _main_beam(args, t0)
     # models mixing element types or materials (which the reference's reader
     # rejects, inp_info.py:125-128) route to the multi-block system
     try:
@@ -413,6 +419,31 @@ def _main_multiblock(args, model, t0: float) -> int:
         export_html_blocks(meshes, dof, nodal_mises, args.save_html)
         print(f"wrote {args.save_html}")
     return 0 if report is None or report.success else 1
+
+
+def _main_beam(args, t0: float) -> int:
+    """CLI route for B31 beam lattices (femcy_tpu/beam.py): reports max
+    deflection/rotation and peak section forces.  The stress/energy/Mises
+    observables of the continuum routes do not apply to beam theory."""
+    from femcy_tpu.beam import read_beam_inp, solve_beam
+
+    model = read_beam_inp(args.inp)
+    print(
+        f"model: {model.elements.shape[0]} B31 elements, "
+        f"{model.nodes.shape[0]} nodes, {model.n_dof} dofs (6/node)"
+    )
+    res = solve_beam(model)
+    dt = time.time() - t0
+    defl = np.linalg.norm(res.u[:, :3], axis=1)
+    rot = np.linalg.norm(res.u[:, 3:], axis=1)
+    fe = res.end_forces
+    print(f"max deflection |u| = {defl.max():.6e} (node {defl.argmax()})")
+    print(f"max rotation |theta| = {rot.max():.6e} (node {rot.argmax()})")
+    print(f"max axial force N = {np.abs(fe[:, [0, 6]]).max():.6e}")
+    print(f"max bending moment = {np.abs(fe[:, [4, 5, 10, 11]]).max():.6e}")
+    print(f"max torque = {np.abs(fe[:, [3, 9]]).max():.6e}")
+    print(f"solve time: {dt:.2f}s")
+    return 0
 
 
 if __name__ == "__main__":

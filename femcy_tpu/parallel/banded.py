@@ -248,18 +248,65 @@ def _btd_dirichlet_linear(D: int, V, rhs_local, fixed_local, sval_local):
     return V, rhs_local
 
 
-def _btd_pcg(D: int, V, b_local, eps: float, max_iters: int, minv_blocks=None):
+def _btd_pcg(
+    D: int,
+    V,
+    b_local,
+    eps: float,
+    max_iters: int,
+    minv_blocks=None,
+    kind: str = "block",
+):
     """PCG on the block-tridiagonal operator, one while_loop, psum
     reductions -- the compiled program is gather/scatter-free.
 
-    ``minv_blocks`` (nbl, B, B) applies the BLOCK-Jacobi preconditioner
-    z = D_I^-1 r_I -- the diagonal blocks are already materialized, so the
-    apply is one more batched MXU matmul per iteration (+1/3 SpMV cost) for
-    a ~10x iteration cut at 50k dofs (measured; scalar Jacobi needed 721
-    iterations there, MULTICHIP_r03).  None falls back to scalar Jacobi."""
+    Preconditioners (``minv_blocks`` = the cached setup operand):
+
+    * ``kind='tridiag'`` (the default in the solver): exact solve of the
+      DEVICE-LOCAL block-tridiagonal operator (non-overlapping block
+      Schwarz) via the precomputed block-Thomas factorization
+      ``minv_blocks = stack([Sinv, LS, SU])`` -- see
+      :func:`_btd_thomas_factor`.  Apply = one batched MXU einsum + a
+      forward and a backward ``lax.scan`` of B-sized matvecs (~= one extra
+      SpMV of flops).  Measured on the 54.8k-dof dryrun cantilever: 399 ->
+      228 scalar-Jacobi iterations at 8 shards (numpy harness; 721 -> ~410
+      expected at the MULTICHIP_r03 fixture).
+    * ``kind='block'``: block-Jacobi z = D_I^-1 r_I from the materialized
+      diagonal blocks, ``minv_blocks`` (1, nbl, B, B).  Measured WORSE than
+      scalar Jacobi on RCM-banded 3D elasticity (578 vs 399 iterations on
+      the same harness: the level-set blocks are cross-section planes, and
+      inverting in-plane coupling does nothing for the dominant bending
+      modes while distorting the spectrum) -- kept for comparison.
+    * ``minv_blocks=None``: scalar Jacobi."""
     nbl, _, B, _ = V.shape
 
-    if minv_blocks is not None:
+    if minv_blocks is not None and kind == "tridiag":
+        Sinv, LS, SU = minv_blocks[0], minv_blocks[1], minv_blocks[2]
+
+        def apply_m(r):
+            rb = r.reshape(nbl, B)
+
+            def fwd(y_prev, op):
+                LSi, ri = op
+                y = ri - LSi @ y_prev
+                return y, y
+
+            _, ys = jax.lax.scan(
+                fwd, jnp.zeros(B, dtype=r.dtype), (LS, rb)
+            )
+            sy = jnp.einsum("bij,bj->bi", Sinv, ys)
+
+            def bwd(z_next, op):
+                SUi, syi = op
+                z = syi - SUi @ z_next
+                return z, z
+
+            _, zs = jax.lax.scan(
+                bwd, jnp.zeros(B, dtype=r.dtype), (SU, sy), reverse=True
+            )
+            return zs.reshape(-1)
+
+    elif minv_blocks is not None:
 
         def apply_m(r):
             return jnp.einsum(
@@ -321,6 +368,47 @@ def _btd_block_inv(V):
     diag = jnp.sum(Dg * eye, axis=2)  # (nbl, B), no gather
     Dg = Dg + jnp.where(diag == 0.0, 1.0, 0.0)[:, :, None] * eye[None]
     return jnp.linalg.inv(Dg)[None]
+
+
+def _btd_thomas_factor(V):
+    """Block-Thomas factorization of the DEVICE-LOCAL block-tridiagonal
+    operator (inter-device couplings dropped -> non-overlapping block
+    Schwarz; the result is SPD whenever the tangent is).
+
+    Schur recursion ``S_1 = D_1, S_i = D_i - L_i S_{i-1}^-1 U_{i-1}`` (a
+    sequential lax.scan of B x B inverses, once per increment), then the
+    per-iteration apply operands: ``Sinv`` (z-scaling), ``LS_i = L_i
+    Sinv_{i-1}`` (forward sweep), ``SU_i = Sinv_i U_i`` (backward sweep) --
+    stacked (3, nbl, B, B) so one cached device array feeds the CG program.
+    Padded all-zero rows get a unit diagonal exactly like
+    :func:`_btd_block_inv`."""
+    Vl = V[0]
+    nbl, _, B, _ = Vl.shape
+    eye = jnp.eye(B, dtype=Vl.dtype)
+    Dg = Vl[:, 1]
+    diag = jnp.sum(Dg * eye, axis=2)
+    Dg = Dg + jnp.where(diag == 0.0, 1.0, 0.0)[:, :, None] * eye[None]
+    # L of the first local block / U of the last couple to NEIGHBOR devices
+    # (applied via ppermute in the SpMV): excluded from the local solve
+    L = Vl[:, 0] * jnp.where(jnp.arange(nbl) == 0, 0.0, 1.0)[:, None, None]
+    U = Vl[:, 2] * (
+        jnp.where(jnp.arange(nbl) == nbl - 1, 0.0, 1.0)[:, None, None]
+    )
+    Uprev = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
+
+    def step(sinv_prev, op):
+        Li, Di, Upi = op
+        S = Di - Li @ sinv_prev @ Upi
+        sinv = jnp.linalg.inv(S)
+        return sinv, sinv
+
+    _, Sinv = jax.lax.scan(
+        step, jnp.zeros((B, B), dtype=Vl.dtype), (L, Dg, Uprev)
+    )
+    Sinv_prev = jnp.concatenate([jnp.zeros_like(Sinv[:1]), Sinv[:-1]], axis=0)
+    LS = jnp.einsum("bij,bjk->bik", L, Sinv_prev)
+    SU = jnp.einsum("bij,bjk->bik", Sinv, U)
+    return jnp.stack([Sinv, LS, SU])[None]
 
 
 def _btd_dirichlet_newton(D: int, V, fixed_local):
@@ -458,12 +546,13 @@ def _btd_assemble(D, nbl, B, n_dof,
     return V[None], b[None]
 
 
-def _btd_solve(D, eps, max_iters, V, b, minv=None):
+def _btd_solve(D, eps, max_iters, V, b, minv=None, kind="block"):
     V = V[0]
     b = b[0]
     x, k, rmax = _btd_pcg(
         D, V, b, eps, max_iters,
         minv_blocks=None if minv is None else minv[0],
+        kind=kind,
     )
     return x[None], k, rmax
 
@@ -487,7 +576,7 @@ class BandedShardedSolver:
         block: Optional[int] = None,
         geometric_stiffness: bool = True,
         pattern=None,
-        preconditioner: str = "block",
+        preconditioner: str = "tridiag",
         tangent: str = "secant",
     ):
         devices = devices if devices is not None else jax.devices()
@@ -510,17 +599,20 @@ class BandedShardedSolver:
         self._cg_cfg = (cg_eps, cg_iters)
         self._newton_step = None
         self._newton_step_stab = None
-        # block-Jacobi preconditioner (the default): z = D_I^-1 r_I from the
-        # already-materialized diagonal blocks.  The batched inverse costs
-        # ~nbl*B^3 flops, so it is computed once per INCREMENT (Newton's
-        # tangent drifts slowly; CG still converges on the exact operator)
-        # and invalidated by new_increment().  "jacobi" = scalar 1/diag.
-        if preconditioner not in ("block", "jacobi"):
+        # preconditioner setup (once per INCREMENT -- Newton's tangent
+        # drifts slowly; CG still converges on the exact operator --
+        # invalidated by new_increment()):
+        #   "tridiag" (default): exact device-local block-tridiagonal solve
+        #             (block Schwarz via block-Thomas, _btd_thomas_factor)
+        #   "block":  block-Jacobi D_I^-1 (measured worse than scalar
+        #             Jacobi on RCM-banded elasticity, kept for comparison)
+        #   "jacobi": scalar 1/diag, no setup
+        if preconditioner not in ("tridiag", "block", "jacobi"):
             raise ValueError(
-                f"banded preconditioner must be 'block' or 'jacobi', got "
-                f"{preconditioner!r}"
+                f"banded preconditioner must be 'tridiag', 'block' or "
+                f"'jacobi', got {preconditioner!r}"
             )
-        self._block_precond = preconditioner == "block"
+        self._precond_kind = preconditioner
         self._minv_cache = None
 
         shard = NamedSharding(self.device_mesh, P(AXIS))
@@ -565,16 +657,20 @@ class BandedShardedSolver:
         )
         self._cg_precond = jax.jit(
             shard_map(
-                partial(_btd_solve, D, *self._cg_cfg),
+                partial(
+                    _btd_solve, D, *self._cg_cfg, kind=self._precond_kind
+                ),
                 mesh=self.device_mesh,
                 in_specs=(P(AXIS), P(AXIS), P(AXIS)),
                 out_specs=(P(AXIS), P(), P()),
                 check_vma=False,
             )
         )
-        self._block_inv = jax.jit(
+        self._factor = jax.jit(
             shard_map(
-                _btd_block_inv,
+                _btd_thomas_factor
+                if self._precond_kind == "tridiag"
+                else _btd_block_inv,
                 mesh=self.device_mesh,
                 in_specs=(P(AXIS),),
                 out_specs=P(AXIS),
@@ -614,17 +710,18 @@ class BandedShardedSolver:
         return x, int(iters)
 
     def _run_cg(self, V, b, fresh: bool = False):
-        """CG dispatch with the (per-increment cached) block-Jacobi
-        preconditioner; ``fresh=True`` recomputes D_I^-1 from this V."""
-        if not self._block_precond:
+        """CG dispatch with the per-increment cached preconditioner setup
+        (tridiag Thomas factors or block-Jacobi D_I^-1); ``fresh=True``
+        recomputes the setup from this V."""
+        if self._precond_kind == "jacobi":
             return self._cg(V, b)
         if fresh or self._minv_cache is None:
-            self._minv_cache = self._block_inv(V)
+            self._minv_cache = self._factor(V)
         return self._cg_precond(V, b, self._minv_cache)
 
     def new_increment(self):
-        """Invalidate the cached block-Jacobi preconditioner (called by the
-        host state machine at the start of every load increment)."""
+        """Invalidate the cached preconditioner setup (called by the host
+        state machine at the start of every load increment)."""
         self._minv_cache = None
 
     # ------------------------------------------------------------------ #

@@ -140,6 +140,36 @@ def test_banded_on_reference_inp_fixture(fixtures_dir, eight_devices):
     np.testing.assert_allclose(x / scale, x_ref / scale, atol=1e-7)
 
 
+def test_tridiag_preconditioner_cuts_iterations(eight_devices):
+    """The default 'tridiag' preconditioner (exact device-local
+    block-tridiagonal solve, non-overlapping Schwarz) must beat scalar
+    Jacobi on iterations AND match the direct oracle.  (Block-Jacobi is
+    measured WORSE than scalar on RCM-banded elasticity -- see
+    _btd_pcg's docstring -- hence this stronger default.)"""
+    mesh, fixed_nodes, loaded = cantilever_tets(16, 4)
+    mat = LinearIsotropic(1000.0, 0.3)
+    fixed = np.zeros(mesh.n_dof, bool)
+    for d in range(3):
+        fixed[fixed_nodes * 3 + d] = True
+    rhs = np.zeros(mesh.n_dof)
+    rhs[loaded * 3 + 1] = 1.0
+    sval = np.zeros(mesh.n_dof)
+    iters = {}
+    sols = {}
+    for kind in ("jacobi", "tridiag"):
+        solver = BandedShardedSolver(
+            mesh, mat, devices=eight_devices, cg_eps=1e-8, preconditioner=kind
+        )
+        sols[kind], iters[kind] = solver.solve(rhs, fixed, sval)
+    assert iters["tridiag"] < 0.8 * iters["jacobi"], iters
+    x_ref = _direct_oracle(mesh, mat, rhs, fixed, sval)
+    scale = np.abs(x_ref).max()
+    for kind in sols:
+        np.testing.assert_allclose(
+            sols[kind] / scale, x_ref / scale, atol=1e-6
+        )
+
+
 def test_banded_operands_shapes():
     mesh = box_tets(4, 3, 3)
     ops = build_banded_operands(mesh, LinearIsotropic(100.0, 0.3), 4)

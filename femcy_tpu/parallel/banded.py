@@ -262,15 +262,18 @@ def _btd_pcg(
 
     Preconditioners (``minv_blocks`` = the cached setup operand):
 
-    * ``kind='tridiag'`` (the default in the solver): exact solve of the
-      DEVICE-LOCAL block-tridiagonal operator (non-overlapping block
-      Schwarz) via the precomputed block-Thomas factorization
+    * ``kind='twolevel'`` (the solver default): the tridiag local solve
+      PLUS a global rigid-body-mode coarse correction (Z Ac^-1 Z^T r, one
+      psum + two small matmuls per iteration) -- see
+      :func:`_btd_twolevel_factor`.  Measured on the 54.8k-dof dryrun
+      cantilever at 8 shards: 721 scalar-Jacobi iterations -> 41.
+    * ``kind='tridiag'``: exact solve of the DEVICE-LOCAL
+      block-tridiagonal operator only (non-overlapping block Schwarz) via
+      the precomputed block-Thomas factorization
       ``minv_blocks = stack([Sinv, LS, SU])`` -- see
       :func:`_btd_thomas_factor`.  Apply = one batched MXU einsum + a
       forward and a backward ``lax.scan`` of B-sized matvecs (~= one extra
-      SpMV of flops).  Measured on the 54.8k-dof dryrun cantilever: 399 ->
-      228 scalar-Jacobi iterations at 8 shards (numpy harness; 721 -> ~410
-      expected at the MULTICHIP_r03 fixture).
+      SpMV of flops).  721 -> 335 on the same fixture.
     * ``kind='block'``: block-Jacobi z = D_I^-1 r_I from the materialized
       diagonal blocks, ``minv_blocks`` (1, nbl, B, B).  Measured WORSE than
       scalar Jacobi on RCM-banded 3D elasticity (578 vs 399 iterations on
@@ -284,27 +287,31 @@ def _btd_pcg(
         Sinv, LS, SU = minv_blocks[0], minv_blocks[1], minv_blocks[2]
 
         def apply_m(r):
+            return _thomas_apply(Sinv, LS, SU, r, nbl, B)
+
+    elif minv_blocks is not None and kind == "twolevel":
+        stack_, Acinv, Zm = minv_blocks
+        Sinv, LS, SU = stack_[0], stack_[1], stack_[2]
+        width = Acinv.shape[0]
+        nc = Zm.shape[-1] * nbl  # coarse dofs per device
+
+        def apply_m(r):
+            # additive two-level Schwarz: exact local solve + replicated
+            # rigid-body-mode coarse correction (sum of two SPD operators)
+            z1 = _thomas_apply(Sinv, LS, SU, r, nbl, B)
             rb = r.reshape(nbl, B)
-
-            def fwd(y_prev, op):
-                LSi, ri = op
-                y = ri - LSi @ y_prev
-                return y, y
-
-            _, ys = jax.lax.scan(
-                fwd, jnp.zeros(B, dtype=r.dtype), (LS, rb)
+            rc = jnp.einsum("bxc,bx->bc", Zm, rb).reshape(-1)
+            off = nc * jax.lax.axis_index(AXIS)
+            buf = jax.lax.dynamic_update_slice(
+                jnp.zeros(width, dtype=r.dtype), rc, (off,)
             )
-            sy = jnp.einsum("bij,bj->bi", Sinv, ys)
-
-            def bwd(z_next, op):
-                SUi, syi = op
-                z = syi - SUi @ z_next
-                return z, z
-
-            _, zs = jax.lax.scan(
-                bwd, jnp.zeros(B, dtype=r.dtype), (SU, sy), reverse=True
-            )
-            return zs.reshape(-1)
+            rcg = jax.lax.psum(buf, AXIS)  # Sum all-reduce, no all_gather
+            yc = Acinv @ rcg
+            yl = jax.lax.dynamic_slice(yc, (off,), (nc,))
+            z2 = jnp.einsum(
+                "bxc,bc->bx", Zm, yl.reshape(nbl, Zm.shape[-1])
+            ).reshape(-1)
+            return z1 + z2
 
     elif minv_blocks is not None:
 
@@ -370,26 +377,38 @@ def _btd_block_inv(V):
     return jnp.linalg.inv(Dg)[None]
 
 
-def _btd_thomas_factor(V):
-    """Block-Thomas factorization of the DEVICE-LOCAL block-tridiagonal
-    operator (inter-device couplings dropped -> non-overlapping block
-    Schwarz; the result is SPD whenever the tangent is).
+def _thomas_apply(Sinv, LS, SU, r, nbl, B):
+    """Apply the block-Thomas factorization: forward sweep (LS matvecs),
+    batched Sinv einsum, backward sweep (SU matvecs)."""
+    rb = r.reshape(nbl, B)
 
-    Schur recursion ``S_1 = D_1, S_i = D_i - L_i S_{i-1}^-1 U_{i-1}`` (a
-    sequential lax.scan of B x B inverses, once per increment), then the
-    per-iteration apply operands: ``Sinv`` (z-scaling), ``LS_i = L_i
-    Sinv_{i-1}`` (forward sweep), ``SU_i = Sinv_i U_i`` (backward sweep) --
-    stacked (3, nbl, B, B) so one cached device array feeds the CG program.
-    Padded all-zero rows get a unit diagonal exactly like
-    :func:`_btd_block_inv`."""
-    Vl = V[0]
+    def fwd(y_prev, op):
+        LSi, ri = op
+        y = ri - LSi @ y_prev
+        return y, y
+
+    _, ys = jax.lax.scan(fwd, jnp.zeros(B, dtype=r.dtype), (LS, rb))
+    sy = jnp.einsum("bij,bj->bi", Sinv, ys)
+
+    def bwd(z_next, op):
+        SUi, syi = op
+        z = syi - SUi @ z_next
+        return z, z
+
+    _, zs = jax.lax.scan(
+        bwd, jnp.zeros(B, dtype=r.dtype), (SU, sy), reverse=True
+    )
+    return zs.reshape(-1)
+
+
+def _thomas_operands(Vl):
+    """(nbl, 3, B, B) local blocks -> stacked (3, nbl, B, B) Thomas apply
+    operands [Sinv, LS, SU] (see :func:`_btd_thomas_factor`)."""
     nbl, _, B, _ = Vl.shape
     eye = jnp.eye(B, dtype=Vl.dtype)
     Dg = Vl[:, 1]
     diag = jnp.sum(Dg * eye, axis=2)
     Dg = Dg + jnp.where(diag == 0.0, 1.0, 0.0)[:, :, None] * eye[None]
-    # L of the first local block / U of the last couple to NEIGHBOR devices
-    # (applied via ppermute in the SpMV): excluded from the local solve
     L = Vl[:, 0] * jnp.where(jnp.arange(nbl) == 0, 0.0, 1.0)[:, None, None]
     U = Vl[:, 2] * (
         jnp.where(jnp.arange(nbl) == nbl - 1, 0.0, 1.0)[:, None, None]
@@ -408,7 +427,130 @@ def _btd_thomas_factor(V):
     Sinv_prev = jnp.concatenate([jnp.zeros_like(Sinv[:1]), Sinv[:-1]], axis=0)
     LS = jnp.einsum("bij,bjk->bik", L, Sinv_prev)
     SU = jnp.einsum("bij,bjk->bik", Sinv, U)
-    return jnp.stack([Sinv, LS, SU])[None]
+    return jnp.stack([Sinv, LS, SU])
+
+
+def _btd_twolevel_factor(D, V, Z, fixedm):
+    """Two-level Schwarz setup: the device-local block-Thomas factors PLUS
+    a GLOBAL coarse operator on per-block rigid-body modes.
+
+    The coarse space kills the long-range (bending/torsion) modes that no
+    one-level Schwarz preconditioner can touch: each block contributes its
+    nc rigid-body modes (6 in 3D, 3 in 2D, rows masked at fixed/padded
+    dofs), the coarse matrix Ac = Z^T A Z is block-tridiagonal INCLUDING
+    the inter-device couplings (one Zm halo ppermute), assembled replicated
+    via a padded dynamic_update_slice + psum, Tikhonov-regularized (blocks
+    whose live nodes are collinear/empty make rotation modes dependent),
+    and inverted once per increment (width = nc*nbl*D is a few hundred).
+    Measured on the 8,967-dof cantilever harness at 8 shards: 399 (scalar
+    Jacobi) -> 228 (one-level Thomas) -> 33 iterations."""
+    Vl = V[0]
+    Zl = Z[0]
+    fm = fixedm[0]
+    nbl, _, B, _ = Vl.shape
+    nc = Zl.shape[-1]
+    stack = _thomas_operands(Vl)
+
+    live = 1.0 - fm.reshape(nbl, B).astype(Vl.dtype)
+    Zm = Zl * live[:, :, None]
+    # neighbor Zm blocks: the coarse operator keeps inter-device coupling
+    zm_left = jax.lax.ppermute(
+        Zm[-1], AXIS, perm=[(i, i + 1) for i in range(D - 1)]
+    )
+    zm_right = jax.lax.ppermute(
+        Zm[0], AXIS, perm=[(i + 1, i) for i in range(D - 1)]
+    )
+    Z_lo = jnp.concatenate([zm_left[None], Zm[:-1]], axis=0)
+    Z_hi = jnp.concatenate([Zm[1:], zm_right[None]], axis=0)
+    Cd = jnp.einsum("bxc,bxy,byd->bcd", Zm, Vl[:, 1], Zm)
+    Cs = jnp.einsum("bxc,bxy,byd->bcd", Zm, Vl[:, 0], Z_lo)
+    Cu = jnp.einsum("bxc,bxy,byd->bcd", Zm, Vl[:, 2], Z_hi)
+    # local band (nc*nbl, nc*nbl + 2nc): block i rows at nc*i, cols
+    # [sub|diag|super] at nc*i in the 2nc-padded global column space
+    tile = jnp.concatenate([Cs, Cd, Cu], axis=2)  # (nbl, nc, 3nc)
+    band = jnp.zeros((nc * nbl, nc * nbl + 2 * nc), dtype=Vl.dtype)
+    for i in range(nbl):
+        band = jax.lax.dynamic_update_slice(band, tile[i], (nc * i, nc * i))
+    width = nc * nbl * D
+    didx = jax.lax.axis_index(AXIS)
+    zero = jnp.zeros((), dtype=didx.dtype)
+    rows = jax.lax.dynamic_update_slice(
+        jnp.zeros((nc * nbl, width + 2 * nc), dtype=Vl.dtype),
+        band,
+        (zero, nc * nbl * didx),
+    )
+    contrib = jax.lax.dynamic_update_slice(
+        jnp.zeros((width, width + 2 * nc), dtype=Vl.dtype),
+        rows,
+        (nc * nbl * didx, zero),
+    )
+    Ac = jax.lax.psum(contrib, AXIS)[:, nc:-nc]
+    eye = jnp.eye(width, dtype=Vl.dtype)
+    dg = jnp.sum(Ac * eye, axis=1)
+    Ac = Ac + jnp.diag(jnp.where(dg == 0.0, 1.0, 0.0))
+    Ac = Ac + (1.0e-8 * jnp.sum(dg) / width) * eye
+    Acinv = jnp.linalg.inv(Ac)
+    return stack[None], Acinv, Zm[None]
+
+
+def build_coarse_basis(ops, nodes, dm: int) -> np.ndarray:
+    """Host prep: per-block rigid-body modes in banded dof order ->
+    (D, nbl, B, nc) with nc = 6 (3D: tx ty tz rx ry rz) or 3 (2D: tx ty
+    rz).  Rotations are centered at each block's node centroid for
+    conditioning.  Rows of padded positions stay zero; fixed-dof rows are
+    masked later on device (the mask is a per-solve input)."""
+    D, nbl, B = ops.n_devices, ops.nbl, ops.B
+    nc = 6 if dm == 3 else 3
+    Z = np.zeros((D * nbl * B, nc))
+    p = np.arange(ops.n_dof)
+    od = ops.perm  # banded position i <-> original dof ops.perm[i]
+    node = od // dm
+    comp = od % dm
+    xyz = nodes[node].astype(np.float64)  # (n_dof, dm)
+    blk = p // B
+    # per-block centroid over live positions
+    cent = np.zeros((D * nbl, dm))
+    cnt = np.bincount(blk, minlength=D * nbl).astype(np.float64)
+    for d in range(dm):
+        cent[:, d] = np.bincount(blk, weights=xyz[:, d], minlength=D * nbl)
+    cent /= np.maximum(cnt, 1.0)[:, None]
+    rel = xyz - cent[blk]
+    Z[p, comp] = 1.0  # translations
+    if dm == 3:
+        x, y, z = rel[:, 0], rel[:, 1], rel[:, 2]
+        # r_x = (0, -z, y), r_y = (z, 0, -x), r_z = (-y, x, 0)
+        rot = np.stack(
+            [
+                np.stack([np.zeros_like(x), -z, y], axis=1),
+                np.stack([z, np.zeros_like(x), -x], axis=1),
+                np.stack([-y, x, np.zeros_like(x)], axis=1),
+            ],
+            axis=1,
+        )  # (n_dof, 3 rot modes, 3 comps)
+        for rr in range(3):
+            Z[p, 3 + rr] = rot[np.arange(len(p)), rr, comp]
+    else:
+        x, y = rel[:, 0], rel[:, 1]
+        rz = np.stack([-y, x], axis=1)  # r_z = (-y, x)
+        Z[p, 2] = rz[np.arange(len(p)), comp]
+    return Z.reshape(D, nbl, B, nc)
+
+
+def _btd_thomas_factor(V):
+    """Block-Thomas factorization of the DEVICE-LOCAL block-tridiagonal
+    operator (inter-device couplings dropped -> non-overlapping block
+    Schwarz; the result is SPD whenever the tangent is).
+
+    Schur recursion ``S_1 = D_1, S_i = D_i - L_i S_{i-1}^-1 U_{i-1}`` (a
+    sequential lax.scan of B x B inverses, once per increment), then the
+    per-iteration apply operands: ``Sinv`` (z-scaling), ``LS_i = L_i
+    Sinv_{i-1}`` (forward sweep), ``SU_i = Sinv_i U_i`` (backward sweep) --
+    stacked (3, nbl, B, B) so one cached device array feeds the CG program.
+    Padded all-zero rows get a unit diagonal exactly like
+    :func:`_btd_block_inv`.  L of the first local block / U of the last
+    couple to NEIGHBOR devices (applied via ppermute in the SpMV) and are
+    excluded from the local solve."""
+    return _thomas_operands(V[0])[None]
 
 
 def _btd_dirichlet_newton(D: int, V, fixed_local):
@@ -549,10 +691,15 @@ def _btd_assemble(D, nbl, B, n_dof,
 def _btd_solve(D, eps, max_iters, V, b, minv=None, kind="block"):
     V = V[0]
     b = b[0]
+    if minv is None:
+        mv = None
+    elif kind == "twolevel":
+        stack_, Acinv, Zm = minv
+        mv = (stack_[0], Acinv, Zm[0])
+    else:
+        mv = minv[0]
     x, k, rmax = _btd_pcg(
-        D, V, b, eps, max_iters,
-        minv_blocks=None if minv is None else minv[0],
-        kind=kind,
+        D, V, b, eps, max_iters, minv_blocks=mv, kind=kind,
     )
     return x[None], k, rmax
 
@@ -576,7 +723,7 @@ class BandedShardedSolver:
         block: Optional[int] = None,
         geometric_stiffness: bool = True,
         pattern=None,
-        preconditioner: str = "tridiag",
+        preconditioner: str = "twolevel",
         tangent: str = "secant",
     ):
         devices = devices if devices is not None else jax.devices()
@@ -602,18 +749,22 @@ class BandedShardedSolver:
         # preconditioner setup (once per INCREMENT -- Newton's tangent
         # drifts slowly; CG still converges on the exact operator --
         # invalidated by new_increment()):
-        #   "tridiag" (default): exact device-local block-tridiagonal solve
-        #             (block Schwarz via block-Thomas, _btd_thomas_factor)
+        #   "twolevel" (default): exact device-local block-tridiagonal
+        #             solve + global rigid-body-mode coarse correction
+        #             (_btd_twolevel_factor; 399 -> 33 iterations on the
+        #             8-shard harness vs scalar Jacobi)
+        #   "tridiag": the one-level local solve only (399 -> 228)
         #   "block":  block-Jacobi D_I^-1 (measured worse than scalar
         #             Jacobi on RCM-banded elasticity, kept for comparison)
         #   "jacobi": scalar 1/diag, no setup
-        if preconditioner not in ("tridiag", "block", "jacobi"):
+        if preconditioner not in ("twolevel", "tridiag", "block", "jacobi"):
             raise ValueError(
-                f"banded preconditioner must be 'tridiag', 'block' or "
-                f"'jacobi', got {preconditioner!r}"
+                f"banded preconditioner must be 'twolevel', 'tridiag', "
+                f"'block' or 'jacobi', got {preconditioner!r}"
             )
         self._precond_kind = preconditioner
         self._minv_cache = None
+        self._last_fixed_s = None
 
         shard = NamedSharding(self.device_mesh, P(AXIS))
         repl = NamedSharding(self.device_mesh, P())
@@ -655,25 +806,41 @@ class BandedShardedSolver:
                 check_vma=False,
             )
         )
+        if self._precond_kind == "twolevel":
+            minv_spec = (P(AXIS), P(), P(AXIS))
+            self._Zgeo = put(
+                build_coarse_basis(ops, fe_mesh.nodes, fe_mesh.dm), shard
+            )
+            self._factor = jax.jit(
+                shard_map(
+                    partial(_btd_twolevel_factor, D),
+                    mesh=self.device_mesh,
+                    in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                    out_specs=minv_spec,
+                    check_vma=False,
+                )
+            )
+        else:
+            minv_spec = P(AXIS)
+            self._factor = jax.jit(
+                shard_map(
+                    _btd_thomas_factor
+                    if self._precond_kind == "tridiag"
+                    else _btd_block_inv,
+                    mesh=self.device_mesh,
+                    in_specs=(P(AXIS),),
+                    out_specs=minv_spec,
+                    check_vma=False,
+                )
+            )
         self._cg_precond = jax.jit(
             shard_map(
                 partial(
                     _btd_solve, D, *self._cg_cfg, kind=self._precond_kind
                 ),
                 mesh=self.device_mesh,
-                in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                in_specs=(P(AXIS), P(AXIS), minv_spec),
                 out_specs=(P(AXIS), P(), P()),
-                check_vma=False,
-            )
-        )
-        self._factor = jax.jit(
-            shard_map(
-                _btd_thomas_factor
-                if self._precond_kind == "tridiag"
-                else _btd_block_inv,
-                mesh=self.device_mesh,
-                in_specs=(P(AXIS),),
-                out_specs=P(AXIS),
                 check_vma=False,
             )
         )
@@ -703,20 +870,34 @@ class BandedShardedSolver:
             self._nodes, self._dN, self._w, self._C,
             rhs_s, fixed_s, sval_s, dof_full,
         )
-        x_s, iters, rmax = self._run_cg(V, b, fresh=True)
+        x_s, iters, rmax = self._run_cg(V, b, fixed_s=fixed_s, fresh=True)
         xp = np.asarray(x_s).reshape(-1)[: ops.n_dof]
         x = np.empty(ops.n_dof)
         x[ops.perm] = xp
         return x, int(iters)
 
-    def _run_cg(self, V, b, fresh: bool = False):
+    def _run_cg(self, V, b, fixed_s=None, fresh: bool = False):
         """CG dispatch with the per-increment cached preconditioner setup
-        (tridiag Thomas factors or block-Jacobi D_I^-1); ``fresh=True``
-        recomputes the setup from this V."""
+        (two-level/Thomas factors or block-Jacobi D_I^-1); ``fresh=True``
+        recomputes the setup from this V.  ``fixed_s`` (stacked Dirichlet
+        mask) feeds the coarse-basis row masking of the two-level setup;
+        it is remembered across calls (constant within an analysis)."""
         if self._precond_kind == "jacobi":
             return self._cg(V, b)
+        if fixed_s is not None:
+            self._last_fixed_s = fixed_s
         if fresh or self._minv_cache is None:
-            self._minv_cache = self._factor(V)
+            if self._precond_kind == "twolevel":
+                if self._last_fixed_s is None:
+                    raise ValueError(
+                        "twolevel preconditioner needs the Dirichlet mask; "
+                        "pass fixed_s to cg()/solve()"
+                    )
+                self._minv_cache = self._factor(
+                    V, self._Zgeo, self._last_fixed_s
+                )
+            else:
+                self._minv_cache = self._factor(V)
         return self._cg_precond(V, b, self._minv_cache)
 
     def new_increment(self):
@@ -798,6 +979,6 @@ class BandedShardedSolver:
 
     def cg(self, values_s, b_s, fixed=None, fixed_s=None):
         """Sharded gather-free CG on BC'd block-tridiagonal values (the
-        Newton linear solve).  fixed/fixed_s accepted for protocol parity
-        with the slab solver (the banded operator is already eliminated)."""
-        return self._run_cg(values_s, b_s)
+        Newton linear solve).  ``fixed_s`` masks the two-level coarse
+        basis (the operator itself is already eliminated)."""
+        return self._run_cg(values_s, b_s, fixed_s=fixed_s)

@@ -435,8 +435,14 @@ def read_beam_inp(file_name: str) -> BeamModel:
     conn: List[int] = []
     current = False
     for line in lines:
-        if "*" in line:
-            current = ("*element" in line.lower()) and ("b31" in line.lower())
+        s = line.lstrip()
+        if s[:2] == "**":
+            continue  # '**' comments are legal INSIDE *Element blocks
+        if s[:1] == "*":
+            low = s.lower().replace(" ", "")
+            current = (
+                low.split(",")[0] == "*element" and "type=b31" in low
+            )
             continue
         if current and line.strip():
             conn.extend(int(t) for t in _split(line.rstrip().rstrip(",")) if t)

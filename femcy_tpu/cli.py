@@ -111,6 +111,19 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _has_b31_elements(text: str) -> bool:
+    """True when the file has an ``*Element`` block of type B31 (the same
+    tokenization the beam reader uses, beam.py)."""
+    for line in text.splitlines():
+        s = line.strip()
+        if s[:2] == "**" or not s.startswith("*"):
+            continue
+        low = s.lower().replace(" ", "")
+        if low.split(",")[0] == "*element" and "type=b31" in low:
+            return True
+    return False
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.platform:
@@ -127,10 +140,13 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     # B31 beam models route to the dedicated 6-dof/node beam system (the
-    # reference parses B31 then crashes, inp_info.py:98-100/118-123)
+    # reference parses B31 then crashes, inp_info.py:98-100/118-123).
+    # Detection matches *Element header lines with type=B31 -- a bare
+    # substring test would misroute continuum models that merely mention
+    # 'b31' in a set/material name or comment.
     with open(args.inp, "r") as fh:
         _head = fh.read()
-    if "b31" in _head.lower():
+    if _has_b31_elements(_head):
         return _main_beam(args, t0)
     # models mixing element types or materials (which the reference's reader
     # rejects, inp_info.py:125-128) route to the multi-block system

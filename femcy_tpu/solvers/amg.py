@@ -379,10 +379,27 @@ class AlgebraicMultigrid:
             B = Bc
             li += 1
 
-        # coarsest: dense inverse, host LAPACK once
-        Ad = self.levels[-1]
-        A_dense = A.toarray()
-        self._coarse_inv = jnp.asarray(np.linalg.inv(A_dense).astype(dtype))
+        # coarsest: dense inverse, host LAPACK once.  The poor-coarsening
+        # break above can exit BEFORE the coarse_max_dof check, so the
+        # bottom level is not guaranteed small -- a 13.7k-dof "coarsest"
+        # would mean a 747 MB dense inverse.  Beyond 4x coarse_max_dof the
+        # bottom of the V-cycle falls back to Chebyshev smoothing only
+        # (still SPD, weaker but bounded cost) instead of the inverse.
+        self._coarse_smooth_only = A.shape[0] > 4 * coarse_max_dof
+        if self._coarse_smooth_only:
+            logger.warning(
+                "amg: coarsest level stalled at %d dofs (> 4x "
+                "coarse_max_dof=%d); using a smoother-only coarse solve "
+                "instead of the dense inverse -- expect higher CG "
+                "iteration counts",
+                A.shape[0], coarse_max_dof,
+            )
+            self._coarse_inv = jnp.zeros((0, 0), dtype=dtype)
+        else:
+            A_dense = A.toarray()
+            self._coarse_inv = jnp.asarray(
+                np.linalg.inv(A_dense).astype(dtype)
+            )
         # a single-level hierarchy degenerates to "dense-solve the fine
         # operator": legal (coarse_max_dof guards the size)
         self._single = len(self.levels) == 1
@@ -450,6 +467,14 @@ class AlgebraicMultigrid:
 
     def _vcycle(self, ops, li: int, b, apply0=None):
         if li == len(self.levels) - 1:
+            if self._coarse_smooth_only:
+                # oversized coarsest (see __init__): polynomial smoothing
+                # instead of the dense inverse; degree 4x the per-level
+                # smoothing to make the bottom correction meaningful
+                return self._smooth_cheby(
+                    ops, li, jnp.zeros_like(b), b,
+                    4 * self.smooth_steps, apply0,
+                )
             return ops["coarse_inv"] @ b
         x = self._smooth_cheby(
             ops, li, jnp.zeros_like(b), b, self.smooth_steps, apply0
@@ -469,6 +494,15 @@ class AlgebraicMultigrid:
         if ops is None:
             ops = self.operands()
         if self._single:
+            if self._coarse_smooth_only:
+                if apply0 is None:
+                    raise ValueError(
+                        "AMG precondition needs the fine-operator apply"
+                    )
+                return self._smooth_cheby(
+                    ops, 0, jnp.zeros_like(r), r,
+                    4 * self.smooth_steps, apply0,
+                )
             return ops["coarse_inv"] @ r
         if apply0 is None:
             raise ValueError("AMG precondition needs the fine-operator apply")
@@ -491,6 +525,11 @@ class AlgebraicMultigrid:
 
         def apply_m(r):
             if self._single:
+                if self._coarse_smooth_only:
+                    return self._smooth_cheby(
+                        ops, 0, jnp.zeros_like(r), r,
+                        4 * self.smooth_steps, apply0,
+                    )
                 return ops["coarse_inv"] @ r
             return self._vcycle(ops, 0, r, apply0)
 

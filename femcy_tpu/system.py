@@ -250,8 +250,19 @@ class FEMSystem:
             self._structured_plan = build_structured_plan(mesh, self.dia)
         else:
             self.pattern = build_pattern(mesh)
-            # gather-free DIA layout when the offset structure allows it
-            if config.sparse_format in ("auto", "dia"):
+            # gather-free DIA layout when the offset structure allows it.
+            # The AMG branch (_ensure_amg / _solve_linear_system) is built
+            # for the dof-ELL layout -- its block-ELL gather plan indexes
+            # ``values`` as (n_dof, ell_width) -- so a DIA-layout values
+            # array would feed it garbage (both operator and
+            # preconditioner); force the ELL layout under 'amg'.
+            if config.preconditioner == "amg":
+                if config.sparse_format == "dia":
+                    raise ValueError(
+                        "preconditioner='amg' requires the ELL layout; "
+                        "sparse_format='dia' is incompatible"
+                    )
+            elif config.sparse_format in ("auto", "dia"):
                 dia = build_dia_pattern(
                     mesh, max_offsets=config.dia_max_offsets, ell=self.pattern
                 )
@@ -849,6 +860,19 @@ class FEMSystem:
                     self.material,
                 )
                 values = self._scatter(a, Ke)
+                if "stab_diag" in a:
+                    # the device Newton converged WITH the stabilization /
+                    # Newmark-inertia diagonal (see _newton_eval_impl); the
+                    # frozen refinement tangent must carry it too, before
+                    # the Dirichlet treatment (rows stay zero-one)
+                    d = a["stab_scale"] * a["stab_diag"]
+                    if self.dia is not None:
+                        values = values.at[:, self.dia.diag_idx].add(d)
+                    else:
+                        flat = values.reshape(-1)
+                        values = flat.at[a["diag_slot"]].add(d).reshape(
+                            values.shape
+                        )
                 zero = jnp.zeros(self.mesh.n_dof, dtype=values.dtype)
                 values, _ = self._dirichlet_newton(a, values, zero, fixed_d)
                 return values
@@ -859,10 +883,25 @@ class FEMSystem:
         )
         reuse = {}  # one LU for the whole refinement (modified Newton)
 
+        # stabilization / dynamic-rescue inertia force: the equilibrium the
+        # device Newton converged to INCLUDES stab_scale*stab_diag*(d-ref)
+        # (see _internal_force_parts); the f64 residual must measure that
+        # same system or the refinement drags the state toward the
+        # unstabilized static equilibrium, defeating the stabilization.
+        stab_scale = 0.0
+        stab_d = stab_ref = None
+        if "stab_diag" in self._arrs:
+            stab_scale = float(self._arrs["stab_scale"])
+            if stab_scale != 0.0:
+                stab_d = np.asarray(self._arrs["stab_diag"], np.float64)
+                stab_ref = np.asarray(self._arrs["stab_ref"], np.float64)
+
         def f64_residual(d):
             f = assembly_host.internal_force_host(
                 self.mesh, self.material, d, large=True
             )
+            if stab_d is not None:
+                f = f + stab_scale * stab_d * (d - stab_ref)
             r = f - rhs_np
             r[fixed_np] = 0.0
             return r, float(np.sqrt(np.mean(f * f)))
@@ -983,6 +1022,13 @@ class FEMSystem:
         exact current device operator, so on the nonlinear path this acts
         as a frozen-hierarchy preconditioner (still SPD, still convergent;
         iteration counts rise gradually with tangent drift)."""
+        if self.dia is not None:
+            # defence in depth: __init__ forces the ELL layout under 'amg';
+            # a DIA-layout values array here would corrupt both the CG
+            # operator and the hierarchy (block-ELL gather on DIA values)
+            raise RuntimeError(
+                "internal: preconditioner='amg' with a DIA-layout operator"
+            )
         if self._amg is not None and fixed is self._amg_fixed_obj:
             return
         key = np.asarray(fixed).tobytes()

@@ -87,6 +87,7 @@ _SLOW_TESTS = frozenset({
     "test_coarse_pallas_spmv_parity",
     "test_hex8_matches_tets_on_bending",
     "test_mixed_precision_refine_nonlinear_newton",
+    "test_newton_refine_respects_stabilization",
     "test_diagnose_failure_opt_out",
     "test_riks_matches_newton_on_stable_path",
     "test_beam_large_deformation_consistent_tangent_agrees",

@@ -168,6 +168,75 @@ def test_femsystem_amg_preconditioner_linear_solve():
     assert np.abs(np.asarray(x) - x_ref).max() / np.abs(x_ref).max() < 1e-5
 
 
+def test_femsystem_amg_forces_ell_layout_on_banded_mesh():
+    """Regression (ADVICE r4, high): on a regularly-numbered mesh the auto
+    DIA detection used to fire under preconditioner='amg', feeding the
+    block-ELL gather plan DIA-layout values -- NaN solutions.  'amg' must
+    force the ELL layout."""
+    from femcy_tpu import FEMSystem, SolverConfig
+
+    m0 = box_tets(6, 6, 6)
+    # strip the structure metadata: general path, banded numbering -> the
+    # DIA offsets ARE detectable (the control below proves it)
+    mesh = FEMesh(m0.nodes, m0.elements, m0.element)
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+
+    sys_amg = FEMSystem(
+        mesh, material, False,
+        SolverConfig(preconditioner="amg", linear_solver="cg", cg_eps=1e-8),
+    )
+    assert sys_amg.dia is None
+    sys_plain = FEMSystem(mesh, material, False, SolverConfig())
+    assert sys_plain.dia is not None  # detection would have fired
+
+    pattern, values_bc, b, fixed = _operator(mesh, material)
+    x = sys_amg._solve_linear_system(values_bc, b, jnp.asarray(fixed))
+    assert np.isfinite(np.asarray(x)).all()
+    A = pattern.to_scipy(np.asarray(values_bc, dtype=np.float64))
+    import scipy.sparse.linalg as spla
+
+    x_ref = spla.spsolve(A.tocsc(), np.asarray(b, dtype=np.float64))
+    assert np.abs(np.asarray(x) - x_ref).max() / np.abs(x_ref).max() < 1e-5
+
+
+def test_femsystem_amg_rejects_explicit_dia_format():
+    from femcy_tpu import FEMSystem, SolverConfig
+
+    m0 = box_tets(4, 4, 4)
+    mesh = FEMesh(m0.nodes, m0.elements, m0.element)
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+    with pytest.raises(ValueError, match="amg"):
+        FEMSystem(
+            mesh, material, False,
+            SolverConfig(preconditioner="amg", sparse_format="dia"),
+        )
+
+
+def test_amg_oversized_coarsest_falls_back_to_smoother():
+    """Regression (ADVICE r4, low): when coarsening stalls, the bottom level
+    must NOT attempt a dense inverse of an arbitrarily large operator --
+    coarse_max_dof=1 makes every level 'oversized', forcing the
+    smoother-only coarse path, which must still converge."""
+    mesh = _unstructured_box(5)
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+    pattern, values_bc, b, fixed = _operator(mesh, material)
+    amg = _build_amg(
+        mesh, pattern, values_bc, fixed, coarse_max_dof=1, max_levels=2
+    )
+    assert amg._coarse_smooth_only
+    assert amg._coarse_inv.size == 0  # no dense inverse was formed
+    colidx = jnp.asarray(pattern.colidx)
+    x, iters, rmax = amg.pcg_solve(
+        b, lambda v: ell_spmv(values_bc, colidx, v), eps=1.0e-6,
+    )
+    assert np.isfinite(np.asarray(x)).all()
+    A = pattern.to_scipy(np.asarray(values_bc, dtype=np.float64))
+    import scipy.sparse.linalg as spla
+
+    x_ref = spla.spsolve(A.tocsc(), np.asarray(b, dtype=np.float64))
+    assert np.abs(np.asarray(x) - x_ref).max() / np.abs(x_ref).max() < 1e-4
+
+
 def test_femsystem_amg_rejects_structured_mesh():
     from femcy_tpu import FEMSystem, SolverConfig
 

@@ -177,3 +177,57 @@ def test_boundary_dof_ranges_and_numeric_nodes(tmp_path):
     res = solve_beam(m)
     # axial: beam along z, load along z
     assert res.u[1, 2] == pytest.approx(-250.0 * 1.5 / (70.0e9 * 1.0e-3), rel=1e-9)
+
+
+def test_element_block_comment_lines_do_not_truncate(tmp_path):
+    """Regression (ADVICE r4, low): a '**' comment line INSIDE an *Element
+    block (legal Abaqus) used to reset the reading state and silently drop
+    every subsequent element of the block."""
+    inp = tmp_path / "beam_comment.inp"
+    inp.write_text(
+        """*Node
+1, 0., 0., 0.
+2, 1., 0., 0.
+3, 2., 0., 0.
+*Element, type=B31
+1, 1, 2
+** a mid-block comment, legal in Abaqus
+2, 2, 3
+*Beam Section, elset=all, material=steel, section=RECT
+0.05, 0.08
+*Material, name=steel
+*Elastic
+210.e9, 0.3
+*Boundary
+1, ENCASTRE
+*Cload
+3, 2, 1000.
+"""
+    )
+    m = read_beam_inp(str(inp))
+    assert m.elements.shape == (2, 2)
+
+
+def test_cli_b31_detection_matches_element_headers_only(tmp_path):
+    """Regression (ADVICE r4, low): B31 routing must key on *Element header
+    lines, not a whole-file substring -- a continuum model mentioning 'b31'
+    in a set name must NOT be routed to the beam solver."""
+    from femcy_tpu.cli import _has_b31_elements
+
+    continuum = """*Node
+1, 0., 0.
+*Element, type=CPS3
+1, 1, 2, 3
+*Nset, nset=clamp_b31_side
+1,
+** note: b31 appears in this comment too
+*Elastic
+200.e9, 0.3
+"""
+    assert not _has_b31_elements(continuum)
+    beam = """*Node
+1, 0., 0., 0.
+*ELEMENT, TYPE = B31, ELSET=frame
+1, 1, 2
+"""
+    assert _has_b31_elements(beam)

@@ -202,6 +202,64 @@ def _equilibrium_quality(inp, system, dof=None):
     return float(np.sqrt(np.mean(r * r)) / np.sqrt(np.mean(f * f)))
 
 
+def test_newton_refine_respects_stabilization(fixtures_dir):
+    """Regression (ADVICE r4, medium): with stabilize_factor > 0 the
+    Newton loop converges on the STABILIZED system (internal force +
+    stab_scale*stab_diag*(dof - stab_ref)); _newton_refine's f64 residual
+    used to omit that viscous term, silently dragging the state toward the
+    unstabilized static equilibrium and defeating the stabilization.  The
+    refined state must satisfy the stabilized f64 residual.  (Runs in x64:
+    the f32 consistent-tangent variant of this fixture does not converge
+    for reasons orthogonal to the refinement; the buggy residual drags the
+    state in either dtype.)"""
+    from femcy_tpu import assembly_host
+    from femcy_tpu import bc as bc_mod
+
+    BEAM_LARGE = (
+        "beam_deflection/load800_freeEnd_largeDef/"
+        "beamDeflec_quadPSE_largeD_load800.inp"
+    )
+    inp, system = _solve(
+        fixtures_dir, BEAM_LARGE,
+        tangent="consistent",
+        stabilize_factor=1.0e-2,
+        mixed_precision_refine=True,
+    )
+    assert system.dof_refined is not None
+    assert "stab_diag" in system._arrs
+    stab_scale = float(system._arrs["stab_scale"])
+    assert stab_scale > 0.0
+
+    patterns, tractions = bc_mod.build_neumann_patterns(
+        system.mesh, inp.neumann_bcs
+    )
+    rhs = tractions @ patterns if patterns.shape[0] else np.zeros(system.mesh.n_dof)
+    fixed, _ = system._last_dirichlet
+    d = system.dof_refined
+    f = assembly_host.internal_force_host(system.mesh, system.material, d)
+    f_stab = f + stab_scale * np.asarray(
+        system._arrs["stab_diag"], np.float64
+    ) * (d - np.asarray(system._arrs["stab_ref"], np.float64))
+    r = f_stab - rhs
+    r[np.asarray(fixed, bool)] = 0.0
+    q = float(np.sqrt(np.mean(r * r)) / np.sqrt(np.mean(f_stab * f_stab)))
+    # the buggy refinement left the STABILIZED residual at the size of the
+    # omitted viscous force (~1e-3 relative here); the fixed one polishes
+    # it to f64 noise
+    assert q < 1.0e-8, q
+
+    # and the refined answer stays at the stabilized solution (the
+    # stabilization itself biases the tip by <1e-4 on this stable problem,
+    # test_stabilize.py) instead of drifting off it
+    _, plain = _solve(
+        fixtures_dir, BEAM_LARGE,
+        tangent="consistent", stabilize_factor=1.0e-2,
+    )
+    tip_ref = float(np.abs(d).max())
+    tip_plain = float(np.abs(np.asarray(plain.dof)).max())
+    assert abs(tip_ref - tip_plain) / tip_plain < 1.0e-3
+
+
 def test_mixed_precision_refine_nonlinear_newton(fixtures_dir, f32_mode):
     """Round-4 extension (VERDICT item 5): refinement engages on the NEWTON
     path.  On the large-deformation nu=0.4999 Cook (3.5 MPa, E=70 plane

@@ -21,6 +21,13 @@ Environment knobs:
                   structured meshes; 0 forces the general scatter path
   BENCH_MG        1 (default) preconditions the CG with the geometric
                   V-cycle when the grid supports it; 0 = scalar Jacobi
+  BENCH_UNSTRUCT_NX  unstructured-metric cube edge (default 56 -> 1.05M
+                  elements); BENCH_UNSTRUCT=0 skips
+  BENCH_TWIST_COLD_RUNS  fresh-process TPU twist runs for the cold-wall
+                  evidence (default 3)
+
+Every metric is compared against the newest BENCH_r*.json and prints a
+WARNING line when a time metric regressed >10% round-over-round.
 """
 
 from __future__ import annotations
@@ -83,6 +90,73 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# --------------------------------------------------------------------------- #
+# regression guard: compare every metric against the newest BENCH_r*.json
+# (two rounds in a row a metric drifted >5% unremarked -- VERDICT r4 item 6)
+# --------------------------------------------------------------------------- #
+def _load_prev_metrics():
+    import glob
+
+    files = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r*.json"))
+    )
+    if not files:
+        return {}, None
+    try:
+        with open(files[-1]) as fh:
+            tail = json.load(fh).get("tail", "")
+    except Exception:
+        return {}, None
+    prev = {}
+    for line in tail.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                d = json.loads(line)
+                if "metric" in d and "value" in d:
+                    prev[d["metric"]] = float(d["value"])
+            except Exception:
+                pass
+    return prev, os.path.basename(files[-1])
+
+
+_PREV_METRICS, _PREV_BENCH = _load_prev_metrics()
+
+
+def emit(metric, value, unit, vs_baseline):
+    """Print one metric JSON line, with a vs-last-round delta and a
+    grep-able WARNING when a time metric regressed more than 10%."""
+    prev = _PREV_METRICS.get(metric)
+    if prev:
+        delta = (value - prev) / prev
+        log(f"{metric}: {value} vs {prev} in {_PREV_BENCH} ({delta:+.1%})")
+        if unit == "s" and delta > 0.10:
+            log(
+                f"WARNING: {metric} regressed {delta:+.1%} vs "
+                f"{_PREV_BENCH} ({prev} -> {value})"
+            )
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": value,
+                "unit": unit,
+                "vs_baseline": vs_baseline,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _cache_entries():
+    d = os.environ.get("FEMCY_TPU_COMPILE_CACHE", "")
+    try:
+        return len(os.listdir(d)) if d and os.path.isdir(d) else -1
+    except OSError:
+        return -1
+
+
 #: the reference's OWN reported cost on this exact fixture is ~5 minutes of
 #: Taichi kernel compilation alone before any solve
 #: (/root/reference/README.md:21); that is the baseline the driver tracks
@@ -131,7 +205,8 @@ def bench_twist():
     if os.environ.get("BENCH_TWIST_INPROC") != "1":
         import subprocess
 
-        def run_variant(platform, fused, label, timeout_s, x64=True):
+        def run_variant(platform, fused, label, timeout_s, x64=True,
+                        collect=False):
             env = dict(
                 os.environ,
                 BENCH_TWIST_INPROC="1",
@@ -149,15 +224,32 @@ def bench_twist():
                 )
             except subprocess.TimeoutExpired:
                 log(f"twist[{label}] exceeded {timeout_s}s; skipping")
-                return
+                return None
             sys.stderr.write(out.stderr)
             if out.returncode != 0:
                 log(f"twist[{label}] subprocess failed (rc={out.returncode}); skipping")
-                return
+                return None
             if not out.stdout.strip():
                 log(f"twist[{label}] produced no output; skipping")
-                return
-            print(out.stdout.strip().splitlines()[-1])  # the JSON line
+                return None
+            if collect:
+                parsed = {}
+                for line in out.stdout.splitlines():
+                    line = line.strip()
+                    if line.startswith("{"):
+                        try:
+                            d = json.loads(line)
+                            parsed[d["metric"]] = float(d["value"])
+                        except Exception:
+                            pass
+                return parsed
+            line = out.stdout.strip().splitlines()[-1]  # the JSON line
+            try:
+                d = json.loads(line)
+                emit(d["metric"], d["value"], d["unit"], d["vs_baseline"])
+            except Exception:
+                print(line)
+            return {}
 
         # host-CPU baseline (the latency-bound deployment split, see below)
         run_variant(
@@ -167,14 +259,45 @@ def bench_twist():
         # the SAME analysis resident on the TPU backend: fused Newton
         # iterations (one program per iteration, config.fused_newton) cut the
         # per-iteration dispatches from ~3-4 to 1, which is what makes a
-        # tunnel-latency-bound small model viable on the device at all
+        # tunnel-latency-bound small model viable on the device at all.
+        # The cold wall through the shared remote-compile service is wildly
+        # variable (measured 10-470 s on identical fully-cached runs), so
+        # the evidence is recorded, not averaged away: N fresh-process runs,
+        # each reporting its cold wall plus the persistent-cache entry delta
+        # (0 new entries = the variance is pure service queueing), the
+        # median-cold as its own metric, and the warm-process steady wall as
+        # the headline (VERDICT r4 item 2).
         if os.environ.get("BENCH_TWIST_TPU", "1") == "1":
-            # device-native f32 (gates identical -- displacement-controlled,
-            # so the solution is E-independent) + in-program dense operator
-            run_variant(
-                "default", fused=True,
-                label="twist_c3d10_90deg_e2e_tpu", timeout_s=1500, x64=False,
-            )
+            label = "twist_c3d10_90deg_e2e_tpu"
+            n_runs = int(os.environ.get("BENCH_TWIST_COLD_RUNS", "3"))
+            colds, steady = [], None
+            for i in range(n_runs):
+                c0 = _cache_entries()
+                res = run_variant(
+                    "default", fused=True, label=label,
+                    timeout_s=1500, x64=False, collect=True,
+                )
+                c1 = _cache_entries()
+                if not res:
+                    continue
+                cold = res.get(f"{label}_cold")
+                st = res.get(label)
+                log(
+                    f"twist tpu run {i}: cold {cold}s, steady {st}s, "
+                    f"cache entries {c0} -> {c1} (+{c1 - c0})"
+                )
+                if cold is not None:
+                    colds.append(cold)
+                if st is not None:
+                    steady = st
+            if colds:
+                med = sorted(colds)[len(colds) // 2]
+                log(f"twist tpu cold walls: {colds} (median {med}s)")
+                emit(f"{label}_cold_median", med, "s",
+                     round(TWIST_BASELINE_S / med, 3))
+            if steady is not None:
+                emit(label, steady, "s",
+                     round(TWIST_BASELINE_S / steady, 3))
         return
     import jax as _jax
 
@@ -244,6 +367,15 @@ def bench_twist():
             f"twist C3D10 e2e [{label}]: cold {elapsed:.1f}s "
             f"(incl. service compile/load queue), steady {steady:.1f}s"
         )
+        # machine-readable cold wall for the parent's multi-run evidence
+        print(
+            json.dumps(
+                {"metric": f"{label}_cold", "value": round(elapsed, 1),
+                 "unit": "s",
+                 "vs_baseline": round(TWIST_BASELINE_S / elapsed, 3)}
+            ),
+            flush=True,
+        )
         elapsed = steady
     _, _, mises = system.compute_strain_stress()
     max_mises = float(jnp.max(mises))
@@ -283,27 +415,27 @@ def bench_twist():
 
 
 def bench_unstructured():
-    """Large UNSTRUCTURED C3D4 solve on-chip: the mesh class real .inp files
-    are (irregular numbering, jittered geometry -- no DIA offsets, no
-    structured fast path, no geometric multigrid).  Round 3's headline 1M
-    number only proved the synthetic structured-box path (VERDICT weakness
-    4); this metric times the general path: batched-einsum assembly +
-    segment-sum scatter into the dof-ELL layout, then smoothed-aggregation
-    AMG-PCG (solvers/amg.py) whose every SpMV runs on the block-ELL layout
-    (solvers/bell.py; vector-row gathers, measured 5.4 ms vs 84 ms per
-    iteration at this size).  Measured: 18 PCG iterations, ~1.7 s steady
-    assemble+solve at 511k elements / 273k dofs (target: < 10 s).
+    """Large UNSTRUCTURED C3D4 solve on-chip, SETUP INSIDE THE FENCE
+    (VERDICT r4 item 1): the mesh class real .inp files are (irregular
+    numbering, jittered geometry -- no DIA offsets, no structured fast
+    path, no geometric multigrid).  Times the general path at the driver's
+    1M-element target: native C++ ELL pattern (element-order export,
+    node-block scatter map), batched-einsum assembly + in-program
+    block-target expansion + segment-sum scatter, and smoothed-aggregation
+    AMG-PCG whose hierarchy is built from the assembled f32 DEVICE operator
+    pulled back once (no f64 host twin) on BSR block matrices end-to-end.
 
-    One-time costs excluded from the metric (same accounting as the
-    structured metric, which excludes its pattern/multigrid setup): ELL
-    pattern build (~40 s), the f64 host twin assembly + AMG hierarchy
-    (~2 min), and the first-run XLA compiles (persistently cached).
-    BENCH_UNSTRUCT=0 skips; BENCH_UNSTRUCT_NX sets the mesh size.
+    TWO metrics: ``c3d4_<n>k_unstructured_setup`` -- the one-time host
+    setup (pattern + bell plan + AMG hierarchy; target < 30 s) -- and
+    ``c3d4_<n>k_unstructured_amg`` -- the steady assemble+solve (target
+    < 10 s).  First-run XLA compiles are logged, excluded (persistently
+    cached).  BENCH_UNSTRUCT=0 skips; BENCH_UNSTRUCT_NX sets the size
+    (default 56 -> 1,053,696 elements / 555,579 dofs).
     """
     from femcy_tpu import FEMSystem, SolverConfig
     from femcy_tpu.meshgen import unstructured_box_tets
 
-    nx = int(os.environ.get("BENCH_UNSTRUCT_NX", "44"))
+    nx = int(os.environ.get("BENCH_UNSTRUCT_NX", "56"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.time()
     mesh = unstructured_box_tets(nx)
@@ -317,7 +449,8 @@ def bench_unstructured():
         mesh, material, False,
         SolverConfig(preconditioner="amg", linear_solver="cg"),
     )
-    log(f"ELL pattern build: {time.time() - t0:.1f}s")
+    t_pattern = time.time() - t0
+    log(f"ELL pattern build (native, block targets): {t_pattern:.1f}s")
 
     fixed = np.zeros(mesh.n_dof, dtype=bool)
     bottom = np.nonzero(mesh.nodes[:, 2] < 1e-9)[0]
@@ -331,11 +464,25 @@ def bench_unstructured():
     sval_d = jnp.zeros(mesh.n_dof)
 
     t0 = time.time()
-    system._ensure_amg(fixed_d)
+    values, b, _vol = system._jit_linear_system(
+        system._arrs, rhs, fixed_d, sval_d
+    )
+    values.block_until_ready()
+    log(f"device assembly compile+run: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    system._ensure_amg(fixed_d, values=values)
+    t_amg = time.time() - t0
     log(
-        f"AMG setup: {time.time() - t0:.1f}s, levels "
+        f"AMG setup from the device operator: {t_amg:.1f}s, levels "
         f"{[lv.n_dof for lv in system._amg.levels]}, "
-        f"complexity {system._amg.complexity:.2f}"
+        f"complexity {system._amg.complexity:.2f}, phase breakdown "
+        f"{ {k: round(v, 1) for k, v in system._amg.setup_seconds.items()} }"
+    )
+    setup_total = t_pattern + t_amg
+    emit(
+        f"c3d4_{mesh.n_elements//1000}k_unstructured_setup",
+        round(setup_total, 1), "s", round(30.0 / setup_total, 3),
     )
 
     def assemble_and_solve():
@@ -361,15 +508,9 @@ def bench_unstructured():
         f"unstructured assemble+AMG-PCG: {total:.3f}s "
         f"({mesh.n_elements / total / 1e6:.2f} M-elem/s end-to-end)"
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"c3d4_{mesh.n_elements//1000}k_unstructured_amg",
-                "value": round(total, 4),
-                "unit": "s",
-                "vs_baseline": round(10.0 / total, 3),
-            }
-        )
+    emit(
+        f"c3d4_{mesh.n_elements//1000}k_unstructured_amg",
+        round(total, 4), "s", round(10.0 / total, 3),
     )
 
 
@@ -633,15 +774,9 @@ def main():
         f"assemble+CG: {total:.3f}s ({dof_iters:.1f} M dof-iters/s)"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": f"c3d4_{mesh.n_elements//1000}k_assemble_pcg",
-                "value": round(total, 4),
-                "unit": "s",
-                "vs_baseline": round(10.0 / total, 3),
-            }
-        )
+    emit(
+        f"c3d4_{mesh.n_elements//1000}k_assemble_pcg",
+        round(total, 4), "s", round(10.0 / total, 3),
     )
 
 

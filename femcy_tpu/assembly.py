@@ -131,6 +131,38 @@ def scatter_stiffness(Ke, scatter_targets, n_dof, width):
     return flat.reshape(n_dof, width)
 
 
+def expand_block_targets(block_targets, node_width, dm, width, npe):
+    """NODE-block scatter map (E*npe*npe,) -> dof-level (E*edof*edof,) in
+    Ke layout order, traced in-program.
+
+    The host exports only the dm^2-smaller block map
+    (ELLPattern.block_targets: 68 MB vs 607 MB at 1M C3D4 elements --
+    measured ~9 s of page faults + a 600 MB H2D transfer saved); this
+    broadcast recovers the dof slots: contribution (e, a, di, b, dj) goes
+    to (n*dm+di)*width + pos*dm + dj where block_targets[e,a,b] =
+    n*node_width + pos.
+    """
+    bt = block_targets.reshape(-1, npe, npe).astype(jnp.int32)
+    n = bt // node_width
+    pos = bt % node_width
+    base = (n * dm) * width + pos * dm  # (E, npe, npe)
+    di = (jnp.arange(dm, dtype=jnp.int32) * width).reshape(1, 1, dm, 1, 1)
+    dj = jnp.arange(dm, dtype=jnp.int32).reshape(1, 1, 1, 1, dm)
+    return (base[:, :, None, :, None] + di + dj).reshape(-1)
+
+
+def scatter_stiffness_blocks(Ke, block_targets, n_dof, width, node_width, dm):
+    """scatter_stiffness driven by the compact node-block map."""
+    E, edof, _ = Ke.shape
+    targets = expand_block_targets(
+        block_targets, node_width, dm, width, edof // dm
+    )
+    flat = jax.ops.segment_sum(
+        Ke.reshape(-1), targets, num_segments=n_dof * width
+    )
+    return flat.reshape(n_dof, width)
+
+
 def deformation_gradient(dof, elements, dsdX0):
     """F = I + du/dX at each (element, GP), w.r.t. the initial configuration.
 

@@ -84,7 +84,7 @@ def assemble_csr_host(mesh: FEMesh, pattern: ELLPattern, C: np.ndarray):
     Ke = element_stiffness_host(mesh, C)
     # bincount is ~5x np.add.at for this scatter shape
     values = np.bincount(
-        pattern.scatter_targets,
+        pattern.ensure_scatter_targets(),
         weights=Ke.reshape(-1),
         minlength=pattern.n_dof * pattern.width,
     )

@@ -72,6 +72,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.pattern_nnz.argtypes = [ctypes.c_void_p]
         lib.pattern_width.restype = ctypes.c_int32
         lib.pattern_width.argtypes = [ctypes.c_void_p]
+        lib.pattern_nwidth.restype = ctypes.c_int32
+        lib.pattern_nwidth.argtypes = [ctypes.c_void_p]
+        lib.pattern_export_block_targets.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.pattern_export.restype = ctypes.c_int32
         lib.pattern_export.argtypes = [ctypes.c_void_p] + [
             ctypes.POINTER(ctypes.c_int32),
@@ -92,11 +98,30 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _LIB
 
 
-def build_pattern_native(elements: np.ndarray, dm: int, n_dof: int):
+def build_pattern_native(
+    elements: np.ndarray,
+    dm: int,
+    n_dof: int,
+    sorted_exports: bool = False,
+    dof_targets: bool = False,
+):
     """Returns the pattern arrays or None when the native path can't be used.
 
-    (targets, colidx, row_counts, diag_slot, csr_indices, csr_slots,
-     csr_indptr, nnz, width, perm_sorted, csr_counts)
+    (targets, block_targets, node_width, colidx, row_counts, diag_slot,
+     csr_indices, csr_slots, csr_indptr, nnz, width, perm_sorted,
+     csr_counts)
+
+    ``dof_targets=False`` (default) skips the dof-level scatter-target
+    export (None in its place): it is E*edof^2 int32 -- 607 MB of fresh
+    pages at the 1M-element scale, ~9 s of page faults on this host --
+    and the device assembly expands the dm^2-smaller ``block_targets``
+    in-program instead (ELLPattern.ensure_scatter_targets computes the
+    dof map lazily for the consumers that still need it).
+
+    ``sorted_exports=False`` (default) likewise skips the (row, col)-sorted
+    permutation export and returns (None, None) in its place: nothing on
+    the production path consumes it (ELLPattern.ensure_sorted_scatter
+    computes it lazily in numpy on demand).
     """
     lib = get_lib()
     if lib is None:
@@ -120,9 +145,9 @@ def build_pattern_native(elements: np.ndarray, dm: int, n_dof: int):
     try:
         nnz = lib.pattern_nnz(handle)
         width = lib.pattern_width(handle)
+        node_width = lib.pattern_nwidth(handle)
         if n_dof * width >= 2**31:
             return None
-        targets = np.empty(n_contrib, dtype=np.int32)
         colidx = np.empty((n_dof, width), dtype=np.int32)
         row_counts = np.empty(n_dof, dtype=np.int32)
         diag_slot = np.empty(n_dof, dtype=np.int64)
@@ -136,9 +161,10 @@ def build_pattern_native(elements: np.ndarray, dm: int, n_dof: int):
         def p64(a):
             return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
+        targets = None
         status = lib.pattern_export(
             handle,
-            p32(targets),
+            p32(targets) if targets is not None else None,
             p32(colidx),
             p32(row_counts),
             p64(diag_slot),
@@ -148,11 +174,24 @@ def build_pattern_native(elements: np.ndarray, dm: int, n_dof: int):
         )
         if status != 0:
             raise RuntimeError("mesh has dofs without a diagonal entry")
-        perm_sorted = np.empty(n_contrib, dtype=np.int32)
-        csr_counts = np.empty(nnz, dtype=np.int32)
-        lib.pattern_export_sorted(handle, p32(perm_sorted), p32(csr_counts))
+        block_targets = np.empty(E * npe * npe, dtype=np.int32)
+        lib.pattern_export_block_targets(handle, p32(block_targets))
+        if dof_targets:
+            targets = np.empty(n_contrib, dtype=np.int32)
+            lib.pattern_export(
+                handle, p32(targets), p32(colidx), p32(row_counts),
+                p64(diag_slot), p32(csr_indices), p64(csr_slots),
+                p64(csr_indptr),
+            )
+        perm_sorted = csr_counts = None
+        if sorted_exports:
+            perm_sorted = np.empty(n_contrib, dtype=np.int32)
+            csr_counts = np.empty(nnz, dtype=np.int32)
+            lib.pattern_export_sorted(handle, p32(perm_sorted), p32(csr_counts))
         return (
             targets,
+            block_targets,
+            int(node_width),
             colidx,
             row_counts,
             diag_slot,

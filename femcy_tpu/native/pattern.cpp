@@ -16,9 +16,11 @@
 // builds per-row on the host in pure Python (stiffnessMtrx.py:79-107).
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <new>
+#include <thread>
 #include <utility>
 #include <vector>
 
@@ -40,6 +42,11 @@ struct Pattern {
   std::vector<int32_t> idx_b;      // original node-contribution index
   std::vector<int64_t> offsets;    // node row -> bucket start (n_nodes + 1)
   std::vector<int32_t> row_counts; // unique node columns per node row
+  // compacted unique sorted columns per node row (for the element-order
+  // targets export: binary-searchable, cache-resident per row)
+  std::vector<int32_t> col_u;      // node_nnz entries
+  std::vector<int64_t> uoff;       // node row -> col_u start (n_nodes + 1)
+  std::vector<int32_t> conn;       // copy of the element connectivity
 };
 
 }  // namespace
@@ -110,6 +117,23 @@ void* pattern_build(const int32_t* elements, int64_t n_ele, int32_t npe,
     nwidth = std::max(nwidth, uniq);
     p->node_nnz += uniq;
   }
+  // compacted unique sorted columns per row (element-order targets export)
+  p->uoff.assign(n_nodes + 1, 0);
+  for (int64_t r = 0; r < n_nodes; ++r)
+    p->uoff[r + 1] = p->uoff[r] + p->row_counts[r];
+  p->col_u.resize(p->node_nnz);
+  for (int64_t r = 0; r < n_nodes; ++r) {
+    const int64_t lo = p->offsets[r], hi = p->offsets[r + 1];
+    int64_t out = p->uoff[r];
+    int32_t prev = -1;
+    for (int64_t k = lo; k < hi; ++k) {
+      if (p->col_b[k] != prev) {
+        prev = p->col_b[k];
+        p->col_u[out++] = prev;
+      }
+    }
+  }
+  p->conn.assign(elements, elements + n_ele * (int64_t)npe);
   p->nwidth = nwidth;
   p->width = nwidth * dm;
   p->nnz = p->node_nnz * dm * dm;
@@ -118,6 +142,32 @@ void* pattern_build(const int32_t* elements, int64_t n_ele, int32_t npe,
 
 int64_t pattern_nnz(void* h) { return static_cast<Pattern*>(h)->nnz; }
 int32_t pattern_width(void* h) { return static_cast<Pattern*>(h)->width; }
+int32_t pattern_nwidth(void* h) { return static_cast<Pattern*>(h)->nwidth; }
+
+// Node-block scatter map: for each node-level contribution (e, a, b), in
+// element order, the flat node-ELL slot conn[a]*nwidth + pos(conn[b]).
+// dm^2 x smaller than the dof-level targets (68 MB vs 607 MB at 1M C3D4
+// elements) -- the dof-level expansion is a cheap broadcast the device
+// assembly does in-program (assembly.scatter_stiffness_blocks).
+void pattern_export_block_targets(void* h, int32_t* btargets) {
+  Pattern* p = static_cast<Pattern*>(h);
+  const int32_t npe = p->npe;
+  const int32_t* conn_all = p->conn.data();
+  int64_t out = 0;
+  for (int64_t e = 0; e < p->n_ele; ++e) {
+    const int32_t* conn = conn_all + e * npe;
+    for (int32_t a = 0; a < npe; ++a) {
+      const int32_t r = conn[a];
+      const int32_t* cu = p->col_u.data() + p->uoff[r];
+      const int32_t ncols = p->row_counts[r];
+      const int64_t slot0 = (int64_t)r * p->nwidth;
+      for (int32_t b = 0; b < npe; ++b) {
+        const int32_t* it = std::lower_bound(cu, cu + ncols, conn[b]);
+        btargets[out++] = (int32_t)(slot0 + (it - cu));
+      }
+    }
+  }
+}
 int64_t pattern_n_contrib(void* h) {
   Pattern* p = static_cast<Pattern*>(h);
   const int64_t edof = (int64_t)p->npe * p->dm;
@@ -178,30 +228,31 @@ int32_t pattern_export(void* h, int32_t* targets,
     }
   }
 
-  // targets: expand each node contribution (slot p in node row n, original
-  // node index v -> element e, local nodes a,b) into its dm x dm dof slots
-  for (int64_t n = 0; n < n_nodes; ++n) {
-    const int64_t lo = p->offsets[n], hi = p->offsets[n + 1];
-    int32_t pos = -1;
-    int32_t prev = -1;
-    for (int64_t k = lo; k < hi; ++k) {
-      const int32_t col = p->col_b[k];
-      if (col != prev) {
-        ++pos;
-        prev = col;
-      }
-      const int64_t v = p->idx_b[k];
-      const int64_t e = v / ((int64_t)npe * npe);
-      const int32_t a = (int32_t)((v / npe) % npe);
-      const int32_t b = (int32_t)(v % npe);
-      const int64_t ebase = e * (int64_t)edof * edof;
-      for (int32_t di = 0; di < dm; ++di) {
-        const int64_t orig_row = ebase + ((int64_t)a * dm + di) * edof;
-        const int64_t slot_row =
-            (n * dm + di) * (int64_t)width + (int64_t)pos * dm;
-        for (int32_t dj = 0; dj < dm; ++dj) {
-          targets[orig_row + (int64_t)b * dm + dj] =
-              (int32_t)(slot_row + dj);
+  // targets, in ELEMENT order: for each contribution (e, a, b) binary-
+  // search conn[b] in node row conn[a]'s compacted unique columns (small,
+  // cache-resident) and write the dm x dm slots SEQUENTIALLY.  The former
+  // node-row-order walk scattered writes randomly across the (E*edof^2)
+  // int32 buffer -- 600 MB of cache-missing stores at the 1M-element
+  // scale (measured 19 s vs ~2 s for this layout on the 1-core host).
+  // NULL skips the export (callers on the block-target fast path).
+  if (targets) {
+    const int32_t* conn_all = p->conn.data();
+    int64_t out = 0;
+    for (int64_t e = 0; e < p->n_ele; ++e) {
+      const int32_t* conn = conn_all + e * npe;
+      for (int32_t a = 0; a < npe; ++a) {
+        const int32_t r = conn[a];
+        const int32_t* cu = p->col_u.data() + p->uoff[r];
+        const int32_t ncols = p->row_counts[r];
+        for (int32_t di = 0; di < dm; ++di) {
+          const int64_t slot0 = ((int64_t)r * dm + di) * width;
+          for (int32_t b = 0; b < npe; ++b) {
+            const int32_t* it =
+                std::lower_bound(cu, cu + ncols, conn[b]);
+            const int64_t s = slot0 + (int64_t)(it - cu) * dm;
+            for (int32_t dj = 0; dj < dm; ++dj)
+              targets[out++] = (int32_t)(s + dj);
+          }
         }
       }
     }

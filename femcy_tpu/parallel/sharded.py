@@ -108,7 +108,7 @@ def build_sharded_operands(
     # ~1 GB/device at the 1M-element scale).  Padded elements reuse element
     # 0's targets; their Ke is zero (zero-weighted volume), so the adds are
     # no-ops.
-    tgt = pattern.scatter_targets.reshape(E, edof * edof).astype(np.int64)
+    tgt = pattern.ensure_scatter_targets().reshape(E, edof * edof).astype(np.int64)
     pad_e = D * E_s - E
     if pad_e:
         tgt = np.concatenate(

@@ -45,55 +45,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from femcy_tpu.solvers.bell import bell_spmv, csr_to_bell
+from femcy_tpu.solvers.bell import bell_spmv
 
 logger = logging.getLogger("femcy_tpu")
-
-
-def _node_graph(A, dm: int, theta: float = 0.0):
-    """Dof CSR -> node adjacency CSR (no self loops).
-
-    ``theta`` > 0 applies classical strength-of-connection filtering on the
-    node-block Frobenius norms: keep edge (i, j) only when
-    ||A_ij||_F > theta * sqrt(||A_ii||_F ||A_jj||_F).  Without it the
-    coarse-level Galerkin operators (whose graphs densify with each smoothed
-    transfer) aggregate catastrophically -- measured at 273k dofs: levels
-    stalled at [..., 12468, 12162, 12156] with operator complexity 64.7.
-    """
-    import scipy.sparse as sp
-
-    Ac = A.tocoo()
-    rows = Ac.row // dm
-    cols = Ac.col // dm
-    n_nodes = A.shape[0] // dm
-    # block Frobenius weights
-    W = sp.csr_matrix(
-        (Ac.data * Ac.data, (rows, cols)), shape=(n_nodes, n_nodes)
-    )
-    W.sum_duplicates()
-    W = W.tocsr()
-    if theta > 0.0:
-        d = np.sqrt(W.diagonal())
-        d = np.where(d > 0.0, d, 1.0)
-        Wc = W.tocoo()
-        keep = (Wc.row != Wc.col) & (
-            np.sqrt(Wc.data) > theta * np.sqrt(d[Wc.row] * d[Wc.col])
-        )
-        G = sp.csr_matrix(
-            (np.ones(keep.sum(), dtype=np.int8),
-             (Wc.row[keep], Wc.col[keep])),
-            shape=(n_nodes, n_nodes),
-        )
-    else:
-        Wc = W.tocoo()
-        keep = Wc.row != Wc.col
-        G = sp.csr_matrix(
-            (np.ones(keep.sum(), dtype=np.int8),
-             (Wc.row[keep], Wc.col[keep])),
-            shape=(n_nodes, n_nodes),
-        )
-    G.sum_duplicates()
-    return G
 
 
 def _aggregate(G) -> Tuple[np.ndarray, int]:
@@ -135,6 +89,285 @@ def _aggregate(G) -> Tuple[np.ndarray, int]:
             agg[i] = cnt
             cnt += 1
     return agg, cnt
+
+
+def _node_graph_bsr(A, theta: float = 0.0):
+    """BSR (blk, blk) operator -> node adjacency CSR (no self loops).
+
+    Same semantics as :func:`_node_graph` but reads the block structure
+    directly: the block Frobenius weights are one einsum over the stored
+    blocks instead of a COO pass over every scalar entry -- the single-core
+    host this runs on cannot parallelize its way out of that pass.
+    Zero-weight blocks (tobsr padding / eliminated couplings) are dropped,
+    matching eliminate_zeros + _node_graph on the scalar operator."""
+    import scipy.sparse as sp
+
+    bs = A.blocksize[0]
+    N = A.shape[0] // bs
+    w = np.einsum(
+        "kij,kij->k", A.data, A.data, dtype=np.float64, casting="same_kind"
+    )
+    rows = np.repeat(
+        np.arange(N, dtype=np.int64), np.diff(A.indptr)
+    )
+    cols = A.indices.astype(np.int64)
+    off = rows != cols
+    if theta > 0.0:
+        fro = np.sqrt(w)
+        dfro = np.zeros(N)
+        dmask = ~off
+        dfro[rows[dmask]] = fro[dmask]
+        dfro = np.where(dfro > 0.0, dfro, 1.0)
+        keep = off & (fro > theta * np.sqrt(dfro[rows] * dfro[cols]))
+    else:
+        keep = off & (w > 0.0)
+    return sp.csr_matrix(
+        (np.ones(int(keep.sum()), dtype=np.int8), (rows[keep], cols[keep])),
+        shape=(N, N),
+    )
+
+
+def _tentative_prolongator_bsr(agg, n_agg, B, dm: int, host_dtype):
+    """Aggregates + near-nullspace -> (P0 as BSR (dm, nb), coarse B_c).
+
+    Identical math to :func:`_tentative_prolongator` (zero-padded batched
+    QR per aggregate, rank guard on the R diagonal) but the prolongator is
+    assembled directly in BSR block form -- every node row holds exactly
+    one (dm, nb) block, its aggregate's Q rows -- skipping the scalar COO
+    construction and its sort entirely."""
+    import scipy.sparse as sp
+
+    n_dof, nb = B.shape
+    n_nodes = n_dof // dm
+    kept = np.nonzero(agg >= 0)[0]
+    order = kept[np.argsort(agg[kept], kind="stable")]
+    counts = np.bincount(agg[kept], minlength=n_agg)
+    max_sz = int(counts.max())
+    pad = np.full((n_agg, max_sz), -1, dtype=np.int64)
+    pos = np.arange(kept.shape[0]) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+    )
+    pad[agg[order], pos] = order
+    rowsel = (pad[:, :, None] * dm + np.arange(dm)).reshape(n_agg, max_sz * dm)
+    valid = rowsel >= 0
+    Bblk = np.where(valid[:, :, None], B[np.maximum(rowsel, 0)], 0.0)
+    Q, R = np.linalg.qr(Bblk)  # f64: the rank guard needs exact zeros
+    scale = np.abs(R[:, np.arange(nb), np.arange(nb)])
+    keep = scale > 1e-10 * max(scale.max(), 1e-300)
+    Q = Q * keep[:, None, :]
+    Bc = R * keep[:, :, None]
+
+    has = agg >= 0
+    indptr = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.cumsum(has, out=indptr[1:])
+    node_ids = np.nonzero(has)[0]
+    indices = agg[node_ids].astype(np.int32)
+    pos_of = np.empty(n_nodes, dtype=np.int64)
+    pos_of[order] = pos
+    p = pos_of[node_ids]
+    ridx = p[:, None] * dm + np.arange(dm)  # (len, dm) rows within Q[agg]
+    data = Q[
+        agg[node_ids][:, None, None],
+        ridx[:, :, None],
+        np.arange(nb)[None, None, :],
+    ].astype(host_dtype)
+    P0 = sp.bsr_matrix(
+        (data, indices, indptr),
+        shape=(n_dof, n_agg * nb),
+        blocksize=(dm, nb),
+    )
+    return P0, Bc.reshape(n_agg * nb, nb)
+
+
+def _bsr_to_bell(A) -> Tuple[np.ndarray, np.ndarray]:
+    """BSR -> (bvalues (N, K, br, bc), ncol (N, K) int32): a pad, not a
+    sort -- the BSR block rows ARE the block-ELL rows."""
+    br, bc = A.blocksize
+    N = A.shape[0] // br
+    cnt = np.diff(A.indptr)
+    K = max(int(cnt.max()), 1) if cnt.size else 1
+    rows = np.repeat(np.arange(N, dtype=np.int64), cnt)
+    pos = np.arange(A.indices.shape[0], dtype=np.int64) - A.indptr[:-1][rows]
+    ncol = np.zeros((N, K), dtype=np.int32)
+    ncol[rows, pos] = A.indices.astype(np.int32)
+    bval = np.zeros((N, K, br, bc), dtype=A.data.dtype)
+    bval[rows, pos] = A.data
+    return bval, ncol
+
+
+def _regularize_bsr(A):
+    """Unit diagonal on zero-diagonal dofs (rank-deficient aggregates), in
+    place on the BSR data; the BSR twin of :func:`_regularize`."""
+    d = A.diagonal()
+    zero = np.nonzero(d == 0.0)[0]
+    if zero.size == 0:
+        return A
+    bs = A.blocksize[0]
+    N = A.shape[0] // bs
+    rows = np.repeat(np.arange(N, dtype=np.int64), np.diff(A.indptr))
+    dmask = rows == A.indices
+    diag_k = np.full(N, -1, dtype=np.int64)
+    diag_k[rows[dmask]] = np.nonzero(dmask)[0]
+    zrow, zi = zero // bs, zero % bs
+    k = diag_k[zrow]
+    if (k < 0).any():
+        # a zero-diag block row with no structural diagonal block: rare
+        # enough to pay the scalar path
+        return _regularize(A.tocsr()).tobsr(A.blocksize)
+    A.data[k, zi, zi] = 1.0
+    return A
+
+
+def _rigid_body_modes(coords: np.ndarray) -> np.ndarray:
+    """(n_nodes, dm) coords -> (n_dof, nb) rigid-body modes.
+
+    3D: 3 translations + 3 rotations (nb=6); 2D: 2 translations + the
+    in-plane rotation (nb=3).  Coordinates are centered so the rotation
+    columns stay well scaled.
+    """
+    c = coords - coords.mean(axis=0, keepdims=True)
+    n, dm = c.shape
+    if dm == 3:
+        B = np.zeros((n, 3, 6))
+        B[:, 0, 0] = B[:, 1, 1] = B[:, 2, 2] = 1.0
+        x, y, z = c[:, 0], c[:, 1], c[:, 2]
+        B[:, 0, 3], B[:, 1, 3] = -y, x  # rotation about z
+        B[:, 1, 4], B[:, 2, 4] = -z, y  # rotation about x
+        B[:, 2, 5], B[:, 0, 5] = -x, z  # rotation about y
+        return B.reshape(n * 3, 6)
+    if dm == 2:
+        B = np.zeros((n, 2, 3))
+        B[:, 0, 0] = B[:, 1, 1] = 1.0
+        B[:, 0, 2], B[:, 1, 2] = -c[:, 1], c[:, 0]
+        return B.reshape(n * 2, 3)
+    raise ValueError(f"unsupported spatial dimension {dm}")
+
+
+def _node_graph_bsr(A, theta: float = 0.0):
+    """BSR (blk, blk) operator -> node adjacency CSR (no self loops).
+
+    Same semantics as :func:`_node_graph` but reads the block structure
+    directly: the block Frobenius weights are one einsum over the stored
+    blocks instead of a COO pass over every scalar entry -- the single-core
+    host this runs on cannot parallelize its way out of that pass.
+    Zero-weight blocks (tobsr padding / eliminated couplings) are dropped,
+    matching eliminate_zeros + _node_graph on the scalar operator."""
+    import scipy.sparse as sp
+
+    bs = A.blocksize[0]
+    N = A.shape[0] // bs
+    w = np.einsum(
+        "kij,kij->k", A.data, A.data, dtype=np.float64, casting="same_kind"
+    )
+    rows = np.repeat(
+        np.arange(N, dtype=np.int64), np.diff(A.indptr)
+    )
+    cols = A.indices.astype(np.int64)
+    off = rows != cols
+    if theta > 0.0:
+        fro = np.sqrt(w)
+        dfro = np.zeros(N)
+        dmask = ~off
+        dfro[rows[dmask]] = fro[dmask]
+        dfro = np.where(dfro > 0.0, dfro, 1.0)
+        keep = off & (fro > theta * np.sqrt(dfro[rows] * dfro[cols]))
+    else:
+        keep = off & (w > 0.0)
+    return sp.csr_matrix(
+        (np.ones(int(keep.sum()), dtype=np.int8), (rows[keep], cols[keep])),
+        shape=(N, N),
+    )
+
+
+def _tentative_prolongator_bsr(agg, n_agg, B, dm: int, host_dtype):
+    """Aggregates + near-nullspace -> (P0 as BSR (dm, nb), coarse B_c).
+
+    Identical math to :func:`_tentative_prolongator` (zero-padded batched
+    QR per aggregate, rank guard on the R diagonal) but the prolongator is
+    assembled directly in BSR block form -- every node row holds exactly
+    one (dm, nb) block, its aggregate's Q rows -- skipping the scalar COO
+    construction and its sort entirely."""
+    import scipy.sparse as sp
+
+    n_dof, nb = B.shape
+    n_nodes = n_dof // dm
+    kept = np.nonzero(agg >= 0)[0]
+    order = kept[np.argsort(agg[kept], kind="stable")]
+    counts = np.bincount(agg[kept], minlength=n_agg)
+    max_sz = int(counts.max())
+    pad = np.full((n_agg, max_sz), -1, dtype=np.int64)
+    pos = np.arange(kept.shape[0]) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+    )
+    pad[agg[order], pos] = order
+    rowsel = (pad[:, :, None] * dm + np.arange(dm)).reshape(n_agg, max_sz * dm)
+    valid = rowsel >= 0
+    Bblk = np.where(valid[:, :, None], B[np.maximum(rowsel, 0)], 0.0)
+    Q, R = np.linalg.qr(Bblk)  # f64: the rank guard needs exact zeros
+    scale = np.abs(R[:, np.arange(nb), np.arange(nb)])
+    keep = scale > 1e-10 * max(scale.max(), 1e-300)
+    Q = Q * keep[:, None, :]
+    Bc = R * keep[:, :, None]
+
+    has = agg >= 0
+    indptr = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.cumsum(has, out=indptr[1:])
+    node_ids = np.nonzero(has)[0]
+    indices = agg[node_ids].astype(np.int32)
+    pos_of = np.empty(n_nodes, dtype=np.int64)
+    pos_of[order] = pos
+    p = pos_of[node_ids]
+    ridx = p[:, None] * dm + np.arange(dm)  # (len, dm) rows within Q[agg]
+    data = Q[
+        agg[node_ids][:, None, None],
+        ridx[:, :, None],
+        np.arange(nb)[None, None, :],
+    ].astype(host_dtype)
+    P0 = sp.bsr_matrix(
+        (data, indices, indptr),
+        shape=(n_dof, n_agg * nb),
+        blocksize=(dm, nb),
+    )
+    return P0, Bc.reshape(n_agg * nb, nb)
+
+
+def _bsr_to_bell(A) -> Tuple[np.ndarray, np.ndarray]:
+    """BSR -> (bvalues (N, K, br, bc), ncol (N, K) int32): a pad, not a
+    sort -- the BSR block rows ARE the block-ELL rows."""
+    br, bc = A.blocksize
+    N = A.shape[0] // br
+    cnt = np.diff(A.indptr)
+    K = max(int(cnt.max()), 1) if cnt.size else 1
+    rows = np.repeat(np.arange(N, dtype=np.int64), cnt)
+    pos = np.arange(A.indices.shape[0], dtype=np.int64) - A.indptr[:-1][rows]
+    ncol = np.zeros((N, K), dtype=np.int32)
+    ncol[rows, pos] = A.indices.astype(np.int32)
+    bval = np.zeros((N, K, br, bc), dtype=A.data.dtype)
+    bval[rows, pos] = A.data
+    return bval, ncol
+
+
+def _regularize_bsr(A):
+    """Unit diagonal on zero-diagonal dofs (rank-deficient aggregates), in
+    place on the BSR data; the BSR twin of :func:`_regularize`."""
+    d = A.diagonal()
+    zero = np.nonzero(d == 0.0)[0]
+    if zero.size == 0:
+        return A
+    bs = A.blocksize[0]
+    N = A.shape[0] // bs
+    rows = np.repeat(np.arange(N, dtype=np.int64), np.diff(A.indptr))
+    dmask = rows == A.indices
+    diag_k = np.full(N, -1, dtype=np.int64)
+    diag_k[rows[dmask]] = np.nonzero(dmask)[0]
+    zrow, zi = zero // bs, zero % bs
+    k = diag_k[zrow]
+    if (k < 0).any():
+        # a zero-diag block row with no structural diagonal block: rare
+        # enough to pay the scalar path
+        return _regularize(A.tocsr()).tobsr(A.blocksize)
+    A.data[k, zi, zi] = 1.0
+    return A
 
 
 def _rigid_body_modes(coords: np.ndarray) -> np.ndarray:
@@ -214,16 +447,14 @@ def _lambda_max_dinv(A, iters: int = 20, seed: int = 1) -> float:
     elasticity operators; feeding that into the prolongator smoothing and
     the Chebyshev interval costs mesh-independence (measured: PCG counts
     20/34/45 at nx=6/12/20 with Gershgorin vs 19/24/26 with this)."""
-    import scipy.sparse as sp
-
     d = A.diagonal()
     d = np.where(d > 0.0, d, 1.0)
-    M = sp.diags(1.0 / d) @ A
+    inv_d = (1.0 / d).astype(A.dtype)
     rng = np.random.default_rng(seed)
-    x = rng.standard_normal(A.shape[0])
+    x = rng.standard_normal(A.shape[0]).astype(A.dtype)
     lam = 1.0
     for _ in range(iters):
-        y = M @ x
+        y = inv_d * (A @ x)  # D^-1 A without forming it (works on CSR/BSR)
         ny = np.linalg.norm(y)
         if ny == 0.0:
             return 1.0
@@ -241,7 +472,7 @@ def _regularize(A):
         import scipy.sparse as sp
 
         A = A + sp.csr_matrix(
-            (np.ones(zero.size), (zero, zero)), shape=A.shape
+            (np.ones(zero.size, dtype=A.dtype), (zero, zero)), shape=A.shape
         )
     return A
 
@@ -295,22 +526,59 @@ class AlgebraicMultigrid:
         omega: float = 4.0 / 3.0,
         strength_theta: float = 0.06,
         dtype=None,
+        fine_graph=None,
     ):
         import scipy.sparse as sp
 
         self.smooth_steps = int(smooth_steps)
         self.cheby_alpha = float(cheby_alpha)
         dtype = dtype or jnp.zeros((), dtype=float).dtype
-        A = sp.csr_matrix(A).astype(np.float64)
+        # The hierarchy math runs in the OPERATOR's dtype: when the caller
+        # hands the f32 device operator, the (memory-bound) Galerkin
+        # triple products and bell conversions run ~1.6x faster, and a
+        # preconditioner does not need f64 entries.  The rank-sensitive
+        # pieces (rigid-body QR, coarsest dense inverse) stay f64 below.
+        A = sp.csr_matrix(A)
+        if A.dtype not in (np.float32, np.float64):
+            A = A.astype(np.float64)
+        else:
+            # own the arrays: eliminate_zeros() below mutates indices/indptr
+            # in place, and sp.csr_matrix(csr) is a SHALLOW wrap -- without
+            # this copy it would corrupt the caller's matrix (and, through
+            # ELLPattern.to_scipy's zero-copy construction, the shared
+            # pattern itself)
+            A = A.copy()
+        # ELL->CSR conversions keep explicit zeros (padding + BC-eliminated
+        # entries); drop them so fully-fixed nodes are structurally isolated
+        # -- the pass-0 drop in _aggregate depends on that (zombie zero
+        # aggregates otherwise poison every coarse level)
+        A.eliminate_zeros()
+        host_dtype = A.dtype
         n_dof = A.shape[0]
         B = _rigid_body_modes(np.asarray(coords, dtype=np.float64))
         B[np.asarray(fixed, dtype=bool)] = 0.0
 
         self.levels: List[_AMGLevel] = []
         self._fine_nnz = float(A.nnz)
+        #: host-setup wall-clock breakdown (seconds per phase), for the
+        #: bench tail and setup-regression tracking
+        self.setup_seconds = {
+            "lmax": 0.0, "bell": 0.0, "aggregate": 0.0, "qr": 0.0,
+            "rap": 0.0, "coarse_inv": 0.0,
+        }
+        # the whole hierarchy build runs on BSR (block-sparse) matrices:
+        # the host is single-core, so the wins must come from doing LESS
+        # index work -- block-level Galerkin products chase dm^2 (36x for
+        # the 6x6 coarse levels) fewer indices than the scalar CSR ones
+        # (measured 2x on the products), the node graph is one einsum over
+        # the stored blocks, and the block-ELL device arrays are pads of
+        # the BSR data instead of sorted conversions
+        A = A.tobsr((dm, dm))
         li = 0
         while True:
+            _t = _time.time()
             lmax = _lambda_max_dinv(A)
+            self.setup_seconds["lmax"] += _time.time() - _t
             d = A.diagonal()
             inv_diag = np.where(d != 0.0, 1.0 / np.where(d != 0.0, d, 1.0), 0.0)
             blk = dm if li == 0 else B.shape[1]
@@ -320,10 +588,12 @@ class AlgebraicMultigrid:
                     inv_diag=jnp.asarray(inv_diag.astype(dtype)), lmax=lmax,
                 )
             else:
-                # block-ELL storage (csr_to_bell): the SpMV gathers
-                # (bs,)-vector rows, ~bs^2 x fewer gathered rows than the
-                # dof-scalar ELL (solvers/bell.py module docstring)
-                ev, ec = csr_to_bell(A, blk, blk)
+                # block-ELL storage: the SpMV gathers (bs,)-vector rows,
+                # ~bs^2 x fewer gathered rows than the dof-scalar ELL
+                # (solvers/bell.py module docstring)
+                _t = _time.time()
+                ev, ec = _bsr_to_bell(A)
+                self.setup_seconds["bell"] += _time.time() - _t
                 lv = _AMGLevel(
                     n_dof=A.shape[0], bs=blk,
                     values=jnp.asarray(ev.astype(dtype)),
@@ -346,7 +616,15 @@ class AlgebraicMultigrid:
             theta = strength_theta if li > 0 else 0.0
             agg = n_agg = None
             while True:
-                G = _node_graph(A, blk, theta=theta)
+                if li == 0 and fine_graph is not None:
+                    # caller-provided fine node graph (pattern-derived with
+                    # fully-fixed nodes isolated): the fine level applies
+                    # no strength filter (theta=0), so the value-based
+                    # graph reduces to the sparsity structure -- skipping
+                    # a full pass over the fine entries
+                    G = fine_graph
+                else:
+                    G = _node_graph_bsr(A, theta=theta)
                 agg, n_agg = _aggregate(G)
                 if (
                     n_agg * B.shape[1] <= A.shape[0] / 3.0
@@ -354,6 +632,7 @@ class AlgebraicMultigrid:
                 ):
                     break
                 theta = theta / 2.0 if theta > 0.004 else 0.0
+            self.setup_seconds["aggregate"] += _time.time() - t0
             if n_agg * B.shape[1] >= 0.6 * A.shape[0]:
                 break  # coarsening ratio too poor to pay for another level
             logger.debug(
@@ -361,21 +640,38 @@ class AlgebraicMultigrid:
                 li, A.shape[0], n_agg * B.shape[1], theta,
                 _time.time() - t0,
             )
-            P0, Bc = _tentative_prolongator(agg, n_agg, B, blk)
-            # one damped-Jacobi smoothing pass on the tentative basis
-            Dinv = sp.diags(inv_diag)
-            P = (P0 - (omega / lmax) * (Dinv @ (A @ P0))).tocsr()
-            P.sum_duplicates()
-            nb = B.shape[1]
-            pv, pc = csr_to_bell(P, blk, nb)
-            R = P.T.tocsr()
-            R.sum_duplicates()
-            rv, rc = csr_to_bell(R, nb, blk)
+            _t = _time.time()
+            # QR/rank guard in f64; the block data lands in the operator
+            # dtype (a mixed-dtype scipy product would upcast everything)
+            P0, Bc = _tentative_prolongator_bsr(agg, n_agg, B, blk, host_dtype)
+            self.setup_seconds["qr"] += _time.time() - _t
+            # one damped-Jacobi smoothing pass on the tentative basis:
+            # P = P0 - (omega/lmax) D^-1 (A @ P0), the diagonal scaling
+            # applied in place on the BSR block rows
+            _t = _time.time()
+            Z = A @ P0
+            zrows = np.repeat(
+                np.arange(Z.shape[0] // blk, dtype=np.int64),
+                np.diff(Z.indptr),
+            )
+            Z.data *= (
+                host_dtype.type(omega / lmax)
+                * inv_diag.astype(host_dtype).reshape(-1, blk)[zrows][:, :, None]
+            )
+            P = P0 - Z
+            self.setup_seconds["rap"] += _time.time() - _t
+            _t = _time.time()
+            pv, pc = _bsr_to_bell(P)
+            R = P.transpose().tobsr(blocksize=(B.shape[1], blk))
+            rv, rc = _bsr_to_bell(R)
+            self.setup_seconds["bell"] += _time.time() - _t
             lv.P_values = jnp.asarray(pv.astype(dtype))
             lv.P_colidx = jnp.asarray(pc)
             lv.R_values = jnp.asarray(rv.astype(dtype))
             lv.R_colidx = jnp.asarray(rc)
-            A = _regularize((R @ (A @ P)).tocsr())
+            _t = _time.time()
+            A = _regularize_bsr(R @ (A @ P))
+            self.setup_seconds["rap"] += _time.time() - _t
             B = Bc
             li += 1
 
@@ -396,10 +692,14 @@ class AlgebraicMultigrid:
             )
             self._coarse_inv = jnp.zeros((0, 0), dtype=dtype)
         else:
-            A_dense = A.toarray()
+            _t = _time.time()
+            # the inverse itself in f64 regardless of the hierarchy dtype
+            # (the coarsest operator is small; inversion squares kappa)
+            A_dense = A.toarray().astype(np.float64)
             self._coarse_inv = jnp.asarray(
                 np.linalg.inv(A_dense).astype(dtype)
             )
+            self.setup_seconds["coarse_inv"] += _time.time() - _t
         # a single-level hierarchy degenerates to "dense-solve the fine
         # operator": legal (coarse_max_dof guards the size)
         self._single = len(self.levels) == 1

@@ -86,28 +86,51 @@ def build_bell_plan(pattern, dm: int) -> BellPlan:
     ncol[rowid, posid] = (indices[take_idx] // dm).astype(np.int32)
     valid[rowid, posid] = True
 
-    # For CSR entry k in dof row rr: node pair (rr//dm, col//dm), in-block
-    # dims (rr%dm, col%dm).  Find each entry's neighbor slot by a sorted
-    # lookup of its (node, nbr-node) key, then scatter the dof-ELL slot id.
-    rr = np.repeat(np.arange(n_dof, dtype=np.int64), counts)
-    cc = indices.astype(np.int64)
-    n_r, i_r = rr // dm, (rr % dm).astype(np.int64)
-    n_c, j_c = cc // dm, (cc % dm).astype(np.int64)
-    entry_key = n_r * np.int64(n_nodes) + n_c
-    slot_key = rowid.astype(np.int64) * np.int64(n_nodes) + ncol[rowid, posid]
-    flat_slot = rowid * np.int64(width) + posid
-    ksort = np.argsort(slot_key, kind="stable")
-    pos = np.searchsorted(slot_key[ksort], entry_key)
-    nbr_slot = flat_slot[ksort][pos]
+    # Each dm x dm block coupling is present and the CSR columns of every
+    # dof row are sorted, so the entries of dof row r = n*dm+i come in
+    # groups of dm per neighbor: the (k, j) block entry of node row n IS
+    # CSR entry ``indptr[n*dm+i] + k*dm + j``.  That makes the gather map a
+    # pure broadcasted index expression -- no sort, no searchsorted
+    # (the previous sorted-key lookup measured 7.4 s at 273k dofs; this
+    # builds the same map in ~0.6 s).
     idx_dtype = (
         np.int32 if n_dof * pattern.width < np.iinfo(np.int32).max
         else np.int64
     )
-    gather = np.zeros((n_nodes * width, dm, dm), dtype=idx_dtype)
-    gather[nbr_slot, i_r, j_c] = pattern.csr_slots.astype(idx_dtype)
+    # CSR entry ids fit the same dtype as the slots (nnz <= n_dof*width):
+    # build the index tensor in it directly to halve the transient memory
+    starts_i = indptr[:-1].reshape(n_nodes, dm).astype(idx_dtype)
+    k = np.arange(width, dtype=idx_dtype) * dm
+    idx = (
+        starts_i[:, None, :, None]
+        + k[None, :, None, None]
+        + np.arange(dm, dtype=idx_dtype)[None, None, None, :]
+    )
+    np.multiply(idx, valid[:, :, None, None], out=idx)  # pads -> entry 0
+    gather = pattern.csr_slots[idx].astype(idx_dtype, copy=False)
+    gather *= valid[:, :, None, None]  # pads -> slot 0 (zeroed at apply)
     return BellPlan(
         n_nodes=n_nodes, dm=dm, width=width, ncol=ncol,
-        gather=gather.reshape(n_nodes, width, dm, dm), valid=valid,
+        gather=gather, valid=valid,
+    )
+
+
+def plan_node_graph(plan: BellPlan, fixed: np.ndarray):
+    """Node adjacency CSR from a BellPlan: no self loops; nodes with ALL dm
+    dofs Dirichlet-fixed are isolated both ways -- exactly the graph
+    amg._node_graph(K_bc, dm, theta=0) extracts from the BC-eliminated
+    operator, without touching the (much larger) dof-entry arrays."""
+    import scipy.sparse as sp
+
+    n_nodes, dm = plan.n_nodes, plan.dm
+    node_fixed = np.asarray(fixed, bool).reshape(n_nodes, dm).all(axis=1)
+    counts = plan.valid.sum(axis=1)
+    rows = np.repeat(np.arange(n_nodes, dtype=np.int64), counts)
+    cols = plan.ncol[plan.valid].astype(np.int64)
+    keep = (rows != cols) & ~node_fixed[rows] & ~node_fixed[cols]
+    return sp.csr_matrix(
+        (np.ones(int(keep.sum()), dtype=np.int8), (rows[keep], cols[keep])),
+        shape=(n_nodes, n_nodes),
     )
 
 
@@ -142,26 +165,37 @@ def csr_to_bell(
     """scipy CSR -> (bvalues (N, K, br, bc), ncol (N, K) int32), host.
 
     Groups entries by (row // br, col // bc); K is the max block-row
-    degree.  Works for rectangular operators (AMG P: br=dm, bc=6)."""
+    degree.  Works for rectangular operators (AMG P: br=dm, bc=6).
+
+    The block-key dedup runs through scipy's C COO->CSR conversion
+    (counting sort by row + per-row column sorts) instead of np.unique's
+    global argsort of int64 keys -- measured 3x faster on the 24M-entry
+    fine operators the AMG setup feeds through here."""
+    import scipy.sparse as sp
+
     A = A.tocoo()
     nbr_rows = -(-A.shape[0] // br)
-    brow = A.row // br
-    bcol = A.col // bc
-    key = brow.astype(np.int64) * np.int64(
-        n_block_cols or (-(-A.shape[1] // bc))
-    ) + bcol
-    uniq, inv = np.unique(key, return_inverse=True)
     ncols_of = n_block_cols or (-(-A.shape[1] // bc))
-    u_row = (uniq // ncols_of).astype(np.int64)
-    u_col = (uniq % ncols_of).astype(np.int32)
-    cnt = np.bincount(u_row, minlength=nbr_rows)
-    K = max(int(cnt.max()), 1)
-    start = np.zeros(nbr_rows + 1, dtype=np.int64)
-    np.cumsum(cnt, out=start[1:])
-    pos = np.arange(uniq.shape[0]) - start[u_row]
+    brow = (A.row // br).astype(np.int64)
+    bcol = (A.col // bc).astype(np.int64)
+    # dedup (brow, bcol) pairs; duplicates per block <= br*bc fits int8
+    Bpat = sp.csr_matrix(
+        (np.ones(brow.shape[0], dtype=np.int8), (brow, bcol)),
+        shape=(nbr_rows, ncols_of),
+    )
+    Bpat.sum_duplicates()
+    Bpat.sort_indices()
+    cnt = np.diff(Bpat.indptr)
+    K = max(int(cnt.max()), 1) if cnt.size else 1
+    u_row = np.repeat(np.arange(nbr_rows, dtype=np.int64), cnt)
+    pos = np.arange(Bpat.nnz, dtype=np.int64) - Bpat.indptr[u_row]
     ncol = np.zeros((nbr_rows, K), dtype=np.int32)
-    ncol[u_row, pos] = u_col
-    slot = (u_row * K + pos)[inv]
+    ncol[u_row, pos] = Bpat.indices.astype(np.int32)
+    # entry -> block slot: Bpat's CSR entries are globally sorted by
+    # brow*ncols+bcol, so one searchsorted resolves every entry
+    bkeys = u_row * np.int64(ncols_of) + Bpat.indices
+    loc = np.searchsorted(bkeys, brow * np.int64(ncols_of) + bcol)
+    slot = (u_row * K + pos)[loc]
     flat = (slot * br + A.row % br) * bc + A.col % bc
     bvalues = np.bincount(
         flat, weights=A.data, minlength=nbr_rows * K * br * bc

@@ -100,7 +100,7 @@ def build_dia_pattern(
     offidx = np.searchsorted(offsets, rel)
     ell2dia = np.zeros(n_dof * width, dtype=np.int64)
     ell2dia[ell.csr_slots] = rows * K + offidx
-    targets = ell2dia[ell.scatter_targets]
+    targets = ell2dia[ell.ensure_scatter_targets()]
     seg_dtype = np.int32 if n_dof * K < 2**31 else np.int64
     return DIAPattern(
         n_dof=n_dof,

@@ -296,9 +296,13 @@ class FEMSystem:
             # gathers/scatters, so these (large) maps exist only otherwise
             arrs["colidx"] = jnp.asarray(p.colidx)
             arrs["diag_slot"] = jnp.asarray(p.diag_slot)
-            arrs["scatter_targets"] = jnp.asarray(
-                self.dia.scatter_targets if self.dia else p.scatter_targets
-            )
+            if self.dia is not None:
+                arrs["scatter_targets"] = jnp.asarray(self.dia.scatter_targets)
+            else:
+                # compact node-block map; the dof expansion happens
+                # in-program (assembly.scatter_stiffness_blocks) -- dm^2 x
+                # less host export + H2D traffic than the dof-level map
+                arrs["block_targets"] = jnp.asarray(p.block_targets)
             arrs["force_targets"] = jnp.asarray(p.force_targets)
         # initial-configuration gradients are constant: precompute once
         dsdX0, vol0 = _gradients_jit(
@@ -518,8 +522,9 @@ class FEMSystem:
             return dia_scatter(
                 Ke, a["scatter_targets"], self.dia.n_dof, self.dia.n_offsets
             )
-        return assembly.scatter_stiffness(
-            Ke, a["scatter_targets"], self.pattern.n_dof, self.pattern.width
+        return assembly.scatter_stiffness_blocks(
+            Ke, a["block_targets"], self.pattern.n_dof, self.pattern.width,
+            self.pattern.node_width, self.mesh.dm,
         )
 
     def _dirichlet_linear(self, a, values, rhs, fixed, sval):
@@ -733,7 +738,7 @@ class FEMSystem:
             self._warn_cg_cap(iters, rmax, b)
             return x
         if cfg.preconditioner == "amg" and fixed is not None:
-            self._ensure_amg(fixed)
+            self._ensure_amg(fixed, values=values)
             x, iters, rmax = self._jit_amg_cg(
                 values, self._bell_arrs, b, self._amg_ops
             )
@@ -1012,16 +1017,21 @@ class FEMSystem:
 
         self._jit_mg_cg = jax.jit(_mg_cg)
 
-    def _ensure_amg(self, fixed):
+    def _ensure_amg(self, fixed, values=None):
         """Build (or rebuild on a changed fixed-dof mask) the smoothed-
         aggregation hierarchy (solvers/amg.py) and its jitted PCG.
 
-        The hierarchy is built from the f64 HOST twin of the operator
-        (assembly_host, initial configuration) and kept across increments
-        and Newton iterations; the PCG always iterates on the CALLER's
-        exact current device operator, so on the nonlinear path this acts
-        as a frozen-hierarchy preconditioner (still SPD, still convergent;
-        iteration counts rise gradually with tangent drift)."""
+        With ``values`` (the caller's ALREADY-BC-ELIMINATED device ELL
+        operator) the hierarchy is built from that exact operator pulled
+        back once -- one D2H copy + one csr gather, no f64 host-twin
+        assembly at all (the twin costs ~25 s at the 1M-element scale; a
+        preconditioner does not need f64 entries).  Without ``values`` it
+        falls back to the host twin (initial configuration).  Either way
+        the hierarchy is kept across increments and Newton iterations; the
+        PCG always iterates on the CALLER's exact current device operator,
+        so on the nonlinear path this acts as a frozen-hierarchy
+        preconditioner (still SPD, still convergent; iteration counts rise
+        gradually with tangent drift)."""
         if self.dia is not None:
             # defence in depth: __init__ forces the ELL layout under 'amg';
             # a DIA-layout values array here would corrupt both the CG
@@ -1035,25 +1045,30 @@ class FEMSystem:
         if self._amg is not None and self._amg_fixed_key == key:
             self._amg_fixed_obj = fixed
             return
-        from femcy_tpu import assembly_host
         from femcy_tpu.solvers.amg import AlgebraicMultigrid
-        from femcy_tpu.solvers.bell import bell_spmv, build_bell_plan
+        from femcy_tpu.solvers.bell import (
+            bell_spmv,
+            build_bell_plan,
+            plan_node_graph as _fine_node_graph,
+        )
 
-        if self._amg_raw_csr is None:
-            self._amg_raw_csr = assembly_host.assemble_csr_host(
-                self.mesh, self.pattern, np.asarray(self.material.C)
-            )
         fixed_np = np.asarray(fixed, dtype=bool)
-        zeros = np.zeros(self.mesh.n_dof)
-        K_bc, _ = assembly_host.dirichlet_csr_host(
-            self._amg_raw_csr, zeros, fixed_np, zeros
-        )
-        self._amg = AlgebraicMultigrid(
-            K_bc, self.mesh.dm, self.mesh.nodes, fixed_np
-        )
-        self._amg_fixed_key = key
-        self._amg_fixed_obj = fixed
-        self._amg_ops = self._amg.operands()
+        if values is not None:
+            # the exact operator being solved (BC-eliminated on device),
+            # kept in the device dtype: the hierarchy setup runs ~1.6x
+            # faster in f32 and a preconditioner needs no f64 entries
+            K_bc = self.pattern.to_scipy(np.asarray(values))
+        else:
+            from femcy_tpu import assembly_host
+
+            if self._amg_raw_csr is None:
+                self._amg_raw_csr = assembly_host.assemble_csr_host(
+                    self.mesh, self.pattern, np.asarray(self.material.C)
+                )
+            zeros = np.zeros(self.mesh.n_dof)
+            K_bc, _ = assembly_host.dirichlet_csr_host(
+                self._amg_raw_csr, zeros, fixed_np, zeros
+            )
         # fine-level block-ELL plan: the eliminated dof-ELL operator is
         # converted ONCE per solve (one permutation gather); every CG and
         # smoothing iteration then gathers (dm,)-vector rows -- measured
@@ -1065,6 +1080,17 @@ class FEMSystem:
                 "valid": jnp.asarray(self._bell_plan.valid),
                 "ncol": jnp.asarray(self._bell_plan.ncol),
             }
+        self._amg = AlgebraicMultigrid(
+            K_bc, self.mesh.dm, self.mesh.nodes, fixed_np,
+            # the bell plan already holds the node adjacency: hand the
+            # hierarchy its fine node graph (fully-fixed nodes isolated to
+            # match the BC-eliminated operator) so it skips a full pass
+            # over the fine COO entries
+            fine_graph=_fine_node_graph(self._bell_plan, fixed_np),
+        )
+        self._amg_fixed_key = key
+        self._amg_fixed_obj = fixed
+        self._amg_ops = self._amg.operands()
         amg = self._amg
         cfg = self.config
         plan = self._bell_plan

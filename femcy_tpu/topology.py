@@ -39,10 +39,6 @@ class ELLPattern:
     valid: np.ndarray
     #: (n_dof,) flat index (into n_dof*width) of each row's diagonal slot
     diag_slot: np.ndarray
-    #: (E*edof*edof,) flat ELL slot of each element-stiffness contribution,
-    #: in Ke layout order (direct scatter -- measured faster on TPU than
-    #: pre-sorting, which costs a full gather)
-    scatter_targets: np.ndarray
     #: (E*edof,) global dof of each force contribution, in element layout
     force_targets: np.ndarray
     #: (E, edof) global dof of each element dof (rows of the element matrix)
@@ -53,17 +49,59 @@ class ELLPattern:
     csr_indices: np.ndarray
     #: flat ELL slots, in CSR order, to gather CSR data from the values array
     csr_slots: np.ndarray
+    #: node-level ELL width (width == node_width * dm); 0 on custom
+    #: patterns that carry no block map (multiblock union patterns)
+    node_width: int = 0
+    #: (E*npe*npe,) flat NODE-ELL slot (node*node_width + pos) of each
+    #: node-pair contribution, element order -- the compact scatter map
+    #: (dm^2 x smaller than the dof one); the device assembly expands it
+    #: in-program (assembly.scatter_stiffness_blocks).  None on custom
+    #: patterns built with an eager ``scatter_targets``.
+    block_targets: "np.ndarray | None" = None
+    #: (E*edof*edof,) flat dof-ELL slot of each element-stiffness
+    #: contribution, Ke layout order; LAZY (None until requested) -- it is
+    #: 607 MB at the 1M-element scale and the mainline assembly uses
+    #: ``block_targets`` instead.  Use :meth:`ensure_scatter_targets`.
+    scatter_targets: "np.ndarray | None" = None
     #: contribution indices in (row, col)-sorted order (for the Pallas tiled
     #: segment-sum); None until requested on the numpy path
     sorted_perm: "np.ndarray | None" = None
     #: contributions per unique (row, col) entry, CSR order
     csr_counts: "np.ndarray | None" = None
 
+    def ensure_scatter_targets(self) -> np.ndarray:
+        """The dof-level scatter map, expanding ``block_targets`` on first
+        use (consumers: DIA conversion, sharded-path setup, host twins)."""
+        if self.scatter_targets is None:
+            if self.block_targets is None:
+                raise ValueError(
+                    "pattern has neither scatter_targets nor block_targets"
+                )
+            # infer dm and npe from the stored shapes
+            dm = self.width // self.node_width
+            n_pairs = self.block_targets.shape[0]
+            npe2 = n_pairs // self.element_dofs.shape[0]
+            npe = int(round(npe2 ** 0.5))
+            E = self.element_dofs.shape[0]
+            bt = self.block_targets.reshape(E, npe, npe).astype(np.int64)
+            n = bt // self.node_width
+            pos = bt % self.node_width
+            base = (n * dm) * self.width + pos * dm  # (E, npe, npe)
+            di = (np.arange(dm) * self.width).reshape(1, 1, dm, 1, 1)
+            dj = np.arange(dm).reshape(1, 1, 1, 1, dm)
+            full = base[:, :, None, :, None] + di + dj
+            dtype = np.int32 if self.n_dof * self.width < 2**31 else np.int64
+            object.__setattr__(
+                self, "scatter_targets",
+                np.ascontiguousarray(full.reshape(-1), dtype=dtype),
+            )
+        return self.scatter_targets
+
     def ensure_sorted_scatter(self):
         """(sorted_perm, csr_counts), computing them on the numpy path."""
         if self.sorted_perm is None:
             perm = np.argsort(
-                np.asarray(self.scatter_targets), kind="stable"
+                np.asarray(self.ensure_scatter_targets()), kind="stable"
             ).astype(np.int32)
             sorted_targets = np.asarray(self.scatter_targets)[perm]
             # counts per unique slot, CSR order (slots sorted = CSR order
@@ -81,12 +119,19 @@ class ELLPattern:
         return int(self.csr_indices.shape[0])
 
     def to_scipy(self, values: np.ndarray):
-        """ELL values (n_dof, width) -> scipy CSR."""
+        """ELL values (n_dof, width) -> scipy CSR.
+
+        ``copy=True`` matters: the (data, indices, indptr) constructor is
+        zero-copy, and scipy mutators (eliminate_zeros, sum_duplicates, ...)
+        on the returned matrix would otherwise rewrite the PATTERN's own
+        index arrays in place, corrupting every later conversion."""
         import scipy.sparse as sp
 
         data = np.asarray(values).reshape(-1)[self.csr_slots]
         return sp.csr_matrix(
-            (data, self.csr_indices, self.csr_indptr), shape=(self.n_dof, self.n_dof)
+            (data, self.csr_indices, self.csr_indptr),
+            shape=(self.n_dof, self.n_dof),
+            copy=True,
         )
 
     def validate(self) -> None:
@@ -138,6 +183,8 @@ def build_pattern(mesh: FEMesh) -> ELLPattern:
     if native is not None:
         (
             targets,
+            block_targets,
+            node_width,
             colidx,
             row_counts,
             diag_slot,
@@ -156,6 +203,8 @@ def build_pattern(mesh: FEMesh) -> ELLPattern:
             row_counts=row_counts,
             valid=colidx_valid_mask(colidx, row_counts),
             diag_slot=diag_slot,
+            node_width=node_width,
+            block_targets=block_targets,
             scatter_targets=targets,
             force_targets=element_dofs.reshape(-1).astype(np.int32),
             element_dofs=element_dofs.astype(np.int32),
@@ -199,6 +248,19 @@ def build_pattern(mesh: FEMesh) -> ELLPattern:
     # stiffness scatter map: contribution (in Ke layout order) -> flat slot
     targets = slot_of_uniq[inv]
     idx_dtype = np.int32 if targets.size and targets.max() < 2**31 else np.int64
+    # node-block map derived from the (di=0, dj=0) subsample: dof slot
+    # r*width + pos*dm + dj with r = n*dm + di -> node slot n*nwidth + pos
+    node_width = width // dm
+    t00 = targets.reshape(n_ele, edof, edof)[:, ::dm, ::dm]
+    block_targets = (
+        (t00 // np.int64(width) // dm) * node_width
+        + (t00 % np.int64(width)) // dm
+    ).reshape(-1)
+    blk_dtype = (
+        np.int32
+        if (n_dof // dm) * node_width < np.iinfo(np.int32).max
+        else np.int64
+    )
     return ELLPattern(
         n_dof=n_dof,
         width=width,
@@ -206,6 +268,8 @@ def build_pattern(mesh: FEMesh) -> ELLPattern:
         row_counts=row_counts.astype(np.int32),
         valid=valid,
         diag_slot=diag_slot,
+        node_width=node_width,
+        block_targets=block_targets.astype(blk_dtype),
         scatter_targets=targets.astype(idx_dtype),
         force_targets=element_dofs.reshape(-1).astype(np.int32),
         element_dofs=element_dofs.astype(np.int32),

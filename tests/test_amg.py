@@ -34,7 +34,7 @@ def _operator(mesh, material):
     )
     Ke = assembly.element_stiffness(dsdx, vol, C)
     values = assembly.scatter_stiffness(
-        Ke, jnp.asarray(pattern.scatter_targets), mesh.n_dof, pattern.width
+        Ke, jnp.asarray(pattern.ensure_scatter_targets()), mesh.n_dof, pattern.width
     )
     fixed = np.zeros(mesh.n_dof, dtype=bool)
     bot = np.nonzero(mesh.nodes[:, 2] < 1e-9)[0]

@@ -82,7 +82,7 @@ def test_ell_assembly_matches_dense_oracle(tri_mesh):
     )
     Ke = assembly.element_stiffness(dsdx, vol, jnp.asarray(material.C))
     values = assembly.scatter_stiffness(
-        Ke, jnp.asarray(pattern.scatter_targets), pattern.n_dof, pattern.width
+        Ke, jnp.asarray(pattern.ensure_scatter_targets()), pattern.n_dof, pattern.width
     )
     K_dense = pattern.to_dense(np.asarray(values))
     K_oracle = _dense_oracle(tri_mesh, material)

@@ -35,7 +35,7 @@ def problem():
     )
     Ke = assembly.element_stiffness(dsdx, vol, jnp.asarray(mat.C))
     v_ell = assembly.scatter_stiffness(
-        Ke, jnp.asarray(ell.scatter_targets), ell.n_dof, ell.width
+        Ke, jnp.asarray(ell.ensure_scatter_targets()), ell.n_dof, ell.width
     )
     v_dia = dia_scatter(
         Ke, jnp.asarray(dia.scatter_targets), dia.n_dof, dia.n_offsets

@@ -20,16 +20,23 @@ tests/test_device_loop.py):
   dt*cutback + rollback on failure, abort below min_inc, dt*growth capped
   at max_inc after fast convergence (ref: stiffnessMtrx.py:678-704);
 * Newton: relative-residual tolerance against the increment's first
-  unbalance, iteration cap, NaN abort, and the reference's relaxation
-  backtracking (halve du while the residual grows, <= newton_relax_max
-  times; ref: stiffnessMtrx.py:771-819);
+  unbalance (or the process-lifetime reference when
+  newton_residual_ref='global', the reference's quirk at
+  stiffnessMtrx.py:760-762), iteration cap, NaN abort, the reference's
+  BOOST line search (keep stepping du while the residual declines,
+  <= newton_boost_max times, backtrack+halve when it worsens; ref:
+  stiffnessMtrx.py:792-807) and relaxation backtracking (halve du while
+  the residual grows, <= newton_relax_max times; ref:
+  stiffnessMtrx.py:809-819) -- i.e. the full reference-parity default
+  SolverConfig (secant tangent + boost) is device-resident;
+* predictor: 'previous' or the linear-extrapolation predictor
+  (dof_old + alpha*(dof_old - dof_prev), config.predictor='extrapolate');
 * Dirichlet schedule: non-user values scale with load_ratio; ``user`` BCs
   evaluate the user callable at time1 INSIDE the traced program, so the
   callable must be traceable (jnp ops, no Python branching on time --
   user.make_rotation_dirichlet qualifies).
 
 Unsupported (the host loop remains the general path and raises here):
-boost line search, predictor extrapolation, global residual referencing,
 stabilization, dynamic rescue, sharding, mixed-precision refinement, host
 direct solves, and per-increment callbacks/checkpoints.
 """
@@ -58,12 +65,6 @@ def _unsupported(cfg, system, on_increment, on_newton) -> Optional[str]:
         return "device_loop does not support dynamic_rescue"
     if cfg.mixed_precision_refine:
         return "device_loop does not support mixed_precision_refine"
-    if cfg.newton_boost_max > 0:
-        return "device_loop does not implement the boost line search; set newton_boost_max=0 (the consistent tangent does not need it)"
-    if cfg.newton_residual_ref != "increment":
-        return "device_loop requires newton_residual_ref='increment'"
-    if cfg.predictor != "previous":
-        return "device_loop requires predictor='previous'"
     if on_increment is not None or on_newton is not None:
         return "device_loop cannot invoke per-increment/per-Newton host callbacks"
     return None
@@ -160,18 +161,27 @@ class DeviceLoopProgram:
             )
         return du
 
-    def _newton(self, a, dof0, rhs, fixed, sval):
+    def _newton(self, a, dof0, rhs, fixed, sval, ini_cache):
         """The Newton loop of one increment as a lax.while_loop.
 
-        Matches run_newton with boost disabled: evaluate -> solve ->
-        update -> relaxation backtracking (statically unrolled
-        newton_relax_max conds, each one residual-only probe) -> converge
-        on res/ini < rel_tol.  Returns (dof, solves, res, ini, converged).
+        Matches run_newton (system.py:83-182, ref: stiffnessMtrx.py:756-822):
+        evaluate -> solve -> update -> boost line search (keep stepping du
+        while the residual declines into (0.1*pre, pre), backtrack + halve
+        the step when it worsens) -> relaxation backtracking (halve du
+        while the residual grows) -> converge on res/ini < rel_tol.
+
+        ``ini_cache`` is the process-lifetime initial-residual carry (NaN
+        until set; the reference quirk at stiffnessMtrx.py:760-762).  With
+        newton_residual_ref='global' convergence is measured against it,
+        otherwise against this increment's first unbalance.
+
+        Returns (dof, solves, res, converged, ini_cache).
         """
         sy = self.system
         cfg = sy.config
         dof0, res0 = sy._residual_rms_impl(a, dof0, rhs, fixed, sval)
-        ini = res0
+        ini_cache = jnp.where(jnp.isnan(ini_cache), res0, ini_cache)
+        ini = ini_cache if cfg.newton_residual_ref == "global" else res0
         tiny = jnp.asarray(1.0e-30, res0.dtype)
 
         def cond(st):
@@ -192,19 +202,59 @@ class DeviceLoopProgram:
             dof1 = dof - du
             _, res1 = sy._residual_rms_impl(a, dof1, rhs, fixed, sval)
 
+            # boost line search (ref: stiffnessMtrx.py:792-807): while the
+            # residual declined into (0.1*pre, pre), keep stepping
+            # relaxation*du; when a step worsens it, undo and halve the
+            # relaxation.  The host's undo is dof += relaxation*du followed
+            # by a re-evaluation; keeping the pre-step (dof, residual) pair
+            # is the same state to fp round-off without the extra probe.
+            if cfg.newton_boost_max > 0:
+
+                def bcond(bst):
+                    d, relax, r, n = bst
+                    return (
+                        (0.1 * pre < r)
+                        & (r < pre)
+                        & (n < cfg.newton_boost_max)
+                    )
+
+                def bbody(bst):
+                    d, relax, r, n = bst
+                    d2 = d - relax * du
+                    _, r2 = sy._residual_rms_impl(a, d2, rhs, fixed, sval)
+                    worse = r2 > r
+                    d = jnp.where(worse, d, d2)
+                    r = jnp.where(worse, r, r2)
+                    relax = jnp.where(worse, 0.5 * relax, relax)
+                    return d, relax, r, n + jnp.int32(1)
+
+                dof1, _, res1, _ = jax.lax.while_loop(
+                    bcond,
+                    bbody,
+                    (
+                        dof1,
+                        jnp.asarray(1.0, res1.dtype),
+                        res1,
+                        jnp.int32(0),
+                    ),
+                )
+
             # relaxation backtracking (ref: stiffnessMtrx.py:809-819):
             # while the residual grew, undo half the step and retry
-            def relax(args):
-                d, u, _r = args
+            def rcond(rst):
+                d, u, r, n = rst
+                return (r > pre) & (n < cfg.newton_relax_max)
+
+            def rbody(rst):
+                d, u, r, n = rst
                 d = d + 0.5 * u
                 u = 0.5 * u
                 _, r = sy._residual_rms_impl(a, d, rhs, fixed, sval)
-                return d, u, r
+                return d, u, r, n + jnp.int32(1)
 
-            for _ in range(cfg.newton_relax_max):
-                dof1, du, res1 = jax.lax.cond(
-                    res1 > pre, relax, lambda args: args, (dof1, du, res1)
-                )
+            dof1, du, res1, _ = jax.lax.while_loop(
+                rcond, rbody, (dof1, du, res1, jnp.int32(0))
+            )
             fail = ~jnp.isfinite(res1)
             return dof1, res1, k + jnp.int32(1), fail
 
@@ -215,12 +265,13 @@ class DeviceLoopProgram:
             (res / (ini + tiny) < cfg.newton_rel_tol)
             | (ini < cfg.newton_abs_tol)
         )
-        return dof, k, res, converged
+        return dof, k, res, converged, ini_cache
 
     # ------------------------------------------------------------------ #
-    def _run_impl(self, a, dof, time0, dt):
+    def _run_impl(self, a, dof, time0, dt, ini_res):
         """The full analysis.  Status: 0 running, 1 success, 2 dt-underflow
-        failure, 3 record-capacity abort."""
+        failure, 3 record-capacity abort.  ``ini_res`` is the
+        process-lifetime initial-residual cache (NaN when unset)."""
         cfg = self.system.config
         fixed = self.fixed
         maxrec = self.max_records
@@ -233,6 +284,11 @@ class DeviceLoopProgram:
 
         state = dict(
             dof=dof, dof_old=dof,
+            # linear-extrapolation predictor carries (system.py:1179-1200):
+            # the previous converged solution and the dt that produced
+            # dof_old from it (0 until two increments have converged)
+            dof_prev=dof, dt_prev=jnp.asarray(0.0, ftype),
+            ini_res=jnp.asarray(ini_res, ftype),
             time0=jnp.asarray(time0, ftype), dt=jnp.asarray(dt, ftype),
             status=jnp.int32(0), nrec=jnp.int32(0),
             rec_time=rec_time, rec_dt=rec_dt, rec_iters=rec_iters,
@@ -247,8 +303,21 @@ class DeviceLoopProgram:
             load_ratio = time1 / self.max_time
             sval = self._build_sval(time1, load_ratio)
             rhs = load_ratio * self.rhs_base
-            dof_n, k, res, conv = self._newton(
-                a, st["dof"], rhs, fixed, sval
+            dof_start = st["dof"]
+            if cfg.predictor == "extrapolate":
+                # dof_old + alpha*(dof_old - dof_prev), gated until two
+                # converged increments exist (system.py:1193-1200)
+                alpha = (time1 - st["time0"]) / jnp.where(
+                    st["dt_prev"] > 0, st["dt_prev"], 1.0
+                )
+                dof_start = jnp.where(
+                    st["dt_prev"] > 0,
+                    st["dof_old"]
+                    + alpha * (st["dof_old"] - st["dof_prev"]),
+                    dof_start,
+                )
+            dof_n, k, res, conv, ini_res_n = self._newton(
+                a, dof_start, rhs, fixed, sval, st["ini_res"]
             )
             # run_newton reports #solves-1 on convergence; the dt-growth
             # heuristic compares that count (ref: stiffnessMtrx.py:702-704)
@@ -261,6 +330,10 @@ class DeviceLoopProgram:
             )
             dof_next = jnp.where(conv, dof_n, st["dof_old"])
             dof_old = jnp.where(conv, dof_n, st["dof_old"])
+            # predictor state advances only on converged increments
+            # (system.py:1363); cutbacks keep the previous pair
+            dof_prev = jnp.where(conv, st["dof_old"], st["dof_prev"])
+            dt_prev = jnp.where(conv, time1 - st["time0"], st["dt_prev"])
             time_next = jnp.where(conv, time1, st["time0"])
             done = conv & (time1 >= self.max_time)
             failed = (~conv) & (dt_next < self.min_inc)
@@ -276,7 +349,9 @@ class DeviceLoopProgram:
                 ),
             )
             return dict(
-                dof=dof_next, dof_old=dof_old, time0=time_next, dt=dt_next,
+                dof=dof_next, dof_old=dof_old,
+                dof_prev=dof_prev, dt_prev=dt_prev, ini_res=ini_res_n,
+                time0=time_next, dt=dt_next,
                 status=status, nrec=nrec,
                 rec_time=st["rec_time"].at[i].set(time1),
                 rec_dt=st["rec_dt"].at[i].set(dt_next),
@@ -298,12 +373,19 @@ class DeviceLoopProgram:
             sy.dt = self.ini_inc
             sy.time0 = sy.time1 = 0.0
             sy.dof = jnp.zeros(sy.mesh.n_dof)
-        out = self._jit(sy._arrs, sy.dof, sy.time0, sy.dt)
+        # the process-lifetime initial-residual cache is shared with the
+        # host machine (reference quirk, stiffnessMtrx.py:760-762) so a
+        # resumed/global-ref analysis measures against the same reference
+        ini0 = sy._ini_residual if sy._ini_residual is not None else float("nan")
+        out = self._jit(sy._arrs, sy.dof, sy.time0, sy.dt, ini0)
         status = int(out["status"])
         nrec = min(int(out["nrec"]), self.max_records)
         sy.dof = out["dof"]
         sy.time0 = sy.time1 = float(out["time0"])
         sy.dt = float(out["dt"])
+        ini_out = float(out["ini_res"])
+        if np.isfinite(ini_out):
+            sy._ini_residual = ini_out
         # refresh _last_vol (elastic_energy integrates over it) and the
         # Dirichlet state at the final time for post-hoc diagnostics
         lr = sy.time1 / self.max_time if self.max_time else 1.0

@@ -86,14 +86,72 @@ def test_cutback_parity(twist_c3d4):
     assert err < 1e-8
 
 
+def test_matches_host_loop_reference_defaults(twist_c3d4):
+    """The reference-parity default config -- secant tangent + boost line
+    search (stiffnessMtrx.py:792-807) -- runs device-resident and matches
+    the host machine increment-for-increment."""
+    inp, mesh, mat = twist_c3d4
+    inp.time_incs = dict(
+        inp.time_incs, max_time=0.25, max_inc=0.05, ini_inc=0.025
+    )
+    kw = dict(
+        tangent="secant", newton_boost_max=10,
+        linear_solver="cg", dense_operator_max_dof=8192,
+    )
+    sys_h = FEMSystem(mesh, mat, True, config=SolverConfig(**kw))
+    rep_h = sys_h.solve(inp)
+    sys_d = FEMSystem(
+        mesh, mat, True, config=SolverConfig(**kw, device_loop=True)
+    )
+    rep_d = sys_d.solve(inp)
+    assert rep_d.success and rep_h.success
+    assert rep_d.n_increments == rep_h.n_increments
+    for rh, rd in zip(rep_h.increments, rep_d.increments):
+        assert rd.converged == rh.converged
+        assert rd.newton_iters == rh.newton_iters
+        assert rd.time == pytest.approx(rh.time, abs=1e-12)
+        assert rd.dt == pytest.approx(rh.dt, abs=1e-12)
+    # identical schedule + iteration counts; the converged dofs differ by
+    # O(newton_rel_tol * last-step size) because the device boost keeps the
+    # exact pre-step state where the host round-trips (dof-x)+x in fp --
+    # both are valid iterates of the same 1%-tolerance Newton
+    scale = float(jnp.max(jnp.abs(sys_h.dof)))
+    err = float(jnp.max(jnp.abs(sys_h.dof - sys_d.dof))) / scale
+    assert err < 1e-5
+
+
+def test_matches_host_loop_extrapolate_globalref(twist_c3d4):
+    """predictor='extrapolate' + newton_residual_ref='global' (the
+    reference's process-lifetime ini_residual quirk,
+    stiffnessMtrx.py:760-762) run device-resident with host parity."""
+    inp, mesh, mat = twist_c3d4
+    inp.time_incs = dict(
+        inp.time_incs, max_time=0.25, max_inc=0.05, ini_inc=0.025
+    )
+    kw = dict(predictor="extrapolate", newton_residual_ref="global")
+    sys_h, rep_h = _run(inp, mesh, mat, **kw)
+    sys_d, rep_d = _run(inp, mesh, mat, device_loop=True, **kw)
+    assert rep_d.success and rep_h.success
+    assert rep_d.n_increments == rep_h.n_increments
+    for rh, rd in zip(rep_h.increments, rep_d.increments):
+        assert rd.converged == rh.converged
+        assert rd.newton_iters == rh.newton_iters
+        assert rd.time == pytest.approx(rh.time, abs=1e-12)
+    scale = float(jnp.max(jnp.abs(sys_h.dof)))
+    err = float(jnp.max(jnp.abs(sys_h.dof - sys_d.dof))) / scale
+    assert err < 1e-6
+    # the process-lifetime cache crossed back to the host side
+    assert sys_d._ini_residual == pytest.approx(
+        sys_h._ini_residual, rel=1e-9
+    )
+
+
 def test_unsupported_configs_raise(twist_c3d4):
     inp, mesh, mat = twist_c3d4
     for bad in (
-        dict(newton_boost_max=10),
-        dict(predictor="extrapolate"),
-        dict(newton_residual_ref="global"),
         dict(stabilize_factor=1e-4),
         dict(dynamic_rescue=True),
+        dict(mixed_precision_refine=True),
     ):
         kw = dict(BASE, device_loop=True)
         kw.update(bad)

@@ -513,6 +513,61 @@ def bench_unstructured():
         round(total, 4), "s", round(10.0 / total, 3),
     )
 
+    bench_graded_amg()
+
+
+def bench_graded_amg():
+    """GRADED-mesh AMG evidence in the bench tail (VERDICT r4 item 3):
+    SA-AMG's weak spot is graded/anisotropic meshes, and every other AMG
+    number here comes from a quasi-uniform jittered box.  Runs the AMG-PCG
+    path on a 12:1 geometrically graded tet box (meshgen.graded_box_tets)
+    at equal dofs against the uniform box and logs the iteration counts,
+    default hierarchy and with the fine-level strength filter
+    (config.amg_fine_theta=0.12).  Expected: graded-default within 2x of
+    uniform; graded-filtered at or below uniform (measured 38/19 -> 17/19
+    at 4k dofs on CPU; tests/test_amg.py pins this).  BENCH_GRADED_NX sets
+    the size (default 20 -> 48k elements)."""
+    from femcy_tpu import FEMSystem, SolverConfig
+    from femcy_tpu.meshgen import graded_box_tets, unstructured_box_tets
+
+    nx = int(os.environ.get("BENCH_GRADED_NX", "20"))
+
+    def pcg_iters(mesh, **cfg_kw):
+        system = FEMSystem(
+            mesh, LinearIsotropic(modulus=1000.0, poisson_ratio=0.3), False,
+            SolverConfig(
+                preconditioner="amg", linear_solver="cg", **cfg_kw
+            ),
+        )
+        fixed = np.zeros(mesh.n_dof, dtype=bool)
+        bottom = np.nonzero(mesh.nodes[:, 2] < 1e-9)[0]
+        top = np.nonzero(mesh.nodes[:, 2] > mesh.nodes[:, 2].max() - 1e-9)[0]
+        for d in range(3):
+            fixed[bottom * 3 + d] = True
+        rhs_np = np.zeros(mesh.n_dof)
+        rhs_np[top * 3] = 1.0
+        fixed_d = jnp.asarray(fixed)
+        values, b, _vol = system._jit_linear_system(
+            system._arrs, jnp.asarray(rhs_np), fixed_d,
+            jnp.zeros(mesh.n_dof),
+        )
+        x = system._solve_linear_system(values, b, fixed_d)
+        assert np.isfinite(np.asarray(x)).all()
+        return system._last_cg_iters
+
+    it_u = pcg_iters(unstructured_box_tets(nx))
+    gm = graded_box_tets(nx, ratio=12.0)
+    it_g = pcg_iters(gm)
+    it_gf = pcg_iters(gm, amg_fine_theta=0.12)
+    log(
+        f"graded-mesh AMG (nx={nx}, 12:1 gradation, equal dofs): "
+        f"uniform {it_u} iters, graded {it_g} iters "
+        f"({it_g / max(it_u, 1):.2f}x), graded+fine_theta=0.12 {it_gf} "
+        f"iters ({it_gf / max(it_u, 1):.2f}x)"
+    )
+    if it_g > 2 * it_u + 2:
+        log("WARNING: graded AMG iterations exceed 2x the uniform count")
+
 
 def selfcheck():
     """On-chip kernel regression check (runs on the REAL backend, small NX).

@@ -65,6 +65,14 @@ class SolverConfig:
     #: 16/19/24/26 PCG iterations where Jacobi needs hundreds).  Applies to
     #: the CG path -- the direct solver ignores it.
     preconditioner: str = "jacobi"
+    #: fine-level strength-of-connection threshold for the AMG hierarchy
+    #: (solvers/amg.py fine_strength_theta).  0 (default) aggregates on the
+    #: raw sparsity -- right for quasi-uniform meshes and cheapest to set
+    #: up.  On strongly GRADED meshes set ~0.12: the Frobenius filter stops
+    #: aggregation across large element-size jumps (measured at 12:1
+    #: gradation: 38 -> 17 PCG iterations, equal dofs;
+    #: tests/test_amg.py::test_amg_graded_mesh_iterations_bounded).
+    amg_fine_theta: float = 0.0
 
     # --- mixed-precision refinement ---------------------------------------
     #: TPU-native near-incompressible answer: keep the BULK work (every

@@ -238,6 +238,53 @@ def unstructured_box_tets(
     return FEMesh(nodes, iperm[m0.elements], m0.element)
 
 
+def graded_box_tets(
+    nx: int,
+    ratio: float = 12.0,
+    ny: int = 0,
+    nz: int = 0,
+    seed: int = 0,
+    jitter: float = 0.2,
+) -> FEMesh:
+    """A genuinely GRADED unstructured tet4 box: geometric element-size
+    gradation of ``ratio`` : 1 along every axis (smallest cells at the
+    origin corner, largest at the far corner), plus the
+    ``unstructured_box_tets`` randomization (shuffled node numbering +
+    interior jitter scaled by the LOCAL cell size).
+
+    This is the SA-AMG stress case the uniform jittered box cannot produce:
+    aggregation quality and the strength-of-connection filter
+    (solvers/amg.py) are exercised by strongly varying row scales, not by
+    uniform stencils.  Per axis with n cells the map
+    x -> (g**x - 1)/(g - 1) with g = ratio**(n/(n-1)) yields an exact
+    largest/smallest cell ratio of ``ratio``; the diagonal size gradation
+    across the domain is therefore ``ratio`` as well.  Jitter displaces
+    interior nodes by < jitter * (local spacing), preserving positive
+    volumes for jitter < 0.5 exactly as in the uniform generator.
+    """
+    ny = ny or nx
+    nz = nz or nx
+    m0 = box_tets(nx, ny, nz)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(m0.n_nodes)
+    iperm = np.empty_like(perm)
+    iperm[perm] = np.arange(m0.n_nodes)
+    nodes = m0.nodes[perm].copy()
+    interior = (nodes > 1e-9) & (nodes < 1.0 - 1e-9)
+    h_local = np.empty_like(nodes)
+    for ax, n in ((0, nx), (1, ny), (2, nz)):
+        g = float(ratio) ** (n / (n - 1.0)) if n > 1 else 1.0 + 1e-12
+        x = nodes[:, ax]
+        nodes[:, ax] = (g**x - 1.0) / (g - 1.0)
+        # local spacing of the mapped grid at this node: d(x')/dx / n,
+        # expressed in mapped coordinates (g**x = x'(g-1) + 1)
+        h_local[:, ax] = (
+            np.log(g) * (nodes[:, ax] * (g - 1.0) + 1.0) / ((g - 1.0) * n)
+        )
+    nodes += interior * (rng.uniform(-jitter, jitter, nodes.shape) * h_local)
+    return FEMesh(nodes, iperm[m0.elements], m0.element)
+
+
 def cantilever_tets(
     n_long: int, n_thick: int, length: float = 10.0, thickness: float = 1.0
 ) -> Tuple[FEMesh, np.ndarray, np.ndarray]:

@@ -525,6 +525,7 @@ class AlgebraicMultigrid:
         max_levels: int = 12,
         omega: float = 4.0 / 3.0,
         strength_theta: float = 0.06,
+        fine_strength_theta: float = 0.0,
         dtype=None,
         fine_graph=None,
     ):
@@ -613,10 +614,21 @@ class AlgebraicMultigrid:
             # an 11-minute setup), so halve theta until the ratio is >= 3x
             # (unfiltered as the last resort).
             t0 = _time.time()
-            theta = strength_theta if li > 0 else 0.0
+            # The fine level is unfiltered by default (theta=0: on a
+            # quasi-uniform mesh the value-based graph equals the sparsity
+            # structure, so the fine_graph shortcut skips a full pass over
+            # the fine entries).  On GRADED meshes that is the weak spot --
+            # aggregating across a 10:1 size jump doubles the PCG count
+            # (measured 38 vs 19 iterations at 12:1 gradation, equal dofs;
+            # tests/test_amg.py::test_amg_graded_mesh_iterations_bounded).
+            # fine_strength_theta > 0 applies the Frobenius strength filter
+            # to level 0 too, trading a slower coarsening ratio for
+            # gradation-robust aggregates (0.12 -> 17 iterations, BETTER
+            # than the uniform box).
+            theta = strength_theta if li > 0 else float(fine_strength_theta)
             agg = n_agg = None
             while True:
-                if li == 0 and fine_graph is not None:
+                if li == 0 and fine_graph is not None and theta == 0.0:
                     # caller-provided fine node graph (pattern-derived with
                     # fully-fixed nodes isolated): the fine level applies
                     # no strength filter (theta=0), so the value-based
@@ -626,10 +638,14 @@ class AlgebraicMultigrid:
                 else:
                     G = _node_graph_bsr(A, theta=theta)
                 agg, n_agg = _aggregate(G)
-                if (
-                    n_agg * B.shape[1] <= A.shape[0] / 3.0
-                    or theta == 0.0
-                ):
+                # an EXPLICIT fine filter accepts any non-degenerate
+                # coarsening (the caller chose gradation robustness over
+                # ratio); the adaptive halving otherwise keeps the ratio
+                # >= 3x to bound setup cost and operator complexity
+                accept = (
+                    0.6 if li == 0 and fine_strength_theta > 0.0 else 1 / 3.0
+                )
+                if n_agg * B.shape[1] <= accept * A.shape[0] or theta == 0.0:
                     break
                 theta = theta / 2.0 if theta > 0.004 else 0.0
             self.setup_seconds["aggregate"] += _time.time() - t0

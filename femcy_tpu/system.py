@@ -319,6 +319,10 @@ class FEMSystem:
         self.time1 = 0.0
         self.dt = 0.0
         self._ini_residual: Optional[float] = None
+        #: PCG iteration count of the most recent _solve_linear_system call
+        #: (0 until a CG path has run; direct solves leave it untouched) --
+        #: observability for benchmarks and preconditioner diagnostics
+        self._last_cg_iters: int = 0
         self.timer = Timer(verbose=config.verbose)
         # mixed-precision refinement state (config.mixed_precision_refine)
         self._host_bc = None
@@ -736,6 +740,7 @@ class FEMSystem:
                     "MG-CG: %d iters, ||r||_inf=%.3e", int(iters), float(rmax)
                 )
             self._warn_cg_cap(iters, rmax, b)
+            self._last_cg_iters = int(iters)
             return x
         if cfg.preconditioner == "amg" and fixed is not None:
             self._ensure_amg(fixed, values=values)
@@ -747,6 +752,7 @@ class FEMSystem:
                     "AMG-CG: %d iters, ||r||_inf=%.3e", int(iters), float(rmax)
                 )
             self._warn_cg_cap(iters, rmax, b)
+            self._last_cg_iters = int(iters)
             return x
         if self._use_dense_cg:
             x, iters, rmax = self._jit_dense_cg(
@@ -762,6 +768,7 @@ class FEMSystem:
         if cfg.verbose:
             logger.info("CG: %d iters, ||r||_inf=%.3e", int(iters), float(rmax))
         self._warn_cg_cap(iters, rmax, b)
+        self._last_cg_iters = int(iters)
         return x
 
     def _refine_linear_solve(self, rhs_np, fixed_np, sval_np, fixed_d, sval_d):
@@ -1085,8 +1092,10 @@ class FEMSystem:
             # the bell plan already holds the node adjacency: hand the
             # hierarchy its fine node graph (fully-fixed nodes isolated to
             # match the BC-eliminated operator) so it skips a full pass
-            # over the fine COO entries
+            # over the fine COO entries (unused when amg_fine_theta > 0:
+            # a value-based fine filter needs the real entries)
             fine_graph=_fine_node_graph(self._bell_plan, fixed_np),
+            fine_strength_theta=self.config.amg_fine_theta,
         )
         self._amg_fixed_key = key
         self._amg_fixed_obj = fixed

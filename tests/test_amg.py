@@ -145,6 +145,76 @@ def test_amg_iteration_count_mesh_independent():
     assert counts[12] <= counts[6] + 6, counts
 
 
+def test_amg_graded_mesh_iterations_bounded():
+    """SA-AMG on a genuinely GRADED mesh (12:1 geometric element-size
+    gradation per axis, meshgen.graded_box_tets) -- the weak spot a
+    jittered uniform box cannot exercise (aggregation across size jumps).
+    At equal dofs the default hierarchy must stay within 2x of the
+    uniform-box PCG count (measured 38 vs 19), and the explicit fine-level
+    strength filter (fine_strength_theta=0.12) must recover uniform-grade
+    counts or better (measured 17 vs 19)."""
+    import scipy.sparse.linalg as spla
+
+    from femcy_tpu.meshgen import graded_box_tets
+
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+
+    def iters(mesh, **kw):
+        pattern, values_bc, b, fixed = _operator(mesh, material)
+        amg = _build_amg(
+            mesh, pattern, values_bc, fixed, coarse_max_dof=400, **kw
+        )
+        colidx = jnp.asarray(pattern.colidx)
+        x, it, _ = amg.pcg_solve(
+            b, lambda v: ell_spmv(values_bc, colidx, v), eps=1.0e-8
+        )
+        A = pattern.to_scipy(np.asarray(values_bc, dtype=np.float64))
+        x_ref = spla.spsolve(A.tocsc(), np.asarray(b, dtype=np.float64))
+        err = np.abs(np.asarray(x) - x_ref).max() / np.abs(x_ref).max()
+        assert err < 1e-5, err
+        return int(it)
+
+    gm = graded_box_tets(10, ratio=12.0)
+    # the gradation is real: >= 10:1 smallest-to-largest cell size
+    x = gm.nodes[gm.elements]
+    v = np.abs(np.linalg.det(x[:, 1:4] - x[:, 0:1])) / 6.0
+    assert (v.max() / v.min()) ** (1.0 / 3.0) > 10.0
+
+    it_uniform = iters(_unstructured_box(10))
+    it_graded = iters(gm)
+    it_graded_filtered = iters(gm, fine_strength_theta=0.12)
+    assert it_graded <= 2 * it_uniform + 2, (it_graded, it_uniform)
+    assert it_graded_filtered <= it_uniform + 3, (
+        it_graded_filtered, it_uniform,
+    )
+
+
+def test_femsystem_amg_fine_theta_on_graded_mesh():
+    """SolverConfig(amg_fine_theta=0.12) reaches the hierarchy through the
+    FEMSystem path and matches the direct answer on a graded mesh."""
+    from femcy_tpu import FEMSystem, SolverConfig
+    from femcy_tpu.meshgen import graded_box_tets
+
+    # nx=10 -> 3993 dofs, above the default coarse_max_dof: a real hierarchy
+    mesh = graded_box_tets(10, ratio=12.0)
+    material = LinearIsotropic(modulus=1000.0, poisson_ratio=0.3)
+    pattern, values_bc, b, fixed = _operator(mesh, material)
+    sys_amg = FEMSystem(
+        mesh, material, False,
+        SolverConfig(
+            preconditioner="amg", linear_solver="cg", cg_eps=1e-8,
+            amg_fine_theta=0.12,
+        ),
+    )
+    x = sys_amg._solve_linear_system(values_bc, b, jnp.asarray(fixed))
+    assert sys_amg._amg.n_levels >= 2
+    A = pattern.to_scipy(np.asarray(values_bc, dtype=np.float64))
+    import scipy.sparse.linalg as spla
+
+    x_ref = spla.spsolve(A.tocsc(), np.asarray(b, dtype=np.float64))
+    assert np.abs(np.asarray(x) - x_ref).max() / np.abs(x_ref).max() < 1e-5
+
+
 def test_femsystem_amg_preconditioner_linear_solve():
     """SolverConfig(preconditioner='amg', linear_solver='cg') end-to-end on
     an unstructured mesh matches the host direct answer."""

@@ -569,6 +569,36 @@ def bench_graded_amg():
         log("WARNING: graded AMG iterations exceed 2x the uniform count")
 
 
+def tpu_test_tier():
+    """Run the on-chip pytest tier (tests marked ``tpu``,
+    tests/test_tpu_kernels.py) on the real backend before any metric is
+    emitted (VERDICT r4 item 8): Pallas assembly/SpMV, block-ELL, DIA/ELL
+    PCG, AMG and the autodiff tangent kernels at real sizes, previously
+    covered on-chip only by the nx=8 selfcheck.  Measured 4:47 cold /
+    fast once the persistent compile cache is warm.  A failure aborts the
+    benchmark -- wrong kernels must not ship timing numbers.
+    BENCH_TPU_TESTS=0 skips."""
+    import subprocess
+
+    if jax.default_backend() != "tpu":
+        log("tpu test tier: backend is not TPU; skipped")
+        return
+    t0 = time.time()
+    env = dict(
+        os.environ, FEMCY_TPU_TEST_BACKEND="tpu", FEMCY_TPU_X64="0"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-m", "tpu", "-q", "tests/"],
+        env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+        capture_output=True, text=True,
+    )
+    tail = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+    log(f"tpu test tier: {tail} ({time.time() - t0:.0f}s)")
+    if proc.returncode != 0:
+        print(proc.stdout[-4000:], file=sys.stderr)
+        raise SystemExit("tpu test tier FAILED; not emitting metrics")
+
+
 def selfcheck():
     """On-chip kernel regression check (runs on the REAL backend, small NX).
 
@@ -655,6 +685,8 @@ def main():
     log(f"devices: {jax.devices()}")
     if os.environ.get("BENCH_SELFCHECK", "1") == "1":
         selfcheck()
+    if os.environ.get("BENCH_TPU_TESTS", "1") == "1":
+        tpu_test_tier()
     if os.environ.get("BENCH_TWIST", "1") == "1":
         bench_twist()
     if os.environ.get("BENCH_UNSTRUCT", "1") == "1":

@@ -19,7 +19,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# The TPU tier (bench.py runs `pytest -m tpu` on the real chip with
+# FEMCY_TPU_TEST_BACKEND=tpu) keeps the container's axon backend; every
+# other invocation runs on the virtual-device CPU mesh.
+if os.environ.get("FEMCY_TPU_TEST_BACKEND") != "tpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib  # noqa: E402
 

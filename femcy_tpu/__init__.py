@@ -90,12 +90,22 @@ from femcy_tpu.beam import (  # noqa: E402
     read_beam_inp,
     solve_beam,
 )
+from femcy_tpu.mixed import (  # noqa: E402
+    MixedModel,
+    MixedSystem,
+    read_mixed_inp,
+    solve_mixed,
+)
 
 __all__ = [
     "BeamModel",
     "BeamSection",
     "read_beam_inp",
     "solve_beam",
+    "MixedModel",
+    "MixedSystem",
+    "read_mixed_inp",
+    "solve_mixed",
     "SolverConfig",
     "FEMesh",
     "FEMSystem",

@@ -111,17 +111,21 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _has_b31_elements(text: str) -> bool:
-    """True when the file has an ``*Element`` block of type B31 (the same
+def _element_types(text: str) -> set:
+    """Element type strings of every ``*Element`` block header (the same
     tokenization the beam reader uses, beam.py)."""
+    types = set()
     for line in text.splitlines():
         s = line.strip()
         if s[:2] == "**" or not s.startswith("*"):
             continue
         low = s.lower().replace(" ", "")
-        if low.split(",")[0] == "*element" and "type=b31" in low:
-            return True
-    return False
+        if low.split(",")[0] != "*element":
+            continue
+        for tok in low.split(","):
+            if tok.startswith("type="):
+                types.add(tok[5:].upper())
+    return types
 
 
 def main(argv=None) -> int:
@@ -146,7 +150,13 @@ def main(argv=None) -> int:
     # 'b31' in a set/material name or comment.
     with open(args.inp, "r") as fh:
         _head = fh.read()
-    if _has_b31_elements(_head):
+    _types = _element_types(_head)
+    if "B31" in _types and len(_types) > 1:
+        # beams AND continuum blocks in one model: the 6-dof/node mixed
+        # system (femcy_tpu/mixed.py) -- neither pure subsystem can
+        # represent a frame-stiffened solid
+        return _main_mixed(args, t0)
+    if _types == {"B31"}:
         return _main_beam(args, t0)
     # models mixing element types or materials (which the reference's reader
     # rejects, inp_info.py:125-128) route to the multi-block system
@@ -458,6 +468,38 @@ def _main_beam(args, t0: float) -> int:
     print(f"max axial force N = {np.abs(fe[:, [0, 6]]).max():.6e}")
     print(f"max bending moment = {np.abs(fe[:, [4, 5, 10, 11]]).max():.6e}")
     print(f"max torque = {np.abs(fe[:, [3, 9]]).max():.6e}")
+    print(f"solve time: {dt:.2f}s")
+    return 0
+
+
+def _main_mixed(args, t0: float) -> int:
+    """CLI route for mixed beam+solid models (femcy_tpu/mixed.py): one
+    6-dof/node system over B31 and continuum blocks."""
+    from femcy_tpu.mixed import read_mixed_inp, solve_mixed
+
+    model = read_mixed_inp(args.inp)
+    n_beam = sum(b.elements.shape[0] for b in model.beam_blocks)
+    n_solid = sum(b.elements.shape[0] for b in model.solid_blocks)
+    print(
+        f"mixed model: {n_solid} continuum elements in "
+        f"{len(model.solid_blocks)} block(s) + {n_beam} B31 elements, "
+        f"{model.nodes.shape[0]} nodes (6 dofs/node)"
+    )
+    res = solve_mixed(model)
+    dt = time.time() - t0
+    defl = np.linalg.norm(res.u[:, :3], axis=1)
+    print(f"max deflection |u| = {defl.max():.6e} (node {defl.argmax()})")
+    if res.solid_mises:
+        mx = max(float(m.max()) for m in res.solid_mises)
+        print(f"max solid Mises = {mx:.6e}")
+    if res.beam_end_forces:
+        fe = np.concatenate(res.beam_end_forces)
+        print(f"max beam axial force N = {np.abs(fe[:, [0, 6]]).max():.6e}")
+        print(
+            f"max beam bending moment = "
+            f"{np.abs(fe[:, [4, 5, 10, 11]]).max():.6e}"
+        )
+    print(f"auto-constrained rotation dofs: {res.n_auto_fixed}")
     print(f"solve time: {dt:.2f}s")
     return 0
 

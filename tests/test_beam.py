@@ -212,7 +212,7 @@ def test_cli_b31_detection_matches_element_headers_only(tmp_path):
     """Regression (ADVICE r4, low): B31 routing must key on *Element header
     lines, not a whole-file substring -- a continuum model mentioning 'b31'
     in a set name must NOT be routed to the beam solver."""
-    from femcy_tpu.cli import _has_b31_elements
+    from femcy_tpu.cli import _element_types
 
     continuum = """*Node
 1, 0., 0.
@@ -224,10 +224,10 @@ def test_cli_b31_detection_matches_element_headers_only(tmp_path):
 *Elastic
 200.e9, 0.3
 """
-    assert not _has_b31_elements(continuum)
+    assert _element_types(continuum) == {"CPS3"}
     beam = """*Node
 1, 0., 0., 0.
 *ELEMENT, TYPE = B31, ELSET=frame
 1, 1, 2
 """
-    assert _has_b31_elements(beam)
+    assert _element_types(beam) == {"B31"}

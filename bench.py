@@ -531,6 +531,9 @@ def bench_graded_amg():
     from femcy_tpu.meshgen import graded_box_tets, unstructured_box_tets
 
     nx = int(os.environ.get("BENCH_GRADED_NX", "20"))
+    if nx < 2:
+        log("graded-mesh AMG: skipped (BENCH_GRADED_NX < 2)")
+        return
 
     def pcg_iters(mesh, **cfg_kw):
         system = FEMSystem(

@@ -12,6 +12,7 @@ All functions are pure and shape-static; the system jits them.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from femcy_tpu.linalg import det_small, inv_small
@@ -142,13 +143,25 @@ def expand_block_targets(block_targets, node_width, dm, width, npe):
     to (n*dm+di)*width + pos*dm + dj where block_targets[e,a,b] =
     n*node_width + pos.
     """
-    bt = block_targets.reshape(-1, npe, npe).astype(jnp.int32)
+    bt = block_targets.reshape(-1, npe * npe).astype(jnp.int32)
     n = bt // node_width
     pos = bt % node_width
-    base = (n * dm) * width + pos * dm  # (E, npe, npe)
-    di = (jnp.arange(dm, dtype=jnp.int32) * width).reshape(1, 1, dm, 1, 1)
-    dj = jnp.arange(dm, dtype=jnp.int32).reshape(1, 1, 1, 1, dm)
-    return (base[:, :, None, :, None] + di + dj).reshape(-1)
+    base = (n * dm) * width + pos * dm  # (E, npe*npe)
+    # Static flat-index tables instead of a broadcast to (E,npe,dm,npe,dm):
+    # the 5-D intermediate's tiny minor dims get TPU tile padding (the last
+    # dim 3 pads to 128), inflating 607 MB of s32 to 25.9 GB at 1M elements
+    # -- an HBM OOM on a 16 GB chip.  Ke's flat order is
+    # k = (a*dm+di)*edof + (b*dm+dj); for each k the base entry is
+    # (a, b) and the in-block offset di*width + dj.
+    edof = npe * dm
+    k = np.arange(edof * edof)
+    a = k // (dm * edof)
+    di = (k // edof) % dm
+    b = (k % edof) // dm
+    dj = k % dm
+    ab_of_k = jnp.asarray((a * npe + b).astype(np.int32))
+    delta_of_k = jnp.asarray((di * width + dj).astype(np.int32))
+    return (base[:, ab_of_k] + delta_of_k[None, :]).reshape(-1)
 
 
 def scatter_stiffness_blocks(Ke, block_targets, n_dof, width, node_width, dm):

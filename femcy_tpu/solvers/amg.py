@@ -243,158 +243,6 @@ def _rigid_body_modes(coords: np.ndarray) -> np.ndarray:
     raise ValueError(f"unsupported spatial dimension {dm}")
 
 
-def _node_graph_bsr(A, theta: float = 0.0):
-    """BSR (blk, blk) operator -> node adjacency CSR (no self loops).
-
-    Same semantics as :func:`_node_graph` but reads the block structure
-    directly: the block Frobenius weights are one einsum over the stored
-    blocks instead of a COO pass over every scalar entry -- the single-core
-    host this runs on cannot parallelize its way out of that pass.
-    Zero-weight blocks (tobsr padding / eliminated couplings) are dropped,
-    matching eliminate_zeros + _node_graph on the scalar operator."""
-    import scipy.sparse as sp
-
-    bs = A.blocksize[0]
-    N = A.shape[0] // bs
-    w = np.einsum(
-        "kij,kij->k", A.data, A.data, dtype=np.float64, casting="same_kind"
-    )
-    rows = np.repeat(
-        np.arange(N, dtype=np.int64), np.diff(A.indptr)
-    )
-    cols = A.indices.astype(np.int64)
-    off = rows != cols
-    if theta > 0.0:
-        fro = np.sqrt(w)
-        dfro = np.zeros(N)
-        dmask = ~off
-        dfro[rows[dmask]] = fro[dmask]
-        dfro = np.where(dfro > 0.0, dfro, 1.0)
-        keep = off & (fro > theta * np.sqrt(dfro[rows] * dfro[cols]))
-    else:
-        keep = off & (w > 0.0)
-    return sp.csr_matrix(
-        (np.ones(int(keep.sum()), dtype=np.int8), (rows[keep], cols[keep])),
-        shape=(N, N),
-    )
-
-
-def _tentative_prolongator_bsr(agg, n_agg, B, dm: int, host_dtype):
-    """Aggregates + near-nullspace -> (P0 as BSR (dm, nb), coarse B_c).
-
-    Identical math to :func:`_tentative_prolongator` (zero-padded batched
-    QR per aggregate, rank guard on the R diagonal) but the prolongator is
-    assembled directly in BSR block form -- every node row holds exactly
-    one (dm, nb) block, its aggregate's Q rows -- skipping the scalar COO
-    construction and its sort entirely."""
-    import scipy.sparse as sp
-
-    n_dof, nb = B.shape
-    n_nodes = n_dof // dm
-    kept = np.nonzero(agg >= 0)[0]
-    order = kept[np.argsort(agg[kept], kind="stable")]
-    counts = np.bincount(agg[kept], minlength=n_agg)
-    max_sz = int(counts.max())
-    pad = np.full((n_agg, max_sz), -1, dtype=np.int64)
-    pos = np.arange(kept.shape[0]) - np.repeat(
-        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
-    )
-    pad[agg[order], pos] = order
-    rowsel = (pad[:, :, None] * dm + np.arange(dm)).reshape(n_agg, max_sz * dm)
-    valid = rowsel >= 0
-    Bblk = np.where(valid[:, :, None], B[np.maximum(rowsel, 0)], 0.0)
-    Q, R = np.linalg.qr(Bblk)  # f64: the rank guard needs exact zeros
-    scale = np.abs(R[:, np.arange(nb), np.arange(nb)])
-    keep = scale > 1e-10 * max(scale.max(), 1e-300)
-    Q = Q * keep[:, None, :]
-    Bc = R * keep[:, :, None]
-
-    has = agg >= 0
-    indptr = np.zeros(n_nodes + 1, dtype=np.int64)
-    np.cumsum(has, out=indptr[1:])
-    node_ids = np.nonzero(has)[0]
-    indices = agg[node_ids].astype(np.int32)
-    pos_of = np.empty(n_nodes, dtype=np.int64)
-    pos_of[order] = pos
-    p = pos_of[node_ids]
-    ridx = p[:, None] * dm + np.arange(dm)  # (len, dm) rows within Q[agg]
-    data = Q[
-        agg[node_ids][:, None, None],
-        ridx[:, :, None],
-        np.arange(nb)[None, None, :],
-    ].astype(host_dtype)
-    P0 = sp.bsr_matrix(
-        (data, indices, indptr),
-        shape=(n_dof, n_agg * nb),
-        blocksize=(dm, nb),
-    )
-    return P0, Bc.reshape(n_agg * nb, nb)
-
-
-def _bsr_to_bell(A) -> Tuple[np.ndarray, np.ndarray]:
-    """BSR -> (bvalues (N, K, br, bc), ncol (N, K) int32): a pad, not a
-    sort -- the BSR block rows ARE the block-ELL rows."""
-    br, bc = A.blocksize
-    N = A.shape[0] // br
-    cnt = np.diff(A.indptr)
-    K = max(int(cnt.max()), 1) if cnt.size else 1
-    rows = np.repeat(np.arange(N, dtype=np.int64), cnt)
-    pos = np.arange(A.indices.shape[0], dtype=np.int64) - A.indptr[:-1][rows]
-    ncol = np.zeros((N, K), dtype=np.int32)
-    ncol[rows, pos] = A.indices.astype(np.int32)
-    bval = np.zeros((N, K, br, bc), dtype=A.data.dtype)
-    bval[rows, pos] = A.data
-    return bval, ncol
-
-
-def _regularize_bsr(A):
-    """Unit diagonal on zero-diagonal dofs (rank-deficient aggregates), in
-    place on the BSR data; the BSR twin of :func:`_regularize`."""
-    d = A.diagonal()
-    zero = np.nonzero(d == 0.0)[0]
-    if zero.size == 0:
-        return A
-    bs = A.blocksize[0]
-    N = A.shape[0] // bs
-    rows = np.repeat(np.arange(N, dtype=np.int64), np.diff(A.indptr))
-    dmask = rows == A.indices
-    diag_k = np.full(N, -1, dtype=np.int64)
-    diag_k[rows[dmask]] = np.nonzero(dmask)[0]
-    zrow, zi = zero // bs, zero % bs
-    k = diag_k[zrow]
-    if (k < 0).any():
-        # a zero-diag block row with no structural diagonal block: rare
-        # enough to pay the scalar path
-        return _regularize(A.tocsr()).tobsr(A.blocksize)
-    A.data[k, zi, zi] = 1.0
-    return A
-
-
-def _rigid_body_modes(coords: np.ndarray) -> np.ndarray:
-    """(n_nodes, dm) coords -> (n_dof, nb) rigid-body modes.
-
-    3D: 3 translations + 3 rotations (nb=6); 2D: 2 translations + the
-    in-plane rotation (nb=3).  Coordinates are centered so the rotation
-    columns stay well scaled.
-    """
-    c = coords - coords.mean(axis=0, keepdims=True)
-    n, dm = c.shape
-    if dm == 3:
-        B = np.zeros((n, 3, 6))
-        B[:, 0, 0] = B[:, 1, 1] = B[:, 2, 2] = 1.0
-        x, y, z = c[:, 0], c[:, 1], c[:, 2]
-        B[:, 0, 3], B[:, 1, 3] = -y, x  # rotation about z
-        B[:, 1, 4], B[:, 2, 4] = -z, y  # rotation about x
-        B[:, 2, 5], B[:, 0, 5] = -x, z  # rotation about y
-        return B.reshape(n * 3, 6)
-    if dm == 2:
-        B = np.zeros((n, 2, 3))
-        B[:, 0, 0] = B[:, 1, 1] = 1.0
-        B[:, 0, 2], B[:, 1, 2] = -c[:, 1], c[:, 0]
-        return B.reshape(n * 2, 3)
-    raise ValueError(f"unsupported spatial dimension {dm}")
-
-
 def _tentative_prolongator(agg, n_agg, B, dm: int):
     """Aggregates + near-nullspace -> (P0 CSR, coarse candidate B_c).
 
@@ -539,6 +387,7 @@ class AlgebraicMultigrid:
         # triple products and bell conversions run ~1.6x faster, and a
         # preconditioner does not need f64 entries.  The rank-sensitive
         # pieces (rigid-body QR, coarsest dense inverse) stay f64 below.
+        _t_prep = _time.time()
         A = sp.csr_matrix(A)
         if A.dtype not in (np.float32, np.float64):
             A = A.astype(np.float64)
@@ -563,9 +412,12 @@ class AlgebraicMultigrid:
         self._fine_nnz = float(A.nnz)
         #: host-setup wall-clock breakdown (seconds per phase), for the
         #: bench tail and setup-regression tracking
+        _t_total = _t_prep
         self.setup_seconds = {
+            "prep": _time.time() - _t_prep,
             "lmax": 0.0, "bell": 0.0, "aggregate": 0.0, "qr": 0.0,
-            "rap": 0.0, "coarse_inv": 0.0,
+            "rap": 0.0, "coarse_inv": 0.0, "tobsr": 0.0, "upload": 0.0,
+            "other": 0.0, "total": 0.0,
         }
         # the whole hierarchy build runs on BSR (block-sparse) matrices:
         # the host is single-core, so the wins must come from doing LESS
@@ -574,7 +426,9 @@ class AlgebraicMultigrid:
         # (measured 2x on the products), the node graph is one einsum over
         # the stored blocks, and the block-ELL device arrays are pads of
         # the BSR data instead of sorted conversions
+        _t = _time.time()
         A = A.tobsr((dm, dm))
+        self.setup_seconds["tobsr"] += _time.time() - _t
         li = 0
         while True:
             _t = _time.time()
@@ -583,10 +437,15 @@ class AlgebraicMultigrid:
             d = A.diagonal()
             inv_diag = np.where(d != 0.0, 1.0 / np.where(d != 0.0, d, 1.0), 0.0)
             blk = dm if li == 0 else B.shape[1]
+            # all device arrays are STAGED as numpy here and shipped in ONE
+            # batched jax.device_put at the end of __init__: on a remote
+            # TPU service every individual upload pays a round trip, and
+            # ~20 per-array jnp.asarray calls turned a ~25 s hierarchy
+            # build into minutes when the service queue was busy
             if li == 0:
                 lv = _AMGLevel(
                     n_dof=A.shape[0], bs=blk, values=None, colidx=None,
-                    inv_diag=jnp.asarray(inv_diag.astype(dtype)), lmax=lmax,
+                    inv_diag=inv_diag.astype(dtype), lmax=lmax,
                 )
             else:
                 # block-ELL storage: the SpMV gathers (bs,)-vector rows,
@@ -597,9 +456,9 @@ class AlgebraicMultigrid:
                 self.setup_seconds["bell"] += _time.time() - _t
                 lv = _AMGLevel(
                     n_dof=A.shape[0], bs=blk,
-                    values=jnp.asarray(ev.astype(dtype)),
-                    colidx=jnp.asarray(ec),
-                    inv_diag=jnp.asarray(inv_diag.astype(dtype)), lmax=lmax,
+                    values=ev.astype(dtype),
+                    colidx=ec,
+                    inv_diag=inv_diag.astype(dtype), lmax=lmax,
                 )
             self.levels.append(lv)
             if A.shape[0] <= coarse_max_dof or li + 1 >= max_levels:
@@ -681,10 +540,10 @@ class AlgebraicMultigrid:
             R = P.transpose().tobsr(blocksize=(B.shape[1], blk))
             rv, rc = _bsr_to_bell(R)
             self.setup_seconds["bell"] += _time.time() - _t
-            lv.P_values = jnp.asarray(pv.astype(dtype))
-            lv.P_colidx = jnp.asarray(pc)
-            lv.R_values = jnp.asarray(rv.astype(dtype))
-            lv.R_colidx = jnp.asarray(rc)
+            lv.P_values = pv.astype(dtype)
+            lv.P_colidx = pc
+            lv.R_values = rv.astype(dtype)
+            lv.R_colidx = rc
             _t = _time.time()
             A = _regularize_bsr(R @ (A @ P))
             self.setup_seconds["rap"] += _time.time() - _t
@@ -706,19 +565,40 @@ class AlgebraicMultigrid:
                 "iteration counts",
                 A.shape[0], coarse_max_dof,
             )
-            self._coarse_inv = jnp.zeros((0, 0), dtype=dtype)
+            self._coarse_inv = np.zeros((0, 0), dtype=dtype)
         else:
             _t = _time.time()
             # the inverse itself in f64 regardless of the hierarchy dtype
             # (the coarsest operator is small; inversion squares kappa)
             A_dense = A.toarray().astype(np.float64)
-            self._coarse_inv = jnp.asarray(
-                np.linalg.inv(A_dense).astype(dtype)
-            )
+            self._coarse_inv = np.linalg.inv(A_dense).astype(dtype)
             self.setup_seconds["coarse_inv"] += _time.time() - _t
         # a single-level hierarchy degenerates to "dense-solve the fine
         # operator": legal (coarse_max_dof guards the size)
         self._single = len(self.levels) == 1
+
+        # ---- ship every staged array in ONE batched transfer ------------
+        _t = _time.time()
+        slots, leaves = [(self, "_coarse_inv")], [self._coarse_inv]
+        for lv in self.levels:
+            for attr in (
+                "values", "colidx", "inv_diag",
+                "P_values", "P_colidx", "R_values", "R_colidx",
+            ):
+                a = getattr(lv, attr)
+                if isinstance(a, np.ndarray):
+                    slots.append((lv, attr))
+                    leaves.append(a)
+        dev = jax.device_put(leaves)
+        jax.block_until_ready(dev)
+        for (obj, attr), d in zip(slots, dev):
+            setattr(obj, attr, d)
+        self.setup_seconds["upload"] = _time.time() - _t
+        self.setup_seconds["total"] = _time.time() - _t_total
+        self.setup_seconds["other"] = self.setup_seconds["total"] - sum(
+            v for k, v in self.setup_seconds.items()
+            if k not in ("total", "other")
+        )
 
     # ------------------------------------------------------------------ #
     @property

@@ -513,8 +513,60 @@ class FEMSystem:
                     C_host=np.asarray(self.material.C),
                 )
             return structured_assemble(dsdx, vol, a["C"], self._structured_plan)
+        if self.dia is None and dsdx.shape[0] > self._assembly_chunk:
+            # general ELL path at scale: CHUNK the element pipeline.  The
+            # element-major Ke (E, edof, edof) tiles with its tiny minor
+            # dims padded to (8, 128) -- 14.2x expansion, an 8 GB HBM temp
+            # at 1M C3D4 that OOMs a 16 GB chip (XLA picks the dot_general
+            # output layout itself, so a logical transpose cannot avoid
+            # it).  A fori_loop over fixed-size chunks bounds every padded
+            # temp to chunk size while the segment-sum accumulates into the
+            # final flat (padding-free, 1-D) values array.
+            return self._chunked_block_scatter(a, dsdx, vol)
         Ke = assembly.element_stiffness(dsdx, vol, a["C"])
         return self._scatter(a, Ke)
+
+    #: elements per chunk of the large-mesh general-ELL assembly: Ke's
+    #: padded chunk temp stays ~1 GB (131072 * 16 * 128 * 4 B at C3D4)
+    _assembly_chunk: int = 131072
+
+    def _chunked_block_scatter(self, a, dsdx, vol):
+        P = self.pattern
+        E = dsdx.shape[0]
+        dm = self.mesh.dm
+        npe = self.mesh.element.n_nodes
+        bt = a["block_targets"].reshape(E, npe * npe)
+        nseg = P.n_dof * P.width
+        C = a["C"]
+
+        def add_chunk(flat, ds, vl, btc):
+            Ke = assembly.element_stiffness(ds, vl, C)
+            tg = assembly.expand_block_targets(
+                btc.reshape(-1), P.node_width, dm, P.width, npe
+            )
+            return flat + jax.ops.segment_sum(
+                Ke.reshape(-1), tg, num_segments=nseg
+            )
+
+        flat = jnp.zeros(nseg, dtype=dsdx.dtype)
+        chunk = self._assembly_chunk
+        n_main = E // chunk
+        if n_main:
+            def body(i, fl):
+                def sl(x):
+                    return jax.lax.dynamic_slice_in_dim(
+                        x, i * chunk, chunk, 0
+                    )
+
+                return add_chunk(fl, sl(dsdx), sl(vol), sl(bt))
+
+            flat = jax.lax.fori_loop(0, n_main, body, flat)
+        rem = E % chunk
+        if rem:
+            flat = add_chunk(
+                flat, dsdx[E - rem:], vol[E - rem:], bt[E - rem:]
+            )
+        return flat.reshape(P.n_dof, P.width)
 
     def _scatter(self, a, Ke):
         """Element matrices -> global sparse values (ELL or DIA layout)."""
@@ -1064,7 +1116,15 @@ class FEMSystem:
             # the exact operator being solved (BC-eliminated on device),
             # kept in the device dtype: the hierarchy setup runs ~1.6x
             # faster in f32 and a preconditioner needs no f64 entries
-            K_bc = self.pattern.to_scipy(np.asarray(values))
+            _t = _time.time()
+            values_np = np.asarray(values)
+            _t_pull = _time.time() - _t
+            _t = _time.time()
+            K_bc = self.pattern.to_scipy(values_np)
+            logger.info(
+                "amg: device-operator pullback %.1fs, csr build %.1fs",
+                _t_pull, _time.time() - _t,
+            )
         else:
             from femcy_tpu import assembly_host
 
@@ -1081,12 +1141,17 @@ class FEMSystem:
         # smoothing iteration then gathers (dm,)-vector rows -- measured
         # 5.4 ms vs 84 ms per iteration at 273k dofs (solvers/bell.py)
         if getattr(self, "_bell_plan", None) is None:
+            _t = _time.time()
             self._bell_plan = build_bell_plan(self.pattern, self.mesh.dm)
+            logger.info("amg: bell plan %.1fs", _time.time() - _t)
             self._bell_arrs = {
                 "gather": jnp.asarray(self._bell_plan.gather),
                 "valid": jnp.asarray(self._bell_plan.valid),
                 "ncol": jnp.asarray(self._bell_plan.ncol),
             }
+        _t = _time.time()
+        fine_graph = _fine_node_graph(self._bell_plan, fixed_np)
+        logger.info("amg: fine node graph %.1fs", _time.time() - _t)
         self._amg = AlgebraicMultigrid(
             K_bc, self.mesh.dm, self.mesh.nodes, fixed_np,
             # the bell plan already holds the node adjacency: hand the
@@ -1094,7 +1159,7 @@ class FEMSystem:
             # match the BC-eliminated operator) so it skips a full pass
             # over the fine COO entries (unused when amg_fine_theta > 0:
             # a value-based fine filter needs the real entries)
-            fine_graph=_fine_node_graph(self._bell_plan, fixed_np),
+            fine_graph=fine_graph,
             fine_strength_theta=self.config.amg_fine_theta,
         )
         self._amg_fixed_key = key

@@ -590,11 +590,23 @@ def tpu_test_tier():
     env = dict(
         os.environ, FEMCY_TPU_TEST_BACKEND="tpu", FEMCY_TPU_X64="0"
     )
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "-m", "tpu", "-q", "tests/"],
-        env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
-        capture_output=True, text=True,
-    )
+    # Bounded: the shared remote-compile service can stall for tens of
+    # minutes; a hung tier must not starve the driver of every metric.
+    # A TIMEOUT is service congestion (log + continue), a FAILURE is a
+    # wrong kernel (abort -- no timing numbers over bad stiffness values).
+    timeout_s = int(os.environ.get("BENCH_TPU_TESTS_TIMEOUT", "2400"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-m", "tpu", "-q", "tests/"],
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        log(
+            f"tpu test tier: WARNING exceeded {timeout_s}s (remote-compile "
+            "queue); skipping the tier, selfcheck already passed on-chip"
+        )
+        return
     tail = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
     log(f"tpu test tier: {tail} ({time.time() - t0:.0f}s)")
     if proc.returncode != 0:

@@ -477,7 +477,8 @@ def bench_unstructured():
         f"AMG setup from the device operator: {t_amg:.1f}s, levels "
         f"{[lv.n_dof for lv in system._amg.levels]}, "
         f"complexity {system._amg.complexity:.2f}, phase breakdown "
-        f"{ {k: round(v, 1) for k, v in system._amg.setup_seconds.items()} }"
+        f"{ {k: round(v, 1) for k, v in system._amg.setup_seconds.items()} }, "
+        f"host phases {system._amg_host_seconds}"
     )
     setup_total = t_pattern + t_amg
     emit(

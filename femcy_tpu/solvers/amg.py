@@ -578,13 +578,27 @@ class AlgebraicMultigrid:
         self._single = len(self.levels) == 1
 
         # ---- ship every staged array in ONE batched transfer ------------
+        # Float leaves travel and live as BF16 (half the bytes over the
+        # remote-device tunnel, half the HBM): the V-cycle's jnp ops
+        # promote bf16 values against f32 vectors, so the preconditioner
+        # stays an exactly linear, symmetric f32 operator -- only its
+        # ENTRIES are rounded to 8 significand bits, which a
+        # preconditioner tolerates (bf16 keeps f32's exponent range).
+        # The coarsest dense inverse stays f32: inversion squared its
+        # condition number already.
+        import ml_dtypes
+
         _t = _time.time()
         slots, leaves = [(self, "_coarse_inv")], [self._coarse_inv]
         for lv in self.levels:
             for attr in (
-                "values", "colidx", "inv_diag",
-                "P_values", "P_colidx", "R_values", "R_colidx",
+                "values", "inv_diag", "P_values", "R_values",
             ):
+                a = getattr(lv, attr)
+                if isinstance(a, np.ndarray):
+                    slots.append((lv, attr))
+                    leaves.append(a.astype(ml_dtypes.bfloat16))
+            for attr in ("colidx", "P_colidx", "R_colidx"):
                 a = getattr(lv, attr)
                 if isinstance(a, np.ndarray):
                     slots.append((lv, attr))

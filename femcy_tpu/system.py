@@ -1112,18 +1112,25 @@ class FEMSystem:
         )
 
         fixed_np = np.asarray(fixed, dtype=bool)
+        host_s = {}
         if values is not None:
             # the exact operator being solved (BC-eliminated on device),
-            # kept in the device dtype: the hierarchy setup runs ~1.6x
-            # faster in f32 and a preconditioner needs no f64 entries
+            # pulled back in BF16: the hierarchy is a preconditioner, not
+            # the operator CG iterates on, so 8 significand bits suffice
+            # (bf16 keeps f32's exponent range -- stiffness entries reach
+            # 1e10+, which overflows f16) and the D2H copy over the remote
+            # device tunnel moves half the bytes
             _t = _time.time()
-            values_np = np.asarray(values)
-            _t_pull = _time.time() - _t
+            values_np = np.asarray(
+                values.astype(jnp.bfloat16), dtype=np.float32
+            )
+            host_s["pullback"] = _time.time() - _t
             _t = _time.time()
             K_bc = self.pattern.to_scipy(values_np)
+            host_s["csr"] = _time.time() - _t
             logger.info(
                 "amg: device-operator pullback %.1fs, csr build %.1fs",
-                _t_pull, _time.time() - _t,
+                host_s["pullback"], host_s["csr"],
             )
         else:
             from femcy_tpu import assembly_host
@@ -1143,15 +1150,19 @@ class FEMSystem:
         if getattr(self, "_bell_plan", None) is None:
             _t = _time.time()
             self._bell_plan = build_bell_plan(self.pattern, self.mesh.dm)
-            logger.info("amg: bell plan %.1fs", _time.time() - _t)
+            host_s["bell_plan"] = _time.time() - _t
+            logger.info("amg: bell plan %.1fs", host_s["bell_plan"])
+            _t = _time.time()
             self._bell_arrs = {
                 "gather": jnp.asarray(self._bell_plan.gather),
                 "valid": jnp.asarray(self._bell_plan.valid),
                 "ncol": jnp.asarray(self._bell_plan.ncol),
             }
+            host_s["bell_upload"] = _time.time() - _t
         _t = _time.time()
         fine_graph = _fine_node_graph(self._bell_plan, fixed_np)
-        logger.info("amg: fine node graph %.1fs", _time.time() - _t)
+        host_s["fine_graph"] = _time.time() - _t
+        logger.info("amg: fine node graph %.1fs", host_s["fine_graph"])
         self._amg = AlgebraicMultigrid(
             K_bc, self.mesh.dm, self.mesh.nodes, fixed_np,
             # the bell plan already holds the node adjacency: hand the
@@ -1164,6 +1175,7 @@ class FEMSystem:
         )
         self._amg_fixed_key = key
         self._amg_fixed_obj = fixed
+        self._amg_host_seconds = {k: round(v, 1) for k, v in host_s.items()}
         self._amg_ops = self._amg.operands()
         amg = self._amg
         cfg = self.config

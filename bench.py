@@ -505,9 +505,15 @@ def bench_unstructured():
         sync(x)
         times.append(time.time() - t0)
     total = min(times)
+    # attribute the steady number: assembly alone (same jitted program)
+    t0 = time.time()
+    va, _, _ = system._jit_linear_system(system._arrs, rhs, fixed_d, sval_d)
+    sync(va)
+    log(f"  of which assembly: {time.time() - t0:.3f}s")
     log(
         f"unstructured assemble+AMG-PCG: {total:.3f}s "
-        f"({mesh.n_elements / total / 1e6:.2f} M-elem/s end-to-end)"
+        f"({mesh.n_elements / total / 1e6:.2f} M-elem/s end-to-end, "
+        f"{system._last_cg_iters} PCG iters)"
     )
     emit(
         f"c3d4_{mesh.n_elements//1000}k_unstructured_amg",

@@ -450,7 +450,10 @@ def bench_unstructured():
         SolverConfig(preconditioner="amg", linear_solver="cg"),
     )
     t_pattern = time.time() - t0
-    log(f"ELL pattern build (native, block targets): {t_pattern:.1f}s")
+    log(
+        f"ELL pattern build (native, block targets): {t_pattern:.1f}s, "
+        f"phases {system._init_seconds}"
+    )
 
     fixed = np.zeros(mesh.n_dof, dtype=bool)
     bottom = np.nonzero(mesh.nodes[:, 2] < 1e-9)[0]

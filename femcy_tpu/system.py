@@ -239,6 +239,9 @@ class FEMSystem:
         self.pattern: Optional[ELLPattern] = None
         self.dia = None
         self._structured_plan = None
+        #: host-setup phase walls (seconds) for benchmark attribution
+        init_s = {}
+        self._init_seconds = init_s
         if structured:
             # analytic pattern + dense scatter-free assembly: no ELL pattern
             # or scatter maps at all (O(1) host setup instead of minutes at
@@ -249,7 +252,9 @@ class FEMSystem:
             self.dia = build_structured_dia_pattern(mesh)
             self._structured_plan = build_structured_plan(mesh, self.dia)
         else:
+            _t = _time.time()
             self.pattern = build_pattern(mesh)
+            init_s["pattern"] = round(_time.time() - _t, 1)
             # gather-free DIA layout when the offset structure allows it.
             # The AMG branch (_ensure_amg / _solve_linear_system) is built
             # for the dof-ELL layout -- its block-ELL gather plan indexes
@@ -304,10 +309,16 @@ class FEMSystem:
                 # less host export + H2D traffic than the dof-level map
                 arrs["block_targets"] = jnp.asarray(p.block_targets)
             arrs["force_targets"] = jnp.asarray(p.force_targets)
+        _t = _time.time()
+        jax.block_until_ready(list(arrs.values()))
+        init_s["upload"] = round(_time.time() - _t, 1)
         # initial-configuration gradients are constant: precompute once
+        _t = _time.time()
         dsdX0, vol0 = _gradients_jit(
             arrs["nodes"], arrs["elements"], arrs["dN"], arrs["w"]
         )
+        jax.block_until_ready(vol0)
+        init_s["gradients"] = round(_time.time() - _t, 1)
         arrs["dsdX0"] = dsdX0
         arrs["vol0"] = vol0
         self._arrs = arrs

@@ -308,7 +308,8 @@ class FEMSystem:
                 # in-program (assembly.scatter_stiffness_blocks) -- dm^2 x
                 # less host export + H2D traffic than the dof-level map
                 arrs["block_targets"] = jnp.asarray(p.block_targets)
-            arrs["force_targets"] = jnp.asarray(p.force_targets)
+            # force segment ids are computed in-program from the
+            # connectivity (_internal_force_parts): no dof-level export
         _t = _time.time()
         jax.block_until_ready(list(arrs.values()))
         init_s["upload"] = round(_time.time() - _t, 1)
@@ -661,8 +662,17 @@ class FEMSystem:
                 f_elem, self._structured_plan, self.mesh
             )
         else:
+            # segment ids are pure arithmetic on the connectivity: computing
+            # them in-program (XLA fuses the multiply-add into the scatter)
+            # drops a 4*E*edof-byte host export + H2D transfer (~50 MB /
+            # several seconds over the remote tunnel at the 1M-element scale)
+            dm = self.mesh.dm
+            ft = (
+                a["elements"].astype(jnp.int32)[:, :, None] * dm
+                + jnp.arange(dm, dtype=jnp.int32)
+            ).reshape(-1)
             f_int = assembly.internal_force(
-                dsdx, sigma, vol, a["force_targets"], self.pattern.n_dof
+                dsdx, sigma, vol, ft, self.pattern.n_dof
             )
         if "stab_diag" in a:
             # static stabilization (config.stabilize_factor): viscous force.

@@ -483,6 +483,13 @@ def bench_unstructured():
         f"{ {k: round(v, 1) for k, v in system._amg.setup_seconds.items()} }, "
         f"host phases {system._amg_host_seconds}"
     )
+    stall = system._amg_host_seconds.get("unattributed", 0.0)
+    if stall > 30.0:
+        log(
+            f"WARNING: {stall:.0f}s of the AMG setup fence is a remote-"
+            "service queue stall (unattributed wall on cached dispatches), "
+            "not setup cost"
+        )
     setup_total = t_pattern + t_amg
     emit(
         f"c3d4_{mesh.n_elements//1000}k_unstructured_setup",
@@ -716,6 +723,8 @@ def main():
         bench_twist()
     if os.environ.get("BENCH_UNSTRUCT", "1") == "1":
         bench_unstructured()
+    if os.environ.get("BENCH_BOX", "1") != "1":
+        return
     t0 = time.time()
     mesh = box_tets(nx, nx, nx)
     log(

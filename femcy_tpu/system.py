@@ -1134,6 +1134,7 @@ class FEMSystem:
 
         fixed_np = np.asarray(fixed, dtype=bool)
         host_s = {}
+        _wall0 = _time.time()
         if values is not None:
             # the exact operator being solved (BC-eliminated on device),
             # pulled back in BF16: the hierarchy is a preconditioner, not
@@ -1196,6 +1197,15 @@ class FEMSystem:
         )
         self._amg_fixed_key = key
         self._amg_fixed_obj = fixed
+        # unattributed wall = device dispatches blocking on the shared
+        # remote service's claim queue (observed 10-470 s on identical
+        # cached programs); recorded so a queue stall inside a benchmark
+        # fence is distinguishable from real setup cost
+        host_s["unattributed"] = (
+            _time.time() - _wall0
+            - sum(host_s.values())
+            - self._amg.setup_seconds["total"]
+        )
         self._amg_host_seconds = {k: round(v, 1) for k, v in host_s.items()}
         self._amg_ops = self._amg.operands()
         amg = self._amg

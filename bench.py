@@ -470,7 +470,7 @@ def bench_unstructured():
     values, b, _vol = system._jit_linear_system(
         system._arrs, rhs, fixed_d, sval_d
     )
-    values.block_until_ready()
+    sync(values)  # block_until_ready returns early through the tunnel
     log(f"device assembly compile+run: {time.time() - t0:.1f}s")
 
     t0 = time.time()

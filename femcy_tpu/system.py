@@ -1121,7 +1121,10 @@ class FEMSystem:
             )
         if self._amg is not None and fixed is self._amg_fixed_obj:
             return
+        _wall0 = _time.time()
+        host_s = {}
         key = np.asarray(fixed).tobytes()
+        host_s["fixed_key"] = _time.time() - _wall0
         if self._amg is not None and self._amg_fixed_key == key:
             self._amg_fixed_obj = fixed
             return
@@ -1133,8 +1136,6 @@ class FEMSystem:
         )
 
         fixed_np = np.asarray(fixed, dtype=bool)
-        host_s = {}
-        _wall0 = _time.time()
         if values is not None:
             # the exact operator being solved (BC-eliminated on device),
             # pulled back in BF16: the hierarchy is a preconditioner, not

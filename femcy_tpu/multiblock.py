@@ -361,7 +361,6 @@ class MultiBlockSystem:
             plan = build_bell_plan(self.pattern, self.dm)
             self._bell_plan = plan
             self._bell_arrs = {
-                "gather": jnp.asarray(plan.gather),
                 "valid": jnp.asarray(plan.valid),
                 "ncol": jnp.asarray(plan.ncol),
             }
@@ -371,10 +370,11 @@ class MultiBlockSystem:
         max_iters = cfg.cg_max_iters if cfg.cg_max_iters > 0 else self.n_dof
 
         def _amg_cg(values, bell_a, b, ops):
-            flat = values.reshape(-1)
-            bv = flat[bell_a["gather"].reshape(-1)].reshape(
-                plan.n_nodes, plan.width, plan.dm, plan.dm
-            ) * bell_a["valid"].astype(values.dtype)[:, :, None, None]
+            bv = values.reshape(
+                plan.n_nodes, plan.dm, plan.width, plan.dm
+            ).swapaxes(1, 2) * (
+                bell_a["valid"].astype(values.dtype)[:, :, None, None]
+            )
             return amg.pcg_solve(
                 b,
                 lambda x: bell_spmv(bv, bell_a["ncol"], x),

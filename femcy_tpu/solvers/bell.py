@@ -41,77 +41,74 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class BellPlan:
-    """Host-built conversion plan from a dof-ELL pattern to block-ELL."""
+    """Host-built conversion plan from a dof-ELL pattern to block-ELL.
+
+    The dof-ELL layout of a FEM pattern is blockwise by construction
+    (pattern builders emit, for dof row ``n*dm+i``, sorted columns
+    ``ncol[n,k]*dm+j`` at position ``k*dm+j``), so the ELL→block-ELL
+    conversion is a pure reshape+transpose — no gather map exists anymore;
+    ``build_bell_plan`` verifies the layout instead of materializing 25M
+    gather indices (measured 5.7 s host + a 100 MB device upload at the
+    1M-element scale, both now gone)."""
 
     n_nodes: int
     dm: int
-    width: int  # node-row width (max node-graph degree + 1)
+    width: int  # node-row width == pattern.width // dm
     ncol: np.ndarray  # (n_nodes, width) int32 node column ids (pad: 0)
-    #: (n_nodes, width, dm, dm) int32: for each block entry, the FLAT slot
-    #: in the dof-ELL values array it comes from (pad entries point at 0)
-    gather: np.ndarray
     valid: np.ndarray  # (n_nodes, width) bool
 
 
 def build_bell_plan(pattern, dm: int) -> BellPlan:
-    """dof-ELL pattern -> block plan (host, numpy; one pass over the CSR).
+    """dof-ELL pattern -> block plan (host, numpy; one verification pass).
 
-    Requires every dm x dm coupling of a node pair to be present in the
-    dof pattern -- true by construction for FEM patterns built from
-    element connectivity (topology.build_pattern, multiblock
-    build_union_pattern).
-    """
+    Requires the blockwise dof-ELL layout every FEM pattern builder emits
+    (topology.build_pattern, native/pattern.cpp, multiblock
+    build_union_pattern): every dm x dm coupling of a node pair present,
+    dof row ``n*dm+i`` holding sorted columns ``ncol[n,k]*dm+j`` at
+    position ``k*dm+j``, zero-padded past ``row_counts``.  The layout is
+    VERIFIED here (one vectorized pass) rather than assumed, because
+    everything downstream (bell_from_ell's reshape, the direct BSR
+    export) silently produces garbage if it does not hold."""
     n_dof = pattern.n_dof
     n_nodes = n_dof // dm
-    indptr, indices = pattern.csr_indptr, pattern.csr_indices
-    counts = np.diff(indptr)
-    rows0 = np.arange(n_nodes) * dm
-    width = int(np.ceil(counts[rows0].max() / dm))
+    W = pattern.width
+    if W % dm != 0:
+        raise ValueError(
+            f"dof-ELL width {W} is not a multiple of dm={dm}: "
+            "not a blockwise FEM pattern"
+        )
+    width = W // dm
+    colidx = pattern.colidx
+    row_counts = pattern.row_counts
 
-    # node neighbor lists from each node's FIRST dof row (all dm rows of a
-    # node couple to the same node set; columns are sorted, so every dm-th
-    # entry starts a new neighbor node)
-    starts = indptr[rows0]
-    nbr_counts = (counts[rows0] // dm).astype(np.int64)
-    # vectorized per-row aranges (a Python-level concatenate of n_nodes
-    # small aranges measured ~6 s at 91k nodes)
-    total = int(nbr_counts.sum())
-    row_off = np.zeros(n_nodes, dtype=np.int64)
-    np.cumsum(nbr_counts[:-1], out=row_off[1:])
-    rowid = np.repeat(np.arange(n_nodes), nbr_counts)
-    posid = np.arange(total, dtype=np.int64) - row_off[rowid]
-    take_idx = np.repeat(starts, nbr_counts) + posid * dm
-    ncol = np.zeros((n_nodes, width), dtype=np.int32)
-    valid = np.zeros((n_nodes, width), dtype=bool)
-    ncol[rowid, posid] = (indices[take_idx] // dm).astype(np.int32)
-    valid[rowid, posid] = True
+    node_counts = row_counts[0::dm]
+    ncol = (colidx[0::dm, 0::dm] // dm).astype(np.int32)
+    valid = (
+        np.arange(width, dtype=np.int32)[None, :]
+        < (node_counts // dm)[:, None]
+    )
+    ncol = np.where(valid, ncol, 0).astype(np.int32)
 
-    # Each dm x dm block coupling is present and the CSR columns of every
-    # dof row are sorted, so the entries of dof row r = n*dm+i come in
-    # groups of dm per neighbor: the (k, j) block entry of node row n IS
-    # CSR entry ``indptr[n*dm+i] + k*dm + j``.  That makes the gather map a
-    # pure broadcasted index expression -- no sort, no searchsorted
-    # (the previous sorted-key lookup measured 7.4 s at 273k dofs; this
-    # builds the same map in ~0.6 s).
-    idx_dtype = (
-        np.int32 if n_dof * pattern.width < np.iinfo(np.int32).max
-        else np.int64
+    # verify: every dof row of a node must expand ncol blockwise, and all
+    # dm rows of a node must agree on the count
+    if not (row_counts.reshape(n_nodes, dm) == node_counts[:, None]).all():
+        raise ValueError("dof rows of a node disagree on entry count")
+    expect = (
+        ncol[:, None, :, None] * dm
+        + np.arange(dm, dtype=np.int32)[None, None, None, :]
+    ).reshape(n_nodes, 1, W)
+    got = colidx.reshape(n_nodes, dm, W)
+    mask = (
+        np.arange(W, dtype=np.int32)[None, None, :]
+        < node_counts[:, None, None]
     )
-    # CSR entry ids fit the same dtype as the slots (nnz <= n_dof*width):
-    # build the index tensor in it directly to halve the transient memory
-    starts_i = indptr[:-1].reshape(n_nodes, dm).astype(idx_dtype)
-    k = np.arange(width, dtype=idx_dtype) * dm
-    idx = (
-        starts_i[:, None, :, None]
-        + k[None, :, None, None]
-        + np.arange(dm, dtype=idx_dtype)[None, None, None, :]
-    )
-    np.multiply(idx, valid[:, :, None, None], out=idx)  # pads -> entry 0
-    gather = pattern.csr_slots[idx].astype(idx_dtype, copy=False)
-    gather *= valid[:, :, None, None]  # pads -> slot 0 (zeroed at apply)
+    if not (np.where(mask, got == expect, True)).all():
+        raise ValueError(
+            "dof-ELL columns are not the blockwise expansion of the node "
+            "pattern; block-ELL conversion would be wrong"
+        )
     return BellPlan(
-        n_nodes=n_nodes, dm=dm, width=width, ncol=ncol,
-        gather=gather, valid=valid,
+        n_nodes=n_nodes, dm=dm, width=width, ncol=ncol, valid=valid
     )
 
 
@@ -136,12 +133,12 @@ def plan_node_graph(plan: BellPlan, fixed: np.ndarray):
 
 def bell_from_ell(values, plan: BellPlan):
     """dof-ELL values (n_dof, width_dof) -> block values
-    (n_nodes, width, dm, dm); ONE permutation gather, jittable.  Pad blocks
-    are zeroed (their gather source is arbitrary)."""
-    flat = values.reshape(-1)
-    b = flat[jnp.asarray(plan.gather.reshape(-1))].reshape(
-        plan.n_nodes, plan.width, plan.dm, plan.dm
-    )
+    (n_nodes, width, dm, dm): a pure reshape+transpose (the dof layout is
+    blockwise, verified by build_bell_plan) -- one HBM copy, no gather.
+    Pad blocks are zeroed."""
+    b = values.reshape(
+        plan.n_nodes, plan.dm, plan.width, plan.dm
+    ).swapaxes(1, 2)
     return b * jnp.asarray(
         plan.valid, dtype=values.dtype
     )[:, :, None, None]

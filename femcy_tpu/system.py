@@ -1136,6 +1136,21 @@ class FEMSystem:
         )
 
         fixed_np = np.asarray(fixed, dtype=bool)
+        # fine-level block-ELL plan: the eliminated dof-ELL operator is
+        # converted ONCE per solve (a pure reshape+transpose, the layout
+        # is blockwise by construction); every CG and smoothing iteration
+        # then gathers (dm,)-vector rows -- measured 5.4 ms vs 84 ms per
+        # iteration at 273k dofs (solvers/bell.py)
+        if getattr(self, "_bell_plan", None) is None:
+            _t = _time.time()
+            self._bell_plan = build_bell_plan(self.pattern, self.mesh.dm)
+            host_s["bell_plan"] = _time.time() - _t
+            logger.info("amg: bell plan %.1fs", host_s["bell_plan"])
+            self._bell_arrs = {
+                "valid": jnp.asarray(self._bell_plan.valid),
+                "ncol": jnp.asarray(self._bell_plan.ncol),
+            }
+        plan = self._bell_plan
         if values is not None:
             # the exact operator being solved (BC-eliminated on device),
             # pulled back in BF16: the hierarchy is a preconditioner, not
@@ -1148,12 +1163,27 @@ class FEMSystem:
                 values.astype(jnp.bfloat16), dtype=np.float32
             )
             host_s["pullback"] = _time.time() - _t
+            # direct BSR from the blockwise ELL layout: a reshape +
+            # boolean select, no CSR intermediate (the former
+            # to_scipy + tobsr pair measured 8.6 s + 0.7 s at 1M elements)
             _t = _time.time()
-            K_bc = self.pattern.to_scipy(values_np)
-            host_s["csr"] = _time.time() - _t
+            import scipy.sparse as sp
+
+            dmn = plan.dm
+            blocks = values_np.reshape(
+                plan.n_nodes, dmn, plan.width, dmn
+            ).transpose(0, 2, 1, 3)[plan.valid]
+            counts = plan.valid.sum(axis=1)
+            indptr = np.zeros(plan.n_nodes + 1, dtype=np.int64)
+            np.cumsum(counts, out=indptr[1:])
+            K_bc = sp.bsr_matrix(
+                (blocks, plan.ncol[plan.valid].astype(np.int64), indptr),
+                shape=(self.mesh.n_dof, self.mesh.n_dof),
+            )
+            host_s["bsr"] = _time.time() - _t
             logger.info(
-                "amg: device-operator pullback %.1fs, csr build %.1fs",
-                host_s["pullback"], host_s["csr"],
+                "amg: device-operator pullback %.1fs, bsr build %.1fs",
+                host_s["pullback"], host_s["bsr"],
             )
         else:
             from femcy_tpu import assembly_host
@@ -1166,22 +1196,6 @@ class FEMSystem:
             K_bc, _ = assembly_host.dirichlet_csr_host(
                 self._amg_raw_csr, zeros, fixed_np, zeros
             )
-        # fine-level block-ELL plan: the eliminated dof-ELL operator is
-        # converted ONCE per solve (one permutation gather); every CG and
-        # smoothing iteration then gathers (dm,)-vector rows -- measured
-        # 5.4 ms vs 84 ms per iteration at 273k dofs (solvers/bell.py)
-        if getattr(self, "_bell_plan", None) is None:
-            _t = _time.time()
-            self._bell_plan = build_bell_plan(self.pattern, self.mesh.dm)
-            host_s["bell_plan"] = _time.time() - _t
-            logger.info("amg: bell plan %.1fs", host_s["bell_plan"])
-            _t = _time.time()
-            self._bell_arrs = {
-                "gather": jnp.asarray(self._bell_plan.gather),
-                "valid": jnp.asarray(self._bell_plan.valid),
-                "ncol": jnp.asarray(self._bell_plan.ncol),
-            }
-            host_s["bell_upload"] = _time.time() - _t
         _t = _time.time()
         fine_graph = _fine_node_graph(self._bell_plan, fixed_np)
         host_s["fine_graph"] = _time.time() - _t
@@ -1217,10 +1231,11 @@ class FEMSystem:
         )
 
         def _amg_cg(values, bell_a, b, ops):
-            flat = values.reshape(-1)
-            bv = flat[bell_a["gather"].reshape(-1)].reshape(
-                plan.n_nodes, plan.width, plan.dm, plan.dm
-            ) * bell_a["valid"].astype(values.dtype)[:, :, None, None]
+            bv = values.reshape(
+                plan.n_nodes, plan.dm, plan.width, plan.dm
+            ).swapaxes(1, 2) * (
+                bell_a["valid"].astype(values.dtype)[:, :, None, None]
+            )
             return amg.pcg_solve(
                 b,
                 lambda x: bell_spmv(bv, bell_a["ncol"], x),

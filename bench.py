@@ -251,6 +251,19 @@ def bench_twist():
                 print(line)
             return {}
 
+        # Host speed canary: the host twist runs on a SHARED single-core VM
+        # whose effective speed varies run to run (measured: the identical
+        # r4-snapshot code walked 8.9 -> 16.4 s across days with zero code
+        # change).  A fixed pure-numpy workload timed here lets a reader
+        # normalize the host metric against today's host speed before
+        # reading a vs-last-round delta as a code regression.
+        t0 = time.time()
+        _a = np.random.default_rng(0).standard_normal((1500, 1500))
+        for _ in range(3):
+            _a = np.linalg.solve(_a @ _a.T + 1500 * np.eye(1500), _a)
+        canary = time.time() - t0
+        log(f"host speed canary (3x 1500^3 solve): {canary:.2f}s")
+
         # host-CPU baseline (the latency-bound deployment split, see below)
         run_variant(
             os.environ.get("BENCH_TWIST_PLATFORM", "cpu"), fused=False,
